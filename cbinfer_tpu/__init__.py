@@ -1,0 +1,16 @@
+"""cbinfer_tpu: TPU-native change-based video CNN inference.
+
+A from-scratch JAX/Pallas framework with the capabilities of
+lukasc-ch/CBinfer (Cavigelli et al., arXiv 1704.04313 / 1808.05488):
+for video from static cameras, each conv/pool layer recomputes only the
+output pixels whose receptive field saw a frame-to-frame change beyond a
+tunable per-layer threshold, reusing cached per-layer feature maps for
+everything else. The per-pixel CUDA gather->GEMM->scatter pipeline of the
+reference is reformulated TPU-first as tile-level block sparsity with
+exact per-pixel change-detection semantics (see SURVEY.md and
+ops/delta_conv.py).
+"""
+
+from . import config  # noqa: F401
+
+__version__ = "0.1.0"

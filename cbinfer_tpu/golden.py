@@ -1,0 +1,276 @@
+"""Per-pixel golden reference of the CBinfer algorithm (SURVEY.md C12).
+
+Pure NumPy, CPU-only, exact reference semantics as described in the CBinfer
+papers (arXiv 1704.04313 §3; arXiv 1808.05488 §IV — /root/reference is empty
+this session, see SURVEY.md §0, so the papers + BASELINE.json are the spec of
+record). This module is the correctness oracle for the tiled TPU pipeline.
+
+The five per-layer stages (SURVEY.md §1):
+  1. change detection   : pixel p changed  iff  max_c |x[p,c] - in_cache[p,c]| > tau
+                          in_cache[p] <- x[p]  ONLY at changed pixels (the
+                          comparison baseline is the last ACCEPTED value, so
+                          sub-threshold drift accumulates as bounded error
+                          instead of triggering recompute)
+  2. change propagation : output pixel q must be recomputed iff any input pixel
+                          in its receptive field (kernel/stride/dilation
+                          geometry) changed
+  3. index extraction   : compact changed-output map to index list (implicit
+                          here: we use the boolean map directly)
+  4. gather (im2col)    : gather input patches at changed outputs
+  5. GEMM + update      : y = W.x + b, activation, scatter into out_cache
+
+Key invariant (proved by induction, asserted in tests): after every frame,
+``out_cache == conv(in_cache)`` at EVERY pixel, not just recomputed ones —
+an output pixel is skipped only when no input in its receptive field was
+accepted this frame, in which case its cached value already equals the conv
+of the current cache. The approximation error of CBinfer therefore lives
+entirely in ``in_cache != x``; masks only decide how much compute is spent.
+The tiled TPU pipeline shares the identical per-pixel cache-update rule and a
+superset recompute mask, so its results are bit-identical (up to float
+reassociation) to this golden model.
+
+All feature maps are HWC float arrays; weights are HWIO (kh, kw, cin, cout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import ConvSpec, PoolSpec, UpsampleSpec
+
+
+# --------------------------- dense reference ops ----------------------------
+
+
+def conv_out_size(n: int, k: int, s: int, d: int, padding: str) -> int:
+    keff = (k - 1) * d + 1
+    if padding == "SAME":
+        return -(-n // s)  # ceil(n / s)
+    return (n - keff) // s + 1
+
+
+def same_pads(n: int, k: int, s: int, d: int) -> Tuple[int, int]:
+    """TF/XLA 'SAME' padding amounts (lo, hi) for one spatial dim."""
+    keff = (k - 1) * d + 1
+    out = -(-n // s)
+    total = max(0, (out - 1) * s + keff - n)
+    lo = total // 2
+    return lo, total - lo
+
+
+def dense_conv2d(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
+                 stride=(1, 1), dilation=(1, 1), padding="SAME",
+                 activation: Optional[str] = None) -> np.ndarray:
+    """Plain float64-accumulated conv2d, HWC x HWIO -> HWC."""
+    kh, kw, cin, cout = w.shape
+    sh, sw = stride
+    dh, dw = dilation
+    H, W, C = x.shape
+    assert C == cin, (C, cin)
+    if padding == "SAME":
+        (plo_h, phi_h), (plo_w, phi_w) = same_pads(H, kh, sh, dh), same_pads(W, kw, sw, dw)
+    else:
+        plo_h = phi_h = plo_w = phi_w = 0
+    xp = np.pad(x, ((plo_h, phi_h), (plo_w, phi_w), (0, 0)))
+    Ho = conv_out_size(H, kh, sh, dh, padding)
+    Wo = conv_out_size(W, kw, sw, dw, padding)
+    y = np.zeros((Ho, Wo, cout), dtype=np.float64)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = xp[dy * dh: dy * dh + (Ho - 1) * sh + 1: sh,
+                       dx * dw: dx * dw + (Wo - 1) * sw + 1: sw, :]
+            y += patch.astype(np.float64) @ w[dy, dx].astype(np.float64)
+    if b is not None:
+        y += b.astype(np.float64)
+    if activation == "relu":
+        y = np.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def dense_maxpool2d(x: np.ndarray, window=(2, 2), stride=(2, 2),
+                    padding="VALID") -> np.ndarray:
+    kh, kw = window
+    sh, sw = stride
+    H, W, C = x.shape
+    if padding == "SAME":
+        (plo_h, phi_h), (plo_w, phi_w) = same_pads(H, kh, sh, 1), same_pads(W, kw, sw, 1)
+        xp = np.pad(x, ((plo_h, phi_h), (plo_w, phi_w), (0, 0)),
+                    constant_values=-np.inf)
+    else:
+        xp = x
+    Ho = conv_out_size(H, kh, sh, 1, padding)
+    Wo = conv_out_size(W, kw, sw, 1, padding)
+    y = np.full((Ho, Wo, C), -np.inf, dtype=x.dtype)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = xp[dy: dy + (Ho - 1) * sh + 1: sh,
+                       dx: dx + (Wo - 1) * sw + 1: sw, :]
+            y = np.maximum(y, patch)
+    return y
+
+
+def dense_upsample(x: np.ndarray, scale=(2, 2), method="nearest") -> np.ndarray:
+    if method == "nearest":
+        return np.repeat(np.repeat(x, scale[0], axis=0), scale[1], axis=1)
+    raise NotImplementedError(method)
+
+
+# --------------------------- change propagation -----------------------------
+
+
+def propagate_mask(changed_in: np.ndarray, k: Tuple[int, int], s: Tuple[int, int],
+                   d: Tuple[int, int], padding: str) -> np.ndarray:
+    """Stage 2: input change map -> changed-output map (receptive-field OR).
+
+    Output pixel (i, j) reads input rows i*s - pad + dy*d for dy in [0, kh);
+    it must be recomputed iff any such input pixel changed.
+    """
+    kh, kw = k
+    sh, sw = s
+    dh, dw = d
+    H, W = changed_in.shape
+    if padding == "SAME":
+        (plo_h, phi_h), (plo_w, phi_w) = same_pads(H, kh, sh, dh), same_pads(W, kw, sw, dw)
+    else:
+        plo_h = phi_h = plo_w = phi_w = 0
+    cp = np.pad(changed_in, ((plo_h, phi_h), (plo_w, phi_w)))
+    Ho = conv_out_size(H, kh, sh, dh, padding)
+    Wo = conv_out_size(W, kw, sw, dw, padding)
+    out = np.zeros((Ho, Wo), dtype=bool)
+    for dy in range(kh):
+        for dx in range(kw):
+            out |= cp[dy * dh: dy * dh + (Ho - 1) * sh + 1: sh,
+                      dx * dw: dx * dw + (Wo - 1) * sw + 1: sw]
+    return out
+
+
+# ------------------------------ layer states --------------------------------
+
+
+@dataclasses.dataclass
+class GoldenLayerState:
+    in_cache: Optional[np.ndarray] = None   # last ACCEPTED input feature map
+    out_cache: Optional[np.ndarray] = None  # cached output feature map
+    # compute accounting for the frame just processed:
+    changed_in: int = 0      # changed input pixels (stage 1)
+    changed_out: int = 0     # recomputed output pixels (stage 2/5)
+    total_out: int = 0
+
+
+# ------------------------------ CB layer steps -------------------------------
+
+
+def cb_conv_step(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
+                 spec: ConvSpec, state: GoldenLayerState
+                 ) -> Tuple[np.ndarray, GoldenLayerState]:
+    """One frame through a change-based conv layer, exact per-pixel semantics."""
+    if state.in_cache is None:
+        # Frame 0 cold start: full dense pass populates both caches
+        # (SURVEY.md §3.2 "frame 0: all changed").
+        y = dense_conv2d(x, w, b, spec.stride, spec.dilation, spec.padding,
+                         spec.activation)
+        return y.copy(), GoldenLayerState(
+            in_cache=x.copy(), out_cache=y.copy(),
+            changed_in=x.shape[0] * x.shape[1],
+            changed_out=y.shape[0] * y.shape[1],
+            total_out=y.shape[0] * y.shape[1])
+
+    # Stage 1: per-pixel change detection against the last accepted value.
+    diff = np.max(np.abs(x.astype(np.float64) - state.in_cache.astype(np.float64)),
+                  axis=-1)
+    changed_in = diff > spec.threshold
+    in_cache = np.where(changed_in[..., None], x, state.in_cache)
+
+    # Stage 2: receptive-field propagation to the changed-output map.
+    changed_out = propagate_mask(changed_in, spec.kernel, spec.stride,
+                                 spec.dilation, spec.padding)
+
+    # Stages 3-5: recompute exactly the changed outputs from the updated cache.
+    # (Computing the full conv and masking is value-identical; see module doc.)
+    y_full = dense_conv2d(in_cache, w, b, spec.stride, spec.dilation,
+                          spec.padding, spec.activation)
+    out_cache = np.where(changed_out[..., None], y_full, state.out_cache)
+
+    new_state = GoldenLayerState(
+        in_cache=in_cache, out_cache=out_cache.copy(),
+        changed_in=int(changed_in.sum()), changed_out=int(changed_out.sum()),
+        total_out=changed_out.size)
+    return out_cache.copy(), new_state
+
+
+def cb_pool_step(x: np.ndarray, spec: PoolSpec, state: GoldenLayerState
+                 ) -> Tuple[np.ndarray, GoldenLayerState]:
+    """One frame through a change-based max-pool layer (CB19 §IV-F semantics)."""
+    if state.in_cache is None:
+        y = dense_maxpool2d(x, spec.window, spec.stride, spec.padding)
+        return y.copy(), GoldenLayerState(
+            in_cache=x.copy(), out_cache=y.copy(),
+            changed_in=x.shape[0] * x.shape[1],
+            changed_out=y.shape[0] * y.shape[1],
+            total_out=y.shape[0] * y.shape[1])
+
+    diff = np.max(np.abs(x.astype(np.float64) - state.in_cache.astype(np.float64)),
+                  axis=-1)
+    changed_in = diff > spec.threshold
+    in_cache = np.where(changed_in[..., None], x, state.in_cache)
+    changed_out = propagate_mask(changed_in, spec.window, spec.stride, (1, 1),
+                                 spec.padding)
+    y_full = dense_maxpool2d(in_cache, spec.window, spec.stride, spec.padding)
+    out_cache = np.where(changed_out[..., None], y_full, state.out_cache)
+    new_state = GoldenLayerState(
+        in_cache=in_cache, out_cache=out_cache.copy(),
+        changed_in=int(changed_in.sum()), changed_out=int(changed_out.sum()),
+        total_out=changed_out.size)
+    return out_cache.copy(), new_state
+
+
+# ----------------------------- network runner -------------------------------
+
+
+class GoldenCBNet:
+    """A sequential CB network: list of (spec, params) with per-layer state.
+
+    params for ConvSpec is (w, b); PoolSpec/UpsampleSpec take None.
+    """
+
+    def __init__(self, layers: List[Tuple[object, object]]):
+        self.layers = layers
+        self.states: List[GoldenLayerState] = [GoldenLayerState() for _ in layers]
+
+    def reset(self):
+        self.states = [GoldenLayerState() for _ in self.layers]
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        for i, (spec, params) in enumerate(self.layers):
+            if isinstance(spec, ConvSpec):
+                if spec.use_cb:
+                    x, self.states[i] = cb_conv_step(x, params[0], params[1],
+                                                     spec, self.states[i])
+                else:
+                    x = dense_conv2d(x, params[0], params[1], spec.stride,
+                                     spec.dilation, spec.padding, spec.activation)
+            elif isinstance(spec, PoolSpec):
+                if spec.use_cb:
+                    x, self.states[i] = cb_pool_step(x, spec, self.states[i])
+                else:
+                    x = dense_maxpool2d(x, spec.window, spec.stride, spec.padding)
+            elif isinstance(spec, UpsampleSpec):
+                x = dense_upsample(x, spec.scale, spec.method)
+            else:
+                raise TypeError(spec)
+        return x
+
+    def dense(self, x: np.ndarray) -> np.ndarray:
+        """Dense forward with the same weights (correctness/accuracy oracle)."""
+        for spec, params in self.layers:
+            if isinstance(spec, ConvSpec):
+                x = dense_conv2d(x, params[0], params[1], spec.stride,
+                                 spec.dilation, spec.padding, spec.activation)
+            elif isinstance(spec, PoolSpec):
+                x = dense_maxpool2d(x, spec.window, spec.stride, spec.padding)
+            elif isinstance(spec, UpsampleSpec):
+                x = dense_upsample(x, spec.scale, spec.method)
+        return x

@@ -1,0 +1,121 @@
+"""Synthetic video generation (SURVEY.md C18).
+
+The reference consumed real surveillance / pose videos via OpenCV
+([repo-recall]; /root/reference is empty this session). This box has no
+network and no datasets, so all workloads run on parameterized synthetic
+static-camera video: a fixed smooth background plus moving sprites whose
+count/size/speed control the frame-to-frame change rate — the single variable
+that determines CBinfer's speedup (CB19 §VI).
+
+Frames are HWC float32 in [0, 1]. Generators are deterministic in ``seed``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+def _smooth_noise(rng: np.random.Generator, h: int, w: int, c: int,
+                  octaves: int = 4) -> np.ndarray:
+    """Multi-octave value noise: a plausible static camera background."""
+    img = np.zeros((h, w, c), dtype=np.float32)
+    for o in range(octaves):
+        gh, gw = max(2, h >> (octaves - o)), max(2, w >> (octaves - o))
+        coarse = rng.standard_normal((gh, gw, c)).astype(np.float32)
+        # bilinear upsample to (h, w)
+        yi = np.linspace(0, gh - 1, h)
+        xi = np.linspace(0, gw - 1, w)
+        y0 = np.floor(yi).astype(int); y1 = np.minimum(y0 + 1, gh - 1)
+        x0 = np.floor(xi).astype(int); x1 = np.minimum(x0 + 1, gw - 1)
+        wy = (yi - y0)[:, None, None]; wx = (xi - x0)[None, :, None]
+        up = ((coarse[y0][:, x0] * (1 - wy) * (1 - wx))
+              + (coarse[y0][:, x1] * (1 - wy) * wx)
+              + (coarse[y1][:, x0] * wy * (1 - wx))
+              + (coarse[y1][:, x1] * wy * wx))
+        img += up / (2 ** o)
+    img -= img.min()
+    img /= max(img.max(), 1e-6)
+    return img
+
+
+@dataclass
+class SpriteVideoConfig:
+    height: int = 72
+    width: int = 128
+    channels: int = 3
+    n_sprites: int = 3
+    sprite_size: int = 12          # square sprite edge, pixels
+    speed: float = 2.0             # pixels / frame
+    noise_std: float = 0.0         # per-pixel sensor noise (sub-threshold drift)
+    seed: int = 0
+
+    @property
+    def change_fraction_estimate(self) -> float:
+        """Rough fraction of pixels changed per frame (sprites sweep new area)."""
+        per_sprite = 2.0 * self.sprite_size * self.speed
+        return min(1.0, self.n_sprites * per_sprite / (self.height * self.width))
+
+
+class SpriteVideo:
+    """Static background + moving square sprites. O(1) memory per frame."""
+
+    def __init__(self, cfg: SpriteVideoConfig):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed)
+        self.background = _smooth_noise(rng, cfg.height, cfg.width, cfg.channels)
+        self.colors = rng.uniform(0.0, 1.0, (cfg.n_sprites, cfg.channels)).astype(np.float32)
+        self.pos = rng.uniform(0, [cfg.height - cfg.sprite_size,
+                                   cfg.width - cfg.sprite_size],
+                               (cfg.n_sprites, 2)).astype(np.float32)
+        ang = rng.uniform(0, 2 * np.pi, cfg.n_sprites)
+        self.vel = (cfg.speed * np.stack([np.sin(ang), np.cos(ang)], -1)).astype(np.float32)
+        self._noise_rng = np.random.default_rng(cfg.seed + 1)
+
+    def frame(self) -> np.ndarray:
+        cfg = self.cfg
+        img = self.background.copy()
+        for i in range(cfg.n_sprites):
+            y, x = int(self.pos[i, 0]), int(self.pos[i, 1])
+            img[y:y + cfg.sprite_size, x:x + cfg.sprite_size, :] = self.colors[i]
+        if cfg.noise_std > 0:
+            img += self._noise_rng.normal(
+                0.0, cfg.noise_std, img.shape).astype(np.float32)
+        return img
+
+    def step(self):
+        cfg = self.cfg
+        self.pos += self.vel
+        # bounce off edges
+        for d, lim in ((0, cfg.height - cfg.sprite_size),
+                       (1, cfg.width - cfg.sprite_size)):
+            low = self.pos[:, d] < 0
+            high = self.pos[:, d] > lim
+            self.vel[low | high, d] *= -1
+            self.pos[low, d] *= -1
+            self.pos[high, d] = 2 * lim - self.pos[high, d]
+
+    def frames(self, n: int) -> Iterator[np.ndarray]:
+        for _ in range(n):
+            yield self.frame()
+            self.step()
+
+    def clip(self, n: int) -> np.ndarray:
+        """(n, H, W, C) float32 clip."""
+        return np.stack(list(self.frames(n)))
+
+
+def two_frame_pair(h: int = 24, w: int = 32, c: int = 3, moved_pixels: int = 64,
+                   seed: int = 0):
+    """configs[0] fixture (BASELINE.json:7): two frames differing in a small
+    region, for the single change-gated conv test."""
+    rng = np.random.default_rng(seed)
+    f0 = rng.uniform(0, 1, (h, w, c)).astype(np.float32)
+    f1 = f0.copy()
+    size = max(1, int(np.sqrt(moved_pixels)))
+    y = rng.integers(0, h - size)
+    x = rng.integers(0, w - size)
+    f1[y:y + size, x:x + size, :] = rng.uniform(0, 1, (size, size, c))
+    return f0, f1
