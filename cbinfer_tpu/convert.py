@@ -1,0 +1,169 @@
+"""Network converter: dense model -> change-based model (SURVEY.md C10).
+
+The reference walks a pretrained PyTorch net and swaps Conv2d/MaxPool2d
+(+fused ReLU) modules for stateful CB equivalents, keeping the weights
+([repo-recall]; BASELINE.json: "pretrained ... CNN ... converted unchanged").
+Here the converter operates on the layer-spec IR: it binds per-layer
+thresholds and tile configs and yields a ``CBNet`` — pure ``init_state`` /
+``apply`` functions over explicit pytrees, drop-in alongside the dense path
+which shares the identical params.
+
+Also provides the torch ``state_dict`` importer so pretrained torch CNNs
+(NCHW, OIHW weights) can be converted unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from . import layers as L
+from . import network
+from .config import ConvSpec, PipelineConfig, PoolSpec, UpsampleSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class CBNet:
+    """A converted change-based network (functional; state passed explicitly).
+
+    Usage:
+        net = convert(specs, in_shape, cfg, thresholds=tau_vec)
+        state = net.init_state()
+        step = jax.jit(net.apply, donate_argnums=1)
+        for frame in video:
+            y, state, stats = step(params, state, frame)
+    """
+
+    specs: Tuple[Any, ...]
+    in_shape: Tuple[int, int, int]
+    cfg: PipelineConfig
+
+    def init_state(self) -> List[Optional[L.CBLayerState]]:
+        states: List[Optional[L.CBLayerState]] = []
+        shape = self.in_shape
+        for spec, out_shape in zip(self.specs,
+                                   network.out_shapes(self.specs, self.in_shape)):
+            is_cb = isinstance(spec, (ConvSpec, PoolSpec)) and spec.use_cb
+            states.append(L.cb_layer_init(spec, shape, self.cfg) if is_cb
+                          else None)
+            shape = out_shape
+        return states
+
+    def apply(self, params: Sequence, state: Sequence, x: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, List, List[Dict[str, Any]]]:
+        """One frame through the CB network. Returns (y, state', stats)."""
+        new_state: List = []
+        stats: List[Dict[str, Any]] = []
+        for spec, p, st in zip(self.specs, params, state):
+            if isinstance(spec, ConvSpec):
+                if spec.use_cb:
+                    x, st, s = L.cb_conv_apply(p, st, x, spec, self.cfg)
+                else:
+                    x = network.dense_conv(x, p[0], p[1], spec,
+                                           jnp.dtype(self.cfg.compute_dtype))
+                    s = {}
+            elif isinstance(spec, PoolSpec):
+                if spec.use_cb:
+                    x, st, s = L.cb_pool_apply(st, x, spec, self.cfg)
+                else:
+                    x = network.dense_pool(x, spec)
+                    s = {}
+            elif isinstance(spec, UpsampleSpec):
+                x = network.upsample(x, spec)
+                s = {}
+            else:
+                raise TypeError(spec)
+            new_state.append(st)
+            stats.append(s)
+        return x, new_state, stats
+
+    def apply_dense(self, params: Sequence, x: jnp.ndarray) -> jnp.ndarray:
+        return network.dense_apply(self.specs, params, x, self.cfg)
+
+
+def convert(specs: Sequence, in_shape: Tuple[int, int, int],
+            cfg: Optional[PipelineConfig] = None,
+            thresholds: Optional[Sequence[float]] = None,
+            dense_layers: Sequence[int] = ()) -> CBNet:
+    """Convert a dense layer-spec chain into a change-based network.
+
+    Args:
+      specs: LayerSpec sequence (the dense model definition).
+      in_shape: (H, W, C) of the input frames.
+      cfg: pipeline config (tiles, dtypes, backend).
+      thresholds: optional per-CB-layer tau vector overriding spec thresholds
+        (one entry per conv/pool layer, in order) — the tuner's output.
+      dense_layers: indices (into specs) forced to run densely every frame
+        (the papers leave cheap layers dense when caching isn't worth it).
+    """
+    cfg = cfg or PipelineConfig()
+    if thresholds is not None:
+        n_cb = num_cb_layers(specs)
+        if len(thresholds) != n_cb:
+            raise ValueError(
+                f"got {len(thresholds)} thresholds for {n_cb} CB layers")
+    new_specs = []
+    ti = 0
+    for i, spec in enumerate(specs):
+        if isinstance(spec, (ConvSpec, PoolSpec)):
+            changes: Dict[str, Any] = {}
+            if thresholds is not None and spec.use_cb:
+                changes["threshold"] = float(thresholds[ti])
+                ti += 1
+            if i in dense_layers:
+                changes["use_cb"] = False
+            spec = dataclasses.replace(spec, **changes) if changes else spec
+        new_specs.append(spec)
+    return CBNet(specs=tuple(new_specs), in_shape=tuple(in_shape), cfg=cfg)
+
+
+def num_cb_layers(specs: Sequence) -> int:
+    return sum(1 for s in specs
+               if isinstance(s, (ConvSpec, PoolSpec)) and s.use_cb)
+
+
+# ------------------------- torch state_dict import --------------------------
+
+
+def import_torch_state_dict(specs: Sequence, state_dict: Dict[str, Any],
+                            conv_prefixes: Optional[Sequence[str]] = None
+                            ) -> List:
+    """Map a torch ``state_dict`` (OIHW conv weights) onto the spec chain.
+
+    Conv layers consume weight/bias pairs in order of their appearance in
+    ``state_dict`` (or explicitly via ``conv_prefixes``, e.g.
+    ``["features.0", "features.3"]``). Returns a params list aligned with
+    ``specs``. torch is imported lazily (CPU build available in this env).
+    """
+    import numpy as np
+
+    def to_np(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                          else t)
+
+    if conv_prefixes is None:
+        conv_prefixes = []
+        for k in state_dict:
+            if k.endswith(".weight") and to_np(state_dict[k]).ndim == 4:
+                conv_prefixes.append(k[: -len(".weight")])
+
+    params: List = []
+    it = iter(conv_prefixes)
+    for spec in specs:
+        if isinstance(spec, ConvSpec):
+            prefix = next(it)
+            w = to_np(state_dict[f"{prefix}.weight"])  # OIHW
+            if w.shape[2:] != tuple(spec.kernel) or w.shape[0] != spec.features:
+                raise ValueError(
+                    f"{prefix}: torch weight {w.shape} does not match spec "
+                    f"{spec}")
+            w = jnp.asarray(w.transpose(2, 3, 1, 0))   # OIHW -> HWIO
+            b_key = f"{prefix}.bias"
+            b = (jnp.asarray(to_np(state_dict[b_key]))
+                 if spec.use_bias and b_key in state_dict else None)
+            params.append((w, b))
+        else:
+            params.append(None)
+    return params

@@ -179,9 +179,11 @@ def cb_conv_step(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
             total_out=y.shape[0] * y.shape[1])
 
     # Stage 1: per-pixel change detection against the last accepted value.
-    diff = np.max(np.abs(x.astype(np.float64) - state.in_cache.astype(np.float64)),
+    # Detection runs in float32 — matching the TPU pipeline bit-for-bit so
+    # masks never diverge at the tau boundary (tau itself is rounded to f32).
+    diff = np.max(np.abs(x.astype(np.float32) - state.in_cache.astype(np.float32)),
                   axis=-1)
-    changed_in = diff > spec.threshold
+    changed_in = diff > np.float32(spec.threshold)
     in_cache = np.where(changed_in[..., None], x, state.in_cache)
 
     # Stage 2: receptive-field propagation to the changed-output map.
@@ -212,9 +214,9 @@ def cb_pool_step(x: np.ndarray, spec: PoolSpec, state: GoldenLayerState
             changed_out=y.shape[0] * y.shape[1],
             total_out=y.shape[0] * y.shape[1])
 
-    diff = np.max(np.abs(x.astype(np.float64) - state.in_cache.astype(np.float64)),
+    diff = np.max(np.abs(x.astype(np.float32) - state.in_cache.astype(np.float32)),
                   axis=-1)
-    changed_in = diff > spec.threshold
+    changed_in = diff > np.float32(spec.threshold)
     in_cache = np.where(changed_in[..., None], x, state.in_cache)
     changed_out = propagate_mask(changed_in, spec.window, spec.stride, (1, 1),
                                  spec.padding)

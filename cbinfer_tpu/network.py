@@ -1,0 +1,123 @@
+"""Sequential network IR utilities + dense baseline path (SURVEY.md C11).
+
+A network is a tuple of LayerSpecs (config.py) plus a params list (one entry
+per layer: (w, b) for conv, None otherwise). The dense path executes the
+same weights with XLA's native conv — the correctness oracle at tau=0 and
+the performance baseline the change-based path is measured against
+(reference: plain cuDNN forward, arXiv 1704.04313 §4).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import ConvSpec, PipelineConfig, PoolSpec, UpsampleSpec
+from .ops.geometry import conv_out_size
+
+
+def init_params(specs: Sequence, in_shape: Tuple[int, int, int],
+                rng: jax.Array, dtype=jnp.float32) -> List:
+    """He-normal conv weights, zero biases; shapes follow the spec chain."""
+    params = []
+    c = in_shape[2]
+    for spec in specs:
+        if isinstance(spec, ConvSpec):
+            kh, kw = spec.kernel
+            rng, k = jax.random.split(rng)
+            fan_in = kh * kw * c
+            w = (jax.random.normal(k, (kh, kw, c, spec.features), dtype)
+                 * math.sqrt(2.0 / fan_in))
+            b = jnp.zeros((spec.features,), dtype) if spec.use_bias else None
+            params.append((w, b))
+            c = spec.features
+        else:
+            params.append(None)
+    return params
+
+
+def out_shapes(specs: Sequence, in_shape: Tuple[int, int, int]
+               ) -> List[Tuple[int, int, int]]:
+    """Static shape chain: shape of each layer's OUTPUT."""
+    shapes = []
+    h, w, c = in_shape
+    for spec in specs:
+        if isinstance(spec, ConvSpec):
+            h = conv_out_size(h, spec.kernel[0], spec.stride[0],
+                              spec.dilation[0], spec.padding)
+            w = conv_out_size(w, spec.kernel[1], spec.stride[1],
+                              spec.dilation[1], spec.padding)
+            c = spec.features
+        elif isinstance(spec, PoolSpec):
+            h = conv_out_size(h, spec.window[0], spec.stride[0], 1, spec.padding)
+            w = conv_out_size(w, spec.window[1], spec.stride[1], 1, spec.padding)
+        elif isinstance(spec, UpsampleSpec):
+            h, w = h * spec.scale[0], w * spec.scale[1]
+        else:
+            raise TypeError(spec)
+        shapes.append((h, w, c))
+    return shapes
+
+
+def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+               spec: ConvSpec, compute_dtype=jnp.float32) -> jnp.ndarray:
+    """XLA-native conv on one HWC frame."""
+    y = lax.conv_general_dilated(
+        x[None].astype(compute_dtype), w.astype(compute_dtype),
+        window_strides=spec.stride, padding=spec.padding,
+        rhs_dilation=spec.dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)[0]
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    if spec.activation == "relu":
+        y = jnp.maximum(y, 0.0)
+    return y.astype(compute_dtype)
+
+
+def dense_pool(x: jnp.ndarray, spec: PoolSpec) -> jnp.ndarray:
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(*spec.window, 1),
+        window_strides=(*spec.stride, 1),
+        padding=spec.padding)
+
+
+def upsample(x: jnp.ndarray, spec: UpsampleSpec) -> jnp.ndarray:
+    if spec.method == "nearest":
+        return jnp.repeat(jnp.repeat(x, spec.scale[0], 0), spec.scale[1], 1)
+    h, w, _ = x.shape
+    return jax.image.resize(
+        x, (h * spec.scale[0], w * spec.scale[1], x.shape[2]), "bilinear")
+
+
+def dense_apply(specs: Sequence, params: Sequence, x: jnp.ndarray,
+                cfg: Optional[PipelineConfig] = None) -> jnp.ndarray:
+    """Full dense forward of one HWC frame (the baseline path)."""
+    compute_dtype = jnp.dtype(cfg.compute_dtype) if cfg else jnp.float32
+    for spec, p in zip(specs, params):
+        if isinstance(spec, ConvSpec):
+            x = dense_conv(x, p[0], p[1], spec, compute_dtype)
+        elif isinstance(spec, PoolSpec):
+            x = dense_pool(x, spec)
+        elif isinstance(spec, UpsampleSpec):
+            x = upsample(x, spec)
+        else:
+            raise TypeError(spec)
+    return x
+
+
+def dense_flops(specs: Sequence, in_shape: Tuple[int, int, int]) -> int:
+    """MAC*2 count of the dense forward (conv layers only)."""
+    total = 0
+    h, w, c = in_shape
+    for spec, shape in zip(specs, out_shapes(specs, in_shape)):
+        if isinstance(spec, ConvSpec):
+            kh, kw = spec.kernel
+            total += 2 * shape[0] * shape[1] * spec.features * kh * kw * c
+        h, w, c = shape
+    return total

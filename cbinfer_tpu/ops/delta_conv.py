@@ -1,0 +1,147 @@
+"""Stages C4-C6: gather -> delta-conv GEMM -> scatter (jnp/XLA backend).
+
+Reference realization (SURVEY.md C4-C6): three CUDA kernels — sparse im2col
+gather into an X matrix, cuBLAS SGEMM, and a scatter of result columns into
+the cached output map (arXiv 1704.04313 §3.3-3.5). TPU-native reformulation:
+the unit is an output TILE, the gathered operand is the tile's input window
+(incl. receptive-field halo), and the GEMM is expressed as k_h*k_w shifted
+matmuls over the compacted tile batch — each a (cap*th*tw, cin) x (cin, cout)
+contraction that maps directly onto the MXU. The same math runs inside the
+fused Pallas kernel (ops/pallas/delta_conv.py); this module is the XLA
+bring-up path and the numerical reference.
+
+The dense fallback (`dense_conv_shifted`) uses the identical shifted-matmul
+accumulation order so overflow frames stay numerically aligned with the
+tile path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .geometry import TileGeometry
+
+
+def pad_input(x: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
+    """Apply the layer's explicit zero padding once, before gather."""
+    return jnp.pad(x, ((g.pad_lo_h, g.pad_hi_h), (g.pad_lo_w, g.pad_hi_w),
+                       (0, 0)))
+
+
+def gather_windows(xp: jnp.ndarray, idx: jnp.ndarray, g: TileGeometry
+                   ) -> jnp.ndarray:
+    """C4: gather (capacity, win_h, win_w, cin) input windows at tile ids.
+
+    Sentinel ids (n_tiles) are clamped to tile 0 — their results are dropped
+    at scatter, so the gathered garbage is harmless.
+    """
+    safe = jnp.minimum(idx, g.n_tiles - 1)
+    ti = safe // g.tiles_w
+    tj = safe % g.tiles_w
+    sh, sw = g.stride
+
+    def one(i, j):
+        return lax.dynamic_slice(
+            xp, (i * g.th * sh, j * g.tw * sw, 0), (g.win_h, g.win_w, g.cin))
+
+    return jax.vmap(one)(ti, tj)
+
+
+def conv_tiles(windows: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
+               g: TileGeometry, activation: Optional[str],
+               compute_dtype=jnp.float32) -> jnp.ndarray:
+    """C5: batched tile conv as k^2 shifted MXU matmuls.
+
+    windows: (cap, win_h, win_w, cin) -> (cap, th, tw, cout).
+    Accumulates in fp32 regardless of compute dtype.
+    """
+    kh, kw = g.kernel
+    sh, sw = g.stride
+    dh, dw = g.dilation
+    cap = windows.shape[0]
+    cout = w.shape[-1]
+    wd = windows.astype(compute_dtype)
+    acc = jnp.zeros((cap * g.th * g.tw, cout), jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = lax.slice(
+                wd,
+                (0, dy * dh, dx * dw, 0),
+                (cap, dy * dh + (g.th - 1) * sh + 1,
+                 dx * dw + (g.tw - 1) * sw + 1, g.cin),
+                (1, sh, sw, 1),
+            ).reshape(cap * g.th * g.tw, g.cin)
+            acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+    if b is not None:
+        acc += b.astype(jnp.float32)
+    if activation == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    return acc.reshape(cap, g.th, g.tw, cout)
+
+
+def scatter_tiles(out_cache: jnp.ndarray, idx: jnp.ndarray,
+                  y_tiles: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
+    """C6: write computed tiles into the cached output map.
+
+    The output map is viewed tile-major (n_tiles, th, tw, c); sentinel ids
+    index one past the end and are dropped (mode='drop').
+    """
+    c = out_cache.shape[-1]
+    tiled = (out_cache
+             .reshape(g.tiles_h, g.th, g.tiles_w, g.tw, c)
+             .transpose(0, 2, 1, 3, 4)
+             .reshape(g.n_tiles, g.th, g.tw, c))
+    tiled = tiled.at[idx].set(y_tiles.astype(out_cache.dtype), mode="drop")
+    return (tiled
+            .reshape(g.tiles_h, g.tiles_w, g.th, g.tw, c)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(out_cache.shape))
+
+
+def delta_conv_jnp(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
+                   b: Optional[jnp.ndarray], out_cache: jnp.ndarray,
+                   g: TileGeometry, activation: Optional[str],
+                   compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Fused C4+C5+C6, jnp backend: returns the updated output cache."""
+    windows = gather_windows(xp, idx, g)
+    y_tiles = conv_tiles(windows, w, b, g, activation, compute_dtype)
+    return scatter_tiles(out_cache, idx, y_tiles, g)
+
+
+def dense_conv_shifted(xp: jnp.ndarray, w: jnp.ndarray,
+                       b: Optional[jnp.ndarray], g: TileGeometry,
+                       activation: Optional[str],
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Full-map conv with the tile path's exact accumulation order.
+
+    Used for the capacity-overflow dense fallback; value-exact vs the tile
+    path because fp32 accumulation visits (dy, dx) in the same order over
+    the same cin contractions.
+    """
+    kh, kw = g.kernel
+    sh, sw = g.stride
+    dh, dw = g.dilation
+    cout = w.shape[-1]
+    xd = xp.astype(compute_dtype)
+    acc = jnp.zeros((g.out_h * g.out_w, cout), jnp.float32)
+    for dy in range(kh):
+        for dx in range(kw):
+            patch = lax.slice(
+                xd,
+                (dy * dh, dx * dw, 0),
+                (dy * dh + (g.out_h - 1) * sh + 1,
+                 dx * dw + (g.out_w - 1) * sw + 1, g.cin),
+                (sh, sw, 1),
+            ).reshape(g.out_h * g.out_w, g.cin)
+            acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+    if b is not None:
+        acc += b.astype(jnp.float32)
+    if activation == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    return acc.reshape(g.out_h, g.out_w, cout)

@@ -1,0 +1,93 @@
+"""Tile/receptive-field geometry shared by all pipeline stages.
+
+Tiles are defined on the OUTPUT grid of each layer (SURVEY.md §7 design
+stance, refined): the unit of recompute is a (th, tw) block of output
+pixels. The input region feeding one output tile is the tile's receptive
+field: size ``(th-1)*stride + k_eff`` per dim, at offset
+``tile_origin * stride`` in the padded input. Because detection stays
+per-pixel, the output-tile mask derived here is the EXACT minimal tile set
+covering the per-pixel changed-output map — no input-side over-approximation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def conv_out_size(n: int, k: int, s: int, d: int, padding: str) -> int:
+    keff = (k - 1) * d + 1
+    return cdiv(n, s) if padding == "SAME" else (n - keff) // s + 1
+
+
+def same_pads(n: int, k: int, s: int, d: int) -> Tuple[int, int]:
+    keff = (k - 1) * d + 1
+    out = cdiv(n, s)
+    total = max(0, (out - 1) * s + keff - n)
+    lo = total // 2
+    return lo, total - lo
+
+
+@dataclasses.dataclass(frozen=True)
+class TileGeometry:
+    """Static geometry of one tiled layer, one spatial dim pair."""
+
+    in_h: int
+    in_w: int
+    cin: int
+    out_h: int
+    out_w: int
+    th: int          # tile height (output pixels)
+    tw: int
+    tiles_h: int     # tile grid dims
+    tiles_w: int
+    n_tiles: int
+    win_h: int       # gathered input window per tile (incl. halo)
+    win_w: int
+    pad_lo_h: int    # input padding (explicit, applied before gather)
+    pad_hi_h: int
+    pad_lo_w: int
+    pad_hi_w: int
+    stride: Tuple[int, int]
+    dilation: Tuple[int, int]
+    kernel: Tuple[int, int]
+
+
+def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
+                       padding: str, th: int, tw: int) -> TileGeometry:
+    H, W, C = in_shape
+    kh, kw = kernel
+    sh, sw = stride
+    dh, dw = dilation
+    Ho = conv_out_size(H, kh, sh, dh, padding)
+    Wo = conv_out_size(W, kw, sw, dw, padding)
+    th = min(th, Ho)
+    tw = min(tw, Wo)
+    if Ho % th or Wo % tw:
+        raise ValueError(
+            f"output dims ({Ho},{Wo}) must divide by tile ({th},{tw}); "
+            "choose input size / tile accordingly (internal padding TODO)")
+    if padding == "SAME":
+        plo_h, phi_h = same_pads(H, kh, sh, dh)
+        plo_w, phi_w = same_pads(W, kw, sw, dw)
+    else:
+        plo_h = phi_h = plo_w = phi_w = 0
+    keff_h = (kh - 1) * dh + 1
+    keff_w = (kw - 1) * dw + 1
+    win_h = (th - 1) * sh + keff_h
+    win_w = (tw - 1) * sw + keff_w
+    # ensure the last tile's window fits in the padded input
+    need_h = (Ho - th) * sh + win_h
+    need_w = (Wo - tw) * sw + win_w
+    phi_h = max(phi_h, need_h - H - plo_h)
+    phi_w = max(phi_w, need_w - W - plo_w)
+    return TileGeometry(
+        in_h=H, in_w=W, cin=C, out_h=Ho, out_w=Wo, th=th, tw=tw,
+        tiles_h=Ho // th, tiles_w=Wo // tw, n_tiles=(Ho // th) * (Wo // tw),
+        win_h=win_h, win_w=win_w,
+        pad_lo_h=plo_h, pad_hi_h=phi_h, pad_lo_w=plo_w, pad_hi_w=phi_w,
+        stride=(sh, sw), dilation=(dh, dw), kernel=(kh, kw))

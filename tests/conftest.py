@@ -6,11 +6,19 @@ XLA's host-platform device-count flag. Must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices. NOTE: this environment PRE-IMPORTS jax
+# before user code runs, so setting JAX_PLATFORMS via os.environ here is too
+# late — jax.config.update is the reliable override (backends are still
+# uninitialized at conftest time). XLA_FLAGS is read lazily at backend init,
+# so the env route still works for the device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
