@@ -51,22 +51,34 @@ class CBNet:
             shape = out_shape
         return states
 
-    def apply(self, params: Sequence, state: Sequence, x: jnp.ndarray
+    def apply(self, params: Sequence, state: Sequence, x: jnp.ndarray,
+              thresholds: Optional[jnp.ndarray] = None
               ) -> Tuple[jnp.ndarray, List, List[Dict[str, Any]]]:
-        """One frame through the CB network. Returns (y, state', stats)."""
+        """One frame through the CB network. Returns (y, state', stats).
+
+        ``thresholds``: optional (num_cb_layers,) array of runtime tau values
+        overriding the specs' static thresholds — used by the tuner so one
+        compiled graph serves every point of the sweep.
+        """
         new_state: List = []
         stats: List[Dict[str, Any]] = []
+        cb_i = 0
         for spec, p, st in zip(self.specs, params, state):
+            tau = None
+            if (thresholds is not None
+                    and isinstance(spec, (ConvSpec, PoolSpec)) and spec.use_cb):
+                tau = thresholds[cb_i]
+                cb_i += 1
             if isinstance(spec, ConvSpec):
                 if spec.use_cb:
-                    x, st, s = L.cb_conv_apply(p, st, x, spec, self.cfg)
+                    x, st, s = L.cb_conv_apply(p, st, x, spec, self.cfg, tau)
                 else:
                     x = network.dense_conv(x, p[0], p[1], spec,
                                            jnp.dtype(self.cfg.compute_dtype))
                     s = {}
             elif isinstance(spec, PoolSpec):
                 if spec.use_cb:
-                    x, st, s = L.cb_pool_apply(st, x, spec, self.cfg)
+                    x, st, s = L.cb_pool_apply(st, x, spec, self.cfg, tau)
                 else:
                     x = network.dense_pool(x, spec)
                     s = {}

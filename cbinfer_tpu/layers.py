@@ -70,29 +70,35 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
     g = _geometry(spec, in_shape, cfg)
     return CBLayerState(
         in_cache=jnp.full(in_shape, detect.COLD_START_FILL, dtype=dtype),
-        out_cache=jnp.zeros((g.out_h, g.out_w, cout), dtype=dtype),
+        out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout), dtype=dtype),
     )
 
 
 def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
-               cfg: PipelineConfig, tile_fn, dense_fn
+               cfg: PipelineConfig, tile_fn, dense_fn, tau=None
                ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any]]:
-    """Shared C1->C3 + overflow-cond skeleton for conv and pool layers."""
-    in_cache, changed = detect.detect_and_update(x, state.in_cache,
-                                                 spec.threshold)
+    """Shared C1->C3 + overflow-cond skeleton for conv and pool layers.
+
+    ``tau`` may be a traced scalar (threshold tuning sweeps thresholds as
+    runtime values — one compile serves the whole sweep); defaults to the
+    spec's static threshold.
+    """
+    if tau is None:
+        tau = spec.threshold
+    in_cache, changed = detect.detect_and_update(x, state.in_cache, tau)
     mask = detect.changed_tile_mask(changed, g)
     capacity = cfg.tile.capacity(g.n_tiles)
     comp = compact.compact_mask(mask, capacity)
 
     if capacity >= g.n_tiles:
-        out_cache = tile_fn(in_cache, comp.idx, state.out_cache)
+        out_cache = tile_fn(in_cache, comp.idx, comp.count, state.out_cache)
         overflow = jnp.zeros((), bool)
     else:
         out_cache = lax.cond(
             comp.overflow,
             lambda args: dense_fn(*args),
             lambda args: tile_fn(*args),
-            (in_cache, comp.idx, state.out_cache),
+            (in_cache, comp.idx, comp.count, state.out_cache),
         )
         overflow = comp.overflow
 
@@ -104,42 +110,46 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
         "overflow": overflow,
         "changed_pixels": jnp.sum(changed, dtype=jnp.int32),
     }
-    y = out_cache.astype(jnp.dtype(cfg.compute_dtype))
+    # caches are tile-grid padded; the layer's logical output is the crop
+    y = out_cache[:g.out_h, :g.out_w].astype(jnp.dtype(cfg.compute_dtype))
     return y, CBLayerState(in_cache=in_cache, out_cache=out_cache), stats
 
 
 def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                   state: CBLayerState, x: jnp.ndarray, spec: ConvSpec,
-                  cfg: PipelineConfig
+                  cfg: PipelineConfig, tau=None
                   ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any]]:
     """One frame through a change-based conv layer."""
     w, b = params
     g = _geometry(spec, x.shape, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    if cfg.backend == "pallas":
+    use_pallas = (cfg.backend == "pallas" and spec.dilation == (1, 1))
+    if use_pallas:
         from .ops.pallas.delta_conv import delta_conv_pallas
 
-        def tile_fn(in_cache, idx, out_cache):
+        def tile_fn(in_cache, idx, count, out_cache):
             return delta_conv_pallas(
                 pad_input(in_cache, g), idx, w, b, out_cache, g,
-                spec.activation, compute_dtype, interpret=cfg.interpret)
+                spec.activation, compute_dtype, count=count,
+                interpret=cfg.interpret)
     else:
-        def tile_fn(in_cache, idx, out_cache):
+        def tile_fn(in_cache, idx, count, out_cache):
+            del count  # jnp path relies on sentinel-drop instead
             return delta_conv_jnp(pad_input(in_cache, g), idx, w, b,
                                   out_cache, g, spec.activation, compute_dtype)
 
-    def dense_fn(in_cache, idx, out_cache):
-        del idx
+    def dense_fn(in_cache, idx, count, out_cache):
+        del idx, count
         y = dense_conv_shifted(pad_input(in_cache, g), w, b, g,
                                spec.activation, compute_dtype)
         return y.astype(out_cache.dtype)
 
-    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn)
+    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau)
 
 
 def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
-                  cfg: PipelineConfig
+                  cfg: PipelineConfig, tau=None
                   ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any]]:
     """One frame through a change-based max-pool layer."""
     g = _geometry(spec, x.shape, cfg)
@@ -152,15 +162,16 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
     if cfg.backend == "pallas":
         from .ops.pallas.delta_pool import delta_pool_pallas
 
-        def tile_fn(in_cache, idx, out_cache):
+        def tile_fn(in_cache, idx, count, out_cache):
             return delta_pool_pallas(pad_pool(in_cache), idx, out_cache, g,
-                                     interpret=cfg.interpret)
+                                     count=count, interpret=cfg.interpret)
     else:
-        def tile_fn(in_cache, idx, out_cache):
+        def tile_fn(in_cache, idx, count, out_cache):
+            del count
             return delta_pool_jnp(pad_pool(in_cache), idx, out_cache, g)
 
-    def dense_fn(in_cache, idx, out_cache):
-        del idx
+    def dense_fn(in_cache, idx, count, out_cache):
+        del idx, count
         return dense_pool(pad_pool(in_cache), g).astype(out_cache.dtype)
 
-    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn)
+    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau)

@@ -1,0 +1,129 @@
+"""Accuracy metrics + compute accounting (SURVEY.md C15).
+
+The reference evaluates mIoU (semantic segmentation / scene labeling) and
+PCK (pose keypoints) of the change-based network against the DENSE network's
+own outputs on the same video (arXiv 1808.05488 §V-VI) — the dense model is
+the ground truth, since CBinfer's contract is "approximate the dense net",
+not "be more accurate than it". Effective-FLOP accounting comes from the
+per-layer computed-tile counters the pipeline already returns.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .config import ConvSpec
+from .network import out_shapes
+
+
+# ------------------------------- accuracy -----------------------------------
+
+
+def miou(pred_logits: np.ndarray, ref_logits: np.ndarray,
+         num_classes: int) -> float:
+    """Mean IoU of argmax maps, CB vs dense. Accepts (..., H, W, C) logits."""
+    pred = np.argmax(pred_logits, axis=-1).reshape(-1)
+    ref = np.argmax(ref_logits, axis=-1).reshape(-1)
+    ious = []
+    for c in range(num_classes):
+        inter = np.sum((pred == c) & (ref == c))
+        union = np.sum((pred == c) | (ref == c))
+        if union > 0:
+            ious.append(inter / union)
+    return float(np.mean(ious)) if ious else 1.0
+
+
+def pixel_accuracy(pred_logits: np.ndarray, ref_logits: np.ndarray) -> float:
+    pred = np.argmax(pred_logits, axis=-1)
+    ref = np.argmax(ref_logits, axis=-1)
+    return float(np.mean(pred == ref))
+
+
+def keypoints_from_heatmaps(heatmaps: np.ndarray) -> np.ndarray:
+    """(H, W, K) heatmaps -> (K, 2) [row, col] argmax keypoints."""
+    H, W, K = heatmaps.shape
+    flat = heatmaps.reshape(H * W, K).argmax(axis=0)
+    return np.stack([flat // W, flat % W], axis=-1)
+
+
+def pck(pred_heatmaps: np.ndarray, ref_heatmaps: np.ndarray,
+        alpha: float = 0.05) -> float:
+    """PCK of CB keypoints vs dense keypoints.
+
+    A keypoint is 'correct' if within alpha * max(H, W) of the dense-model
+    keypoint. Accepts (H, W, K) or (T, H, W, K).
+    """
+    if pred_heatmaps.ndim == 4:
+        vals = [pck(p, r, alpha) for p, r in zip(pred_heatmaps, ref_heatmaps)]
+        return float(np.mean(vals))
+    H, W, _ = pred_heatmaps.shape
+    thresh = alpha * max(H, W)
+    kp_p = keypoints_from_heatmaps(pred_heatmaps)
+    kp_r = keypoints_from_heatmaps(ref_heatmaps)
+    dist = np.linalg.norm((kp_p - kp_r).astype(np.float64), axis=-1)
+    return float(np.mean(dist <= thresh))
+
+
+# --------------------------- compute accounting ------------------------------
+
+
+def layer_flops_per_tile(specs: Sequence, in_shape, tile_h: int, tile_w: int
+                         ) -> List[int]:
+    """MAC*2 per recomputed tile for each layer (0 for non-conv layers)."""
+    flops = []
+    shapes = [in_shape] + list(out_shapes(specs, in_shape))
+    for spec, ish in zip(specs, shapes[:-1]):
+        if isinstance(spec, ConvSpec):
+            kh, kw = spec.kernel
+            flops.append(2 * tile_h * tile_w * kh * kw * ish[2] * spec.features)
+        else:
+            flops.append(0)
+    return flops
+
+
+def effective_flops(stats: List[Dict], specs: Sequence, in_shape,
+                    tile_h: int, tile_w: int) -> Dict[str, float]:
+    """Aggregate per-frame effective FLOPs from scan stats.
+
+    stats: per-layer dicts with (T,) 'computed_tiles' arrays (runner.py).
+    Returns dense flops, mean effective flops, and the reduction factor —
+    the BASELINE.json ">=3x effective FLOP reduction" headline number.
+    """
+    per_tile = layer_flops_per_tile(specs, in_shape, tile_h, tile_w)
+    dense_total = 0
+    eff_total = 0.0
+    frames = None
+    for spec, s, ft in zip(specs, stats, per_tile):
+        if not s or ft == 0:
+            continue
+        computed = np.asarray(s["computed_tiles"], dtype=np.float64)
+        n_tiles = float(np.max(np.asarray(s["n_tiles"])))
+        frames = computed.shape[0] if computed.ndim else 1
+        dense_total += ft * n_tiles
+        eff_total += float(np.mean(computed)) * ft
+    return {
+        "dense_flops_per_frame": float(dense_total),
+        "effective_flops_per_frame": float(eff_total),
+        "flop_reduction": float(dense_total / max(eff_total, 1.0)),
+        "frames": frames,
+    }
+
+
+def change_rate_histogram(stats: List[Dict]) -> List[Dict[str, float]]:
+    """Per-layer mean/max changed-tile fraction over the clip [B:2]."""
+    out = []
+    for i, s in enumerate(stats):
+        if not s:
+            out.append({})
+            continue
+        computed = np.asarray(s["computed_tiles"], dtype=np.float64)
+        n = float(np.max(np.asarray(s["n_tiles"])))
+        out.append({
+            "layer": i,
+            "mean_fraction": float(np.mean(computed) / n),
+            "max_fraction": float(np.max(computed) / n),
+            "overflow_rate": float(np.mean(np.asarray(s["overflow"]))),
+        })
+    return out

@@ -27,3 +27,5 @@ def get_model(name: str, **kwargs) -> List:
 
 
 from . import scene  # noqa: E402,F401
+from . import seg    # noqa: E402,F401
+from . import pose   # noqa: E402,F401

@@ -128,20 +128,20 @@ def dense_conv_shifted(xp: jnp.ndarray, w: jnp.ndarray,
     dh, dw = g.dilation
     cout = w.shape[-1]
     xd = xp.astype(compute_dtype)
-    acc = jnp.zeros((g.out_h * g.out_w, cout), jnp.float32)
+    acc = jnp.zeros((g.out_h_pad * g.out_w_pad, cout), jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
             patch = lax.slice(
                 xd,
                 (dy * dh, dx * dw, 0),
-                (dy * dh + (g.out_h - 1) * sh + 1,
-                 dx * dw + (g.out_w - 1) * sw + 1, g.cin),
+                (dy * dh + (g.out_h_pad - 1) * sh + 1,
+                 dx * dw + (g.out_w_pad - 1) * sw + 1, g.cin),
                 (sh, sw, 1),
-            ).reshape(g.out_h * g.out_w, g.cin)
+            ).reshape(g.out_h_pad * g.out_w_pad, g.cin)
             acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
                            preferred_element_type=jnp.float32)
     if b is not None:
         acc += b.astype(jnp.float32)
     if activation == "relu":
         acc = jnp.maximum(acc, 0.0)
-    return acc.reshape(g.out_h, g.out_w, cout)
+    return acc.reshape(g.out_h_pad, g.out_w_pad, cout)

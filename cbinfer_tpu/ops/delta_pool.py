@@ -50,8 +50,8 @@ def dense_pool(xp: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
             patch = lax.slice(
                 xp,
                 (dy, dx, 0),
-                (dy + (g.out_h - 1) * sh + 1, dx + (g.out_w - 1) * sw + 1,
-                 xp.shape[-1]),
+                (dy + (g.out_h_pad - 1) * sh + 1,
+                 dx + (g.out_w_pad - 1) * sw + 1, xp.shape[-1]),
                 (sh, sw, 1))
             y = patch if y is None else jnp.maximum(y, patch)
     return y

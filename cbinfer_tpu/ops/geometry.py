@@ -39,8 +39,10 @@ class TileGeometry:
     in_h: int
     in_w: int
     cin: int
-    out_h: int
+    out_h: int       # logical output dims
     out_w: int
+    out_h_pad: int   # tile-grid-padded output dims (caches use these; the
+    out_w_pad: int   # layer returns the [:out_h, :out_w] crop)
     th: int          # tile height (output pixels)
     tw: int
     tiles_h: int     # tile grid dims
@@ -67,10 +69,12 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
     Wo = conv_out_size(W, kw, sw, dw, padding)
     th = min(th, Ho)
     tw = min(tw, Wo)
-    if Ho % th or Wo % tw:
-        raise ValueError(
-            f"output dims ({Ho},{Wo}) must divide by tile ({th},{tw}); "
-            "choose input size / tile accordingly (internal padding TODO)")
+    # Tile grid rounds UP: edge tiles that overhang the logical output are
+    # computed on zero-padded input and cropped away by the layer. Costs at
+    # most one extra tile row/col of compute; keeps shapes static and aligned.
+    tiles_h = cdiv(Ho, th)
+    tiles_w = cdiv(Wo, tw)
+    Hop, Wop = tiles_h * th, tiles_w * tw
     if padding == "SAME":
         plo_h, phi_h = same_pads(H, kh, sh, dh)
         plo_w, phi_w = same_pads(W, kw, sw, dw)
@@ -81,13 +85,14 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
     win_h = (th - 1) * sh + keff_h
     win_w = (tw - 1) * sw + keff_w
     # ensure the last tile's window fits in the padded input
-    need_h = (Ho - th) * sh + win_h
-    need_w = (Wo - tw) * sw + win_w
+    need_h = (Hop - th) * sh + win_h
+    need_w = (Wop - tw) * sw + win_w
     phi_h = max(phi_h, need_h - H - plo_h)
     phi_w = max(phi_w, need_w - W - plo_w)
     return TileGeometry(
-        in_h=H, in_w=W, cin=C, out_h=Ho, out_w=Wo, th=th, tw=tw,
-        tiles_h=Ho // th, tiles_w=Wo // tw, n_tiles=(Ho // th) * (Wo // tw),
+        in_h=H, in_w=W, cin=C, out_h=Ho, out_w=Wo, out_h_pad=Hop,
+        out_w_pad=Wop, th=th, tw=tw,
+        tiles_h=tiles_h, tiles_w=tiles_w, n_tiles=tiles_h * tiles_w,
         win_h=win_h, win_w=win_w,
         pad_lo_h=plo_h, pad_hi_h=phi_h, pad_lo_w=plo_w, pad_hi_w=phi_w,
         stride=(sh, sw), dilation=(dh, dw), kernel=(kh, kw))

@@ -1,0 +1,180 @@
+"""Fused gather -> delta-conv GEMM -> scatter Pallas TPU kernel (C4+C5+C6).
+
+The reference runs three separate CUDA kernels + a cuBLAS call per layer per
+frame (sparse im2col gather, SGEMM, scatter — arXiv 1704.04313 §3.3-3.5).
+The TPU-native shape is ONE kernel (SURVEY.md §7 M2): scalar-prefetched
+changed-tile indices drive data-dependent async DMA of each tile's input
+window (incl. receptive-field halo) from the HBM-resident activation cache
+into VMEM, the tile conv runs as k_h*k_w shifted MXU matmuls, and the result
+tile is DMA-scattered into the output cache, which is input/output-aliased
+(donated) so unchanged tiles are never touched — no full-map traffic.
+
+Pipelining: input DMAs are double-buffered one tile ahead of compute; output
+DMAs are double-buffered one tile behind. Weights live in VMEM for the whole
+kernel ((kh*kw*cin)*cout * 4B; fits for all model-zoo layers).
+
+Restrictions (fall back to the jnp path otherwise, handled by layers.py):
+dilation == 1. Strided convs are supported via strided in-VMEM slicing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import TileGeometry
+
+
+def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
+            xp_ref, w_ref, b_ref,      # inputs (HBM/ANY, VMEM, VMEM)
+            out_in_ref,                # aliased input view of the out buffer
+            out_ref,                   # output (HBM/ANY, aliased to out_in)
+            win_buf, y_buf, in_sems, out_sems,  # scratch
+            *, g: TileGeometry, cout: int, activation: Optional[str],
+            compute_dtype):
+    del out_in_ref  # same memory as out_ref; all access goes through out_ref
+    kh, kw = g.kernel
+    sh, sw = g.stride
+    m = m_ref[0]
+
+    def in_copy(slot, i):
+        t = idx_ref[i]
+        ti = t // g.tiles_w
+        tj = t - ti * g.tiles_w
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(ti * g.th * sh, g.win_h),
+                      pl.ds(tj * g.tw * sw, g.win_w), :],
+            win_buf.at[slot],
+            in_sems.at[slot])
+
+    def out_copy(slot, i):
+        t = idx_ref[i]
+        ti = t // g.tiles_w
+        tj = t - ti * g.tiles_w
+        return pltpu.make_async_copy(
+            y_buf.at[slot],
+            out_ref.at[pl.ds(ti * g.th, g.th), pl.ds(tj * g.tw, g.tw), :],
+            out_sems.at[slot])
+
+    @pl.when(m > 0)
+    def _():
+        in_copy(0, 0).start()
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+
+        # prefetch next tile's window while computing this one
+        @pl.when(i + 1 < m)
+        def _():
+            in_copy(1 - slot, i + 1).start()
+
+        in_copy(slot, i).wait()
+
+        win = win_buf[slot].astype(compute_dtype)
+        acc = jnp.zeros((g.th * g.tw, cout), jnp.float32)
+        for dy in range(kh):
+            for dx in range(kw):
+                patch = lax.slice(
+                    win,
+                    (dy, dx, 0),
+                    (dy + (g.th - 1) * sh + 1, dx + (g.tw - 1) * sw + 1,
+                     g.cin),
+                    (sh, sw, 1),
+                ).reshape(g.th * g.tw, g.cin)
+                acc = acc + jnp.dot(patch, w_ref[dy, dx],
+                                    preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0]
+        if activation == "relu":
+            acc = jnp.maximum(acc, 0.0)
+
+        # the out DMA issued 2 iterations ago used this slot; drain it
+        # before overwriting y_buf[slot]
+        @pl.when(i >= 2)
+        def _():
+            out_copy(slot, i - 2).wait()
+
+        y_buf[slot] = acc.reshape(g.th, g.tw, cout).astype(y_buf.dtype)
+        out_copy(slot, i).start()
+
+    lax.fori_loop(0, m, body, None)
+
+    # drain outstanding output DMAs
+    @pl.when(m >= 2)
+    def _():
+        out_copy(lax.rem(m, 2), m - 2).wait()
+
+    @pl.when(m >= 1)
+    def _():
+        out_copy(lax.rem(m - 1, 2), m - 1).wait()
+
+
+def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
+                      b: Optional[jnp.ndarray], out_cache: jnp.ndarray,
+                      g: TileGeometry, activation: Optional[str],
+                      compute_dtype=jnp.float32, *, count: jnp.ndarray = None,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused C4+C5+C6. Args mirror delta_conv_jnp plus the true tile count.
+
+    xp: (Hp, Wp, cin) padded input cache; idx: (capacity,) changed-tile ids
+    (sentinel-padded); count: () int32 number of valid entries (defaults to
+    capacity); out_cache: (out_h_pad, out_w_pad, cout), DONATED and aliased
+    into the result — unchanged tiles are never copied.
+    """
+    if g.dilation != (1, 1):
+        raise NotImplementedError("pallas delta-conv requires dilation=1")
+    kh, kw = g.kernel
+    cout = w.shape[-1]
+    capacity = idx.shape[0]
+    if count is None:
+        count = jnp.asarray(capacity, jnp.int32)
+    if b is None:
+        b = jnp.zeros((cout,), w.dtype)
+
+    kern = functools.partial(
+        _kernel, g=g, cout=cout, activation=activation,
+        compute_dtype=compute_dtype)
+
+    flops_per_tile = 2 * g.th * g.tw * kh * kw * g.cin * cout
+    cache_dtype = out_cache.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # weights
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, cout)
+            pl.BlockSpec(memory_space=pl.ANY),       # out_cache (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, g.win_h, g.win_w, g.cin), xp.dtype),
+            pltpu.VMEM((2, g.th, g.tw, cout), cache_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(out_cache.shape, cache_dtype),
+        input_output_aliases={5: 0},  # out_cache (3rd tensor arg after 2
+                                      # scalar-prefetch args) -> output 0
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_tile) * capacity,
+            bytes_accessed=(capacity
+                            * (g.win_h * g.win_w * g.cin
+                               + g.th * g.tw * cout) * 4
+                            + w.size * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(idx, count.reshape(1), xp, w.astype(compute_dtype),
+      b.reshape(1, cout).astype(jnp.float32), out_cache)

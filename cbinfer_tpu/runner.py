@@ -1,0 +1,71 @@
+"""Streaming video runner (SURVEY.md C14, configs[4] of BASELINE.json).
+
+The reference loops over decoded frames in Python, launching ~5 CUDA kernels
+per layer per frame ([repo-recall]). TPU-native: the whole video is a single
+``lax.scan`` over the frame axis with the per-layer caches as a DONATED
+carry — zero host round-trips per frame, O(1) memory in video length
+(SURVEY.md §5.7: temporal streaming is this framework's "long-context"
+story). Multi-stream batching stacks an outer vmap; sharding over a device
+mesh lives in parallel/streams.py.
+
+For live sources (frames arriving one at a time) use ``FrameStepper``, which
+jits a single donated-carry step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .convert import CBNet
+
+
+def scan_video(net: CBNet, params, frames: jnp.ndarray,
+               state: Optional[List] = None, collect_stats: bool = True,
+               thresholds: Optional[jnp.ndarray] = None, unroll: int = 1):
+    """Run a (T, H, W, C) clip through the CB net as one scan.
+
+    Returns (outputs (T, ...), final_state, stats) where stats is a per-layer
+    dict of (T,)-shaped counters (changed/computed tiles, overflow) — the
+    always-on observability channel (SURVEY.md §5.1). ``thresholds`` is the
+    optional runtime tau vector (see CBNet.apply).
+    """
+    if state is None:
+        state = net.init_state()
+
+    def step(carry, x):
+        y, new_carry, stats = net.apply(params, carry, x, thresholds)
+        if not collect_stats:
+            stats = []
+        return new_carry, (y, stats)
+
+    final_state, (ys, stats) = lax.scan(step, state, frames, unroll=unroll)
+    return ys, final_state, stats
+
+
+def scan_video_jit(net: CBNet):
+    """Jitted scan_video with donated state (caches updated in place)."""
+    return jax.jit(
+        lambda params, frames, state: scan_video(net, params, frames, state),
+        donate_argnums=(2,))
+
+
+class FrameStepper:
+    """Single-frame streaming interface with donated carry (live sources)."""
+
+    def __init__(self, net: CBNet, params):
+        self._net = net
+        self._params = params
+        self._state = net.init_state()
+        self._step = jax.jit(net.apply, donate_argnums=(1,))
+
+    def reset(self):
+        self._state = self._net.init_state()
+
+    def __call__(self, frame) -> Tuple[jnp.ndarray, List[Dict[str, Any]]]:
+        y, self._state, stats = self._step(self._params, self._state,
+                                           jnp.asarray(frame))
+        return y, stats

@@ -1,0 +1,124 @@
+"""Pallas kernel correctness vs jnp backend + golden (SURVEY.md §4 test 1).
+
+Runs in interpreter mode on CPU so CI never needs the TPU; the same code
+compiles with Mosaic on device (exercised by bench / TPU smoke scripts).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cbinfer_tpu import golden
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, TileConfig
+from cbinfer_tpu.layers import cb_conv_apply, cb_layer_init, cb_pool_apply
+from cbinfer_tpu.ops.geometry import conv_tile_geometry
+from cbinfer_tpu.ops.compact import compact_mask
+from cbinfer_tpu.ops.delta_conv import delta_conv_jnp, pad_input
+from cbinfer_tpu.ops.pallas.delta_conv import delta_conv_pallas
+from cbinfer_tpu.ops.pallas.delta_pool import delta_pool_pallas
+from cbinfer_tpu.ops.delta_pool import delta_pool_jnp
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+
+def _pallas_cfg(th=8, tw=8, cap=1.0):
+    return PipelineConfig(tile=TileConfig(tile_h=th, tile_w=tw,
+                                          capacity_fraction=cap),
+                          backend="pallas", interpret=True)
+
+
+@pytest.mark.parametrize("stride,k,cin,cout", [
+    ((1, 1), 3, 8, 16),
+    ((1, 1), 1, 8, 8),
+    ((2, 2), 3, 8, 16),
+    ((1, 1), 5, 4, 8),
+])
+def test_delta_conv_pallas_matches_jnp(stride, k, cin, cout):
+    rng = np.random.default_rng(0)
+    H, W = 32, 48
+    g = conv_tile_geometry((H, W, cin), (k, k), stride, (1, 1), "SAME", 8, 8)
+    xp = jnp.asarray(rng.standard_normal(
+        (H + g.pad_lo_h + g.pad_hi_h, W + g.pad_lo_w + g.pad_hi_w, cin)
+    ).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.2)
+    b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
+    out0 = jnp.asarray(rng.standard_normal(
+        (g.out_h_pad, g.out_w_pad, cout)).astype(np.float32))
+    # a strict subset of tiles, unordered coverage of edges
+    mask = np.zeros((g.tiles_h, g.tiles_w), bool)
+    mask.flat[[0, 3, g.n_tiles - 1, g.n_tiles // 2]] = True
+    comp = compact_mask(jnp.asarray(mask), g.n_tiles)
+
+    y_ref = delta_conv_jnp(xp, comp.idx, w, b, out0, g, "relu")
+    y_pal = delta_conv_pallas(xp, comp.idx, w, b, out0, g, "relu",
+                              count=comp.count, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=1e-5)
+    # untouched tiles must be bit-identical to the original cache
+    untouched = ~mask
+    ref_tiled = np.asarray(y_pal).reshape(g.tiles_h, g.th, g.tiles_w, g.tw,
+                                          cout).transpose(0, 2, 1, 3, 4)
+    out0_tiled = np.asarray(out0).reshape(g.tiles_h, g.th, g.tiles_w, g.tw,
+                                          cout).transpose(0, 2, 1, 3, 4)
+    np.testing.assert_array_equal(ref_tiled[untouched], out0_tiled[untouched])
+
+
+def test_delta_conv_pallas_count_zero_is_noop():
+    rng = np.random.default_rng(1)
+    g = conv_tile_geometry((16, 16, 8), (3, 3), (1, 1), (1, 1), "SAME", 8, 8)
+    xp = jnp.asarray(rng.standard_normal((18, 18, 8)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32))
+    out0 = jnp.asarray(rng.standard_normal((16, 16, 8)).astype(np.float32))
+    idx = jnp.full((4,), g.n_tiles, jnp.int32)
+    y = delta_conv_pallas(xp, idx, w, None, out0, g, None,
+                          count=jnp.asarray(0, jnp.int32), interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(out0))
+
+
+def test_delta_pool_pallas_matches_jnp():
+    rng = np.random.default_rng(2)
+    H, W, C = 32, 48, 8
+    g = conv_tile_geometry((H, W, C), (2, 2), (2, 2), (1, 1), "VALID", 8, 8)
+    xp = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
+    out0 = jnp.asarray(rng.standard_normal(
+        (g.out_h_pad, g.out_w_pad, C)).astype(np.float32))
+    mask = np.zeros((g.tiles_h, g.tiles_w), bool)
+    mask.flat[[1, g.n_tiles - 1]] = True
+    comp = compact_mask(jnp.asarray(mask), g.n_tiles)
+    y_ref = delta_pool_jnp(xp, comp.idx, out0, g)
+    y_pal = delta_pool_pallas(xp, comp.idx, out0, g, count=comp.count,
+                              interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_pal), np.asarray(y_ref))
+
+
+def test_pallas_backend_layer_matches_golden():
+    """Whole CB conv layer with backend='pallas' (interpret) vs golden."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.2
+    b = rng.standard_normal((8,)).astype(np.float32) * 0.1
+    spec = ConvSpec(features=8, threshold=0.02)
+    cfg = _pallas_cfg()
+    H, W = 32, 48
+    video = SpriteVideo(SpriteVideoConfig(height=H, width=W, n_sprites=2,
+                                          sprite_size=6, noise_std=0.004,
+                                          seed=4))
+    jst = cb_layer_init(spec, (H, W, 3), cfg)
+    gst = golden.GoldenLayerState()
+    step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
+    for frame in video.frames(4):
+        yj, jst, stats = step(jst, jnp.asarray(frame))
+        yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
+        np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
+
+
+def test_pallas_backend_pool_layer_matches_golden():
+    spec = PoolSpec(window=(2, 2), stride=(2, 2), threshold=0.03)
+    cfg = _pallas_cfg()
+    video = SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=5))
+    jst = cb_layer_init(spec, (32, 48, 3), cfg)
+    gst = golden.GoldenLayerState()
+    step = jax.jit(lambda s, x: cb_pool_apply(s, x, spec, cfg))
+    for frame in video.frames(4):
+        yj, jst, _ = step(jst, jnp.asarray(frame))
+        yg, gst = golden.cb_pool_step(frame, spec, gst)
+        np.testing.assert_allclose(np.asarray(yj), yg, atol=1e-6)

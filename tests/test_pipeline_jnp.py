@@ -182,3 +182,22 @@ def test_converter_threshold_binding_and_dense_layers():
     assert state[2] is None  # dense layer holds no cache
     with pytest.raises(ValueError):
         convert(specs, (16, 16, 3), _cfg(), thresholds=[0.1])
+
+
+def test_non_divisible_output_dims_internal_padding():
+    """720p-style non-divisible dims: tile grid rounds up, values match golden."""
+    rng = np.random.default_rng(11)
+    w, b, _ = _rand_conv(rng, 3, 8)
+    spec = ConvSpec(features=8, threshold=0.02)
+    cfg = _cfg(th=8, tw=8)
+    H, W = 36, 52  # 36/8, 52/8 not integral
+    video = SpriteVideo(SpriteVideoConfig(height=H, width=W, n_sprites=2,
+                                          sprite_size=6, seed=12))
+    jst = cb_layer_init(spec, (H, W, 3), cfg)
+    gst = golden.GoldenLayerState()
+    step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
+    for frame in video.frames(4):
+        yj, jst, _ = step(jst, jnp.asarray(frame))
+        yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
+        assert yj.shape == yg.shape
+        np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)

@@ -1,0 +1,94 @@
+"""Streaming/state tests (SURVEY.md §4 test 4) + metrics sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, TileConfig
+from cbinfer_tpu.convert import convert
+from cbinfer_tpu.metrics import (change_rate_histogram, effective_flops,
+                                 miou, pck)
+from cbinfer_tpu.network import init_params
+from cbinfer_tpu.runner import FrameStepper, scan_video, scan_video_jit
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+
+def _net(h=32, w=48, tau=0.02):
+    specs = [
+        ConvSpec(features=8, threshold=tau),
+        PoolSpec(threshold=tau),
+        ConvSpec(features=8, threshold=tau),
+        ConvSpec(features=5, kernel=(1, 1), activation=None, threshold=tau),
+    ]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=4, tile_w=4))
+    net = convert(specs, (h, w, 3), cfg)
+    params = init_params(specs, (h, w, 3), jax.random.PRNGKey(1))
+    return net, params, specs
+
+
+def test_scan_equals_python_loop():
+    net, params, _ = _net()
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, seed=0)).clip(6))
+    ys_scan, final_state, stats = scan_video(net, params, clip)
+    # python loop of jitted steps
+    state = net.init_state()
+    step = jax.jit(net.apply)
+    for t in range(6):
+        y, state, _ = step(params, state, clip[t])
+        np.testing.assert_allclose(np.asarray(ys_scan[t]), np.asarray(y),
+                                   atol=1e-6)
+    # final caches identical
+    for a, b in zip(jax.tree.leaves(final_state), jax.tree.leaves(state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_scan_jit_with_donation_runs_twice():
+    """State donation must not corrupt subsequent runs (fresh state each)."""
+    net, params, _ = _net()
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, seed=1)).clip(4))
+    run = scan_video_jit(net)
+    y1, _, _ = run(params, clip, net.init_state())
+    y2, _, _ = run(params, clip, net.init_state())
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_frame_stepper_matches_scan():
+    net, params, _ = _net()
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=2)).clip(5)
+    ys_scan, _, _ = scan_video(net, params, jnp.asarray(clip))
+    stepper = FrameStepper(net, params)
+    for t in range(5):
+        y, _ = stepper(clip[t])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ys_scan[t]),
+                                   atol=1e-6)
+    stepper.reset()
+    y0, _ = stepper(clip[0])
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(ys_scan[0]),
+                               atol=1e-6)
+
+
+def test_effective_flops_and_change_rates():
+    net, params, specs = _net(tau=0.03)
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, n_sprites=1, sprite_size=6, seed=3)).clip(8))
+    _, _, stats = scan_video(net, params, clip)
+    ef = effective_flops(stats, net.specs, (32, 48, 3), 4, 4)
+    assert ef["dense_flops_per_frame"] > 0
+    # frame 0 is dense, later frames sparse -> reduction must exceed 1
+    assert ef["flop_reduction"] > 1.0
+    hist = change_rate_histogram(stats)
+    assert hist[0]["max_fraction"] == 1.0  # cold start frame
+    assert 0 < hist[0]["mean_fraction"] < 1.0
+
+
+def test_miou_pck_self_identity():
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((16, 16, 5)).astype(np.float32)
+    assert miou(logits, logits, 5) == 1.0
+    hm = rng.standard_normal((32, 32, 7)).astype(np.float32)
+    assert pck(hm, hm) == 1.0
+    # a perturbation that moves argmaxes must reduce both
+    logits2 = logits + rng.standard_normal(logits.shape).astype(np.float32)
+    assert miou(logits, logits2, 5) < 1.0

@@ -1,0 +1,65 @@
+"""Threshold auto-tuner tests (SURVEY.md C13, §4 test 5 / configs[3])."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, TileConfig
+from cbinfer_tpu.convert import convert
+from cbinfer_tpu.metrics import miou
+from cbinfer_tpu.network import init_params
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.tuner import tune
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+
+def _setup():
+    specs = [
+        ConvSpec(features=8, threshold=0.0),
+        PoolSpec(threshold=0.0),
+        ConvSpec(features=8, threshold=0.0),
+        ConvSpec(features=5, kernel=(1, 1), activation=None, threshold=0.0),
+    ]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=4, tile_w=4))
+    net = convert(specs, (32, 48, 3), cfg)
+    params = init_params(specs, (32, 48, 3), jax.random.PRNGKey(2))
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                         sprite_size=8, noise_std=0.01,
+                                         seed=4)).clip(8)
+    return net, params, clip
+
+
+def test_runtime_thresholds_match_static():
+    """thresholds=vector must equal the same taus baked into the specs."""
+    net, params, clip = _setup()
+    taus = [0.03, 0.05, 0.02, 0.04]
+    ys_dyn, _, _ = scan_video(net, params, jnp.asarray(clip),
+                              thresholds=jnp.asarray(taus, jnp.float32))
+    net_static = convert(net.specs, net.in_shape, net.cfg, thresholds=taus)
+    ys_sta, _, _ = scan_video(net_static, params, jnp.asarray(clip))
+    np.testing.assert_array_equal(np.asarray(ys_dyn), np.asarray(ys_sta))
+
+
+def test_tune_produces_monotone_pareto():
+    net, params, clip = _setup()
+    metric = functools.partial(miou, num_classes=5)
+    res = tune(net, params, clip, metric,
+               tau_grid=(0.02, 0.05, 0.1, 0.3),
+               budgets=(0.0, 0.05, 0.3), budget=0.05)
+    assert len(res.thresholds) == 4
+    assert all(t >= 0 for t in res.thresholds)
+    # tighter budget => metric at least as high
+    ms = [p["metric"] for p in sorted(res.pareto, key=lambda p: p["budget"])]
+    assert ms[0] >= ms[-1] - 1e-9
+    # zero budget keeps the metric perfect (base_tau=0 is exact)
+    p0 = min(res.pareto, key=lambda p: p["budget"])
+    assert p0["metric"] == 1.0
+    # sensitivity curves exist for every layer and degrade with tau
+    for l, curve in res.sensitivity.items():
+        taus = [t for t, _ in curve]
+        assert taus == sorted(taus)
+    # the selected operating point must respect the budget on calib data
+    assert 1.0 - res.metric <= 0.05 + 1e-9
+    assert res.flop_reduction >= 1.0
