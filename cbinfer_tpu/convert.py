@@ -63,6 +63,7 @@ class CBNet:
         new_state: List = []
         stats: List[Dict[str, Any]] = []
         cb_i = 0
+        hint = None  # dirty hint chained between CB layers (layers.py doc)
         for spec, p, st in zip(self.specs, params, state):
             tau = None
             if (thresholds is not None
@@ -71,20 +72,22 @@ class CBNet:
                 cb_i += 1
             if isinstance(spec, ConvSpec):
                 if spec.use_cb:
-                    x, st, s = L.cb_conv_apply(p, st, x, spec, self.cfg, tau)
+                    x, st, s, hint = L.cb_conv_apply(p, st, x, spec, self.cfg,
+                                                     tau, hint)
                 else:
                     x = network.dense_conv(x, p[0], p[1], spec,
                                            jnp.dtype(self.cfg.compute_dtype))
-                    s = {}
+                    s, hint = {}, None
             elif isinstance(spec, PoolSpec):
                 if spec.use_cb:
-                    x, st, s = L.cb_pool_apply(st, x, spec, self.cfg, tau)
+                    x, st, s, hint = L.cb_pool_apply(st, x, spec, self.cfg,
+                                                     tau, hint)
                 else:
                     x = network.dense_pool(x, spec)
-                    s = {}
+                    s, hint = {}, None
             elif isinstance(spec, UpsampleSpec):
                 x = network.upsample(x, spec)
-                s = {}
+                s, hint = {}, None
             else:
                 raise TypeError(spec)
             new_state.append(st)

@@ -16,11 +16,23 @@ Capacity overflow: if more than ``capacity`` tiles changed, the layer takes a
 full dense recompute branch (lax.cond). By the out_cache == f(in_cache)
 invariant (golden.py doc) this is VALUE-EXACT, not an approximation — it
 only spends more compute.
+
+Dirty-hint chaining (TPU-native refinement, no reference equivalent): a pixel
+whose diff exceeded tau last frame was ACCEPTED then (diff now 0), and a
+pixel the producer layer did not recompute is bit-identical to last frame —
+so only pixels inside the producer's recomputed tiles can be changed now.
+Each layer therefore emits a conservative tile mask over its output (the
+"dirty hint", on a fixed HINT_TILE grid), and the next layer's Pallas
+detection kernel reads/updates ONLY hinted tiles, making detection cost
+proportional to the change rate instead of the frame area. Layers with no
+hint (layer 0, after dense/upsample layers) fall back to full-map detection.
+The jnp backend computes hints but detects full-map (XLA cannot skip reads
+data-dependently); values are identical either way.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,15 +43,21 @@ from .config import ConvSpec, PipelineConfig, PoolSpec
 from .ops import compact, detect
 from .ops.delta_conv import (delta_conv_jnp, dense_conv_shifted, pad_input)
 from .ops.delta_pool import delta_pool_jnp, dense_pool
-from .ops.geometry import TileGeometry, conv_tile_geometry
+from .ops.geometry import TileGeometry, cdiv, conv_tile_geometry
 
 NEG_FILL = -3.0e38  # SAME-padding fill for max pooling (finite "-inf")
+HINT_TILE = 8       # fixed tile size of inter-layer dirty hints
 
 
 @struct.dataclass
 class CBLayerState:
     in_cache: jnp.ndarray   # (H, W, Cin)  last accepted input
-    out_cache: jnp.ndarray  # (Ho, Wo, Cout) cached output
+    out_cache: jnp.ndarray  # (Ho_pad, Wo_pad, Cout) cached output
+
+
+class DirtyHint(NamedTuple):
+    """Conservative changed-region mask over a tensor, HINT_TILE granularity."""
+    mask: jnp.ndarray  # (ceil(H/8), ceil(W/8)) bool
 
 
 def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
@@ -50,16 +68,6 @@ def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
                                   cfg.tile.tile_h, cfg.tile.tile_w)
     return conv_tile_geometry(in_shape, spec.window, spec.stride, (1, 1),
                               spec.padding, cfg.tile.tile_h, cfg.tile.tile_w)
-
-
-def conv_out_shape(spec: ConvSpec, in_shape, cfg: PipelineConfig):
-    g = _geometry(spec, in_shape, cfg)
-    return (g.out_h, g.out_w, spec.features)
-
-
-def pool_out_shape(spec: PoolSpec, in_shape, cfg: PipelineConfig):
-    g = _geometry(spec, in_shape, cfg)
-    return (g.out_h, g.out_w, in_shape[2])
 
 
 def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
@@ -74,9 +82,77 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
     )
 
 
+# ----------------------------- dirty hints ----------------------------------
+
+
+def _out_hint(tile_mask: jnp.ndarray, overflow, g: TileGeometry) -> DirtyHint:
+    """Map this layer's changed-output-tile mask onto the fixed hint grid of
+    the CROPPED output. Overflow => dense fallback recomputed everything."""
+    hh, hw = cdiv(g.out_h, HINT_TILE), cdiv(g.out_w, HINT_TILE)
+    if g.th % HINT_TILE == 0 and g.tw % HINT_TILE == 0:
+        m = jnp.repeat(jnp.repeat(tile_mask, g.th // HINT_TILE, 0),
+                       g.tw // HINT_TILE, 1)[:hh, :hw]
+    else:
+        # general path: via pixel space (small bool map)
+        pix = jnp.repeat(jnp.repeat(tile_mask, g.th, 0), g.tw, 1)
+        pix = pix[:g.out_h, :g.out_w]
+        m = lax.reduce_window(
+            pix, False, jnp.logical_or,
+            window_dimensions=(HINT_TILE, HINT_TILE),
+            window_strides=(HINT_TILE, HINT_TILE),
+            padding=((0, hh * HINT_TILE - g.out_h),
+                     (0, hw * HINT_TILE - g.out_w)))
+    return DirtyHint(mask=jnp.logical_or(m, overflow))
+
+
+# ------------------------------ detection -----------------------------------
+
+
+def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
+                     g: TileGeometry, cfg: PipelineConfig,
+                     hint: Optional[DirtyHint]):
+    """C1+C2: returns (new_in_cache, changed_out_tile_mask bool,
+    changed_pixels, detect_tiles).
+
+    Pallas backend with a hint: one fused kernel reads/updates only hinted
+    tiles and emits the dilated out-tile mask directly (ops/pallas/detect.py)
+    — its mask may be a slight conservative superset of the exact one
+    (row x col projection within 8x8 hint tiles), which preserves
+    value-exactness. All other paths: full-map XLA detect + reduce_window.
+    """
+    H, W, _ = x.shape
+    use_sparse = (cfg.backend == "pallas" and hint is not None
+                  and H >= HINT_TILE and W % HINT_TILE == 0)
+    if use_sparse:
+        from .ops.pallas.detect import detect_sparse
+        dcomp = compact.compact_mask(hint.mask, hint.mask.size)
+        new_cache, maskf, npix = detect_sparse(
+            x, in_cache, tau, dcomp.idx, dcomp.count, g,
+            interpret=cfg.interpret)
+        return new_cache, maskf > 0.5, npix[0], dcomp.count
+    new_cache, changed = detect.detect_and_update(x, in_cache, tau)
+    if hint is not None:
+        # even in XLA, clip detection to the hint (helps tests catch a
+        # non-conservative hint: values must not depend on this)
+        pix_hint = jnp.repeat(jnp.repeat(hint.mask, HINT_TILE, 0),
+                              HINT_TILE, 1)[:H, :W]
+        changed = jnp.logical_and(changed, pix_hint)
+        new_cache = jnp.where(changed[..., None], x.astype(new_cache.dtype),
+                              in_cache)
+    n_detect = (jnp.sum(hint.mask, dtype=jnp.int32) if hint is not None
+                else jnp.asarray(cdiv(H, HINT_TILE) * cdiv(W, HINT_TILE),
+                                 jnp.int32))
+    mask = detect.changed_tile_mask(changed, g)
+    return new_cache, mask, jnp.sum(changed, dtype=jnp.int32), n_detect
+
+
+# ------------------------------ layer steps ---------------------------------
+
+
 def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
-               cfg: PipelineConfig, tile_fn, dense_fn, tau=None
-               ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any]]:
+               cfg: PipelineConfig, tile_fn, dense_fn, tau=None,
+               hint: Optional[DirtyHint] = None
+               ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any], DirtyHint]:
     """Shared C1->C3 + overflow-cond skeleton for conv and pool layers.
 
     ``tau`` may be a traced scalar (threshold tuning sweeps thresholds as
@@ -85,8 +161,8 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
     """
     if tau is None:
         tau = spec.threshold
-    in_cache, changed = detect.detect_and_update(x, state.in_cache, tau)
-    mask = detect.changed_tile_mask(changed, g)
+    in_cache, mask, n_pix, n_detect = _detect_and_mask(
+        x, state.in_cache, tau, g, cfg, hint)
     capacity = cfg.tile.capacity(g.n_tiles)
     comp = compact.compact_mask(mask, capacity)
 
@@ -108,18 +184,23 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
         "computed_tiles": computed,
         "n_tiles": g.n_tiles,
         "overflow": overflow,
-        "changed_pixels": jnp.sum(changed, dtype=jnp.int32),
+        "changed_pixels": n_pix,
+        "detect_tiles": n_detect,
     }
     # caches are tile-grid padded; the layer's logical output is the crop
     y = out_cache[:g.out_h, :g.out_w].astype(jnp.dtype(cfg.compute_dtype))
-    return y, CBLayerState(in_cache=in_cache, out_cache=out_cache), stats
+    out_hint = _out_hint(mask, overflow, g)
+    return y, CBLayerState(in_cache=in_cache, out_cache=out_cache), stats, \
+        out_hint
 
 
 def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                   state: CBLayerState, x: jnp.ndarray, spec: ConvSpec,
-                  cfg: PipelineConfig, tau=None
-                  ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any]]:
-    """One frame through a change-based conv layer."""
+                  cfg: PipelineConfig, tau=None,
+                  hint: Optional[DirtyHint] = None):
+    """One frame through a change-based conv layer.
+
+    Returns (y, state', stats, out_hint)."""
     w, b = params
     g = _geometry(spec, x.shape, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
@@ -145,13 +226,15 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                                spec.activation, compute_dtype)
         return y.astype(out_cache.dtype)
 
-    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau)
+    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau, hint)
 
 
 def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
-                  cfg: PipelineConfig, tau=None
-                  ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any]]:
-    """One frame through a change-based max-pool layer."""
+                  cfg: PipelineConfig, tau=None,
+                  hint: Optional[DirtyHint] = None):
+    """One frame through a change-based max-pool layer.
+
+    Returns (y, state', stats, out_hint)."""
     g = _geometry(spec, x.shape, cfg)
 
     def pad_pool(v):
@@ -174,4 +257,4 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
         del idx, count
         return dense_pool(pad_pool(in_cache), g).astype(out_cache.dtype)
 
-    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau)
+    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau, hint)

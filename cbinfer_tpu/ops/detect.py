@@ -56,13 +56,17 @@ def changed_tile_mask(changed: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
     exactly the input region gathered for output tile t.
     """
     sh, sw = g.stride
+    # exact high padding for the TRUE window extent (g.pad_hi_* may be larger
+    # for DMA alignment); negative values legally shrink the window count.
+    phi_h = (g.tiles_h - 1) * g.th * sh + g.win_h - g.in_h - g.pad_lo_h
+    phi_w = (g.tiles_w - 1) * g.tw * sw + g.win_w - g.in_w - g.pad_lo_w
     out = lax.reduce_window(
         changed,
         init_value=False,
         computation=jnp.logical_or,
         window_dimensions=(g.win_h, g.win_w),
         window_strides=(g.th * sh, g.tw * sw),
-        padding=((g.pad_lo_h, g.pad_hi_h), (g.pad_lo_w, g.pad_hi_w)),
+        padding=((g.pad_lo_h, phi_h), (g.pad_lo_w, phi_w)),
     )
     assert out.shape == (g.tiles_h, g.tiles_w), (out.shape, g)
     return out

@@ -48,8 +48,10 @@ class TileGeometry:
     tiles_h: int     # tile grid dims
     tiles_w: int
     n_tiles: int
-    win_h: int       # gathered input window per tile (incl. halo)
-    win_w: int
+    win_h: int       # input window per tile (incl. halo) — true extent
+    win_w: int       # true extent (used for mask dilation semantics)
+    win_w_dma: int   # win_w rounded up to 8 (Mosaic DMA sublane alignment;
+                     # Pallas kernels gather this much and ignore the excess)
     pad_lo_h: int    # input padding (explicit, applied before gather)
     pad_hi_h: int
     pad_lo_w: int
@@ -84,15 +86,20 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
     keff_w = (kw - 1) * dw + 1
     win_h = (th - 1) * sh + keff_h
     win_w = (tw - 1) * sw + keff_w
+    # Mosaic DMA constraint: for (H, W, C) arrays the W dim is the sublane
+    # dim, so HBM<->VMEM copies must have 8-aligned W sizes/offsets (H is
+    # unconstrained, C slices are full). Pallas kernels gather win_w_dma wide
+    # and ignore the excess columns; mask semantics keep the true win_w.
+    win_w_dma = ((win_w + 7) // 8) * 8
     # ensure the last tile's window fits in the padded input
     need_h = (Hop - th) * sh + win_h
-    need_w = (Wop - tw) * sw + win_w
+    need_w = (Wop - tw) * sw + win_w_dma
     phi_h = max(phi_h, need_h - H - plo_h)
     phi_w = max(phi_w, need_w - W - plo_w)
     return TileGeometry(
         in_h=H, in_w=W, cin=C, out_h=Ho, out_w=Wo, out_h_pad=Hop,
         out_w_pad=Wop, th=th, tw=tw,
         tiles_h=tiles_h, tiles_w=tiles_w, n_tiles=tiles_h * tiles_w,
-        win_h=win_h, win_w=win_w,
+        win_h=win_h, win_w=win_w, win_w_dma=win_w_dma,
         pad_lo_h=plo_h, pad_hi_h=phi_h, pad_lo_w=plo_w, pad_hi_w=phi_w,
         stride=(sh, sw), dilation=(dh, dw), kernel=(kh, kw))

@@ -49,7 +49,7 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
         tj = t - ti * g.tiles_w
         return pltpu.make_async_copy(
             xp_ref.at[pl.ds(ti * g.th * sh, g.win_h),
-                      pl.ds(tj * g.tw * sw, g.win_w), :],
+                      pl.ds(tj * g.tw * sw, g.win_w_dma), :],
             win_buf.at[slot],
             in_sems.at[slot])
 
@@ -147,14 +147,14 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # xp stays in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),       # xp stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),   # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),   # bias (1, cout)
-            pl.BlockSpec(memory_space=pl.ANY),       # out_cache (aliased)
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),       # out_cache (aliased)
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g.win_h, g.win_w, g.cin), xp.dtype),
+            pltpu.VMEM((2, g.win_h, g.win_w_dma, g.cin), xp.dtype),
             pltpu.VMEM((2, g.th, g.tw, cout), cache_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -31,7 +31,7 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
         tj = t - ti * g.tiles_w
         return pltpu.make_async_copy(
             xp_ref.at[pl.ds(ti * g.th * sh, g.win_h),
-                      pl.ds(tj * g.tw * sw, g.win_w), :],
+                      pl.ds(tj * g.tw * sw, g.win_w_dma), :],
             win_buf.at[slot],
             in_sems.at[slot])
 
@@ -103,12 +103,12 @@ def delta_pool_pallas(xp: jnp.ndarray, idx: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g.win_h, g.win_w, g.cin), xp.dtype),
+            pltpu.VMEM((2, g.win_h, g.win_w_dma, g.cin), xp.dtype),
             pltpu.VMEM((2, g.th, g.tw, g.cin), out_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

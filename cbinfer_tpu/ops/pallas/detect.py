@@ -1,0 +1,206 @@
+"""Change-detection Pallas kernels (C1+C2 fused): producer-driven sparse.
+
+Reference: one CUDA thread per pixel compares the incoming map against the
+cached map and updates the cache at changed pixels (arXiv 1704.04313 §3.1),
+then a second kernel dilates the change map by the receptive field
+(1808.05488 §IV-B).
+
+TPU-native design (``detect_sparse``): a pixel whose diff exceeded tau last
+frame was ACCEPTED last frame (diff now 0), and a pixel not recomputed by
+the producer layer is bit-identical to last frame — so ONLY pixels inside
+the producer's recomputed tiles can be changed now. The kernel walks the
+producer's compacted dirty-tile list (scalar prefetch), DMAs x/cache only
+there, updates the cache there, and — instead of materializing a pixel mask
+— FUSES the receptive-field dilation: per dirty tile it projects changed
+pixels onto rows/columns and marks the affected output tiles of THIS layer
+directly in a VMEM-resident (tiles_h, tiles_w) mask, written once at the
+end. Detection cost is proportional to the change rate, not the frame area.
+
+The row x column projection over-approximates within one 8x8 hint tile
+(the marked tile set is {a: rows(a) hit} x {b: cols(b) hit} instead of the
+exact pixel dilation). The mask stays a conservative SUPERSET, so outputs
+remain value-exact (golden.py invariant); the extra recompute is at most a
+few tiles per dirty corner.
+
+Alignment notes (Mosaic): (H, W, C) slices need 8-aligned W offsets/sizes
+and full C — hint tiles are 8x8 with W % 8 == 0 enforced by the caller;
+H edges use clamped (overlapping) origins, legal because detection and
+cache update are idempotent per pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import TileGeometry
+
+HINT = 8  # hint tile side (pixels); fixed across the framework
+
+
+def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
+                   x_ref, cache_in_ref, tau_ref,      # tensors
+                   cache_ref, mask_ref, npix_ref,     # outputs
+                   xbuf, cbuf, wbuf, in_sems, out_sems,  # scratch
+                   *, H: int, W: int, hint_tiles_w: int,
+                   g: TileGeometry):
+    del cache_in_ref  # aliased with cache_ref
+    m = m_ref[0]
+    sh, sw = g.stride
+
+    def origins(i):
+        t = idx_ref[i]
+        hi = t // hint_tiles_w
+        hj = t - hi * hint_tiles_w
+        oy = jnp.minimum(hi * HINT, H - HINT)  # clamped H edge (overlap ok)
+        ox = hj * HINT                          # W % 8 == 0 (caller asserts)
+        return oy, ox
+
+    def copy_in(slot, i, which):
+        oy, ox = origins(i)
+        src = x_ref if which == 0 else cache_ref
+        buf = xbuf if which == 0 else cbuf
+        return pltpu.make_async_copy(
+            src.at[pl.ds(oy, HINT), pl.ds(ox, HINT), :],
+            buf.at[slot], in_sems.at[slot, which])
+
+    def copy_out(slot, i):
+        oy, ox = origins(i)
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            cache_ref.at[pl.ds(oy, HINT), pl.ds(ox, HINT), :],
+            out_sems.at[slot])
+
+    mask_ref[:] = jnp.zeros_like(mask_ref)
+    npix_ref[0] = 0
+
+    @pl.when(m > 0)
+    def _():
+        copy_in(0, 0, 0).start()
+        copy_in(0, 0, 1).start()
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+
+        @pl.when(i + 1 < m)
+        def _():
+            copy_in(1 - slot, i + 1, 0).start()
+            copy_in(1 - slot, i + 1, 1).start()
+
+        copy_in(slot, i, 0).wait()
+        copy_in(slot, i, 1).wait()
+
+        x8 = xbuf[slot]
+        c8 = cbuf[slot]
+        diff = jnp.max(jnp.abs(x8.astype(jnp.float32)
+                               - c8.astype(jnp.float32)), axis=-1)  # (8, 8)
+        changed = diff > tau_ref[0]
+        npix_ref[0] += jnp.sum(changed.astype(jnp.int32))
+
+        # ---- cache update (write-back through a separate buffer) ----
+        @pl.when(i >= 2)
+        def _():
+            copy_out(slot, i - 2).wait()
+
+        wbuf[slot] = jnp.where(changed[..., None], x8, c8)
+        copy_out(slot, i).start()
+
+        # ---- fused dilation: mark affected output tiles of this layer ----
+        oy, ox = origins(i)
+        # out tile (a, b) reads padded-input rows [a*th*sh, +win_h) i.e.
+        # unpadded rows [a*th*sh - pad_lo_h, ...). Affected iff any changed
+        # row/col of this hint tile falls in that window.
+        a_start = (jax.lax.broadcasted_iota(jnp.int32,
+                                            (g.tiles_h, g.tiles_w), 0)
+                   * (g.th * sh) - g.pad_lo_h)
+        b_start = (jax.lax.broadcasted_iota(jnp.int32,
+                                            (g.tiles_h, g.tiles_w), 1)
+                   * (g.tw * sw) - g.pad_lo_w)
+        row_hit = jnp.zeros((g.tiles_h, g.tiles_w), jnp.bool_)
+        col_hit = jnp.zeros((g.tiles_h, g.tiles_w), jnp.bool_)
+        for r in range(HINT):
+            y = oy + r
+            hit = jnp.any(changed[r, :])
+            row_hit = jnp.logical_or(
+                row_hit, hit & (a_start <= y) & (y < a_start + g.win_h))
+        for c in range(HINT):
+            xcol = ox + c
+            hit = jnp.any(changed[:, c])
+            col_hit = jnp.logical_or(
+                col_hit, hit & (b_start <= xcol) & (xcol < b_start + g.win_w))
+        mask_ref[:] = jnp.maximum(
+            mask_ref[:], (row_hit & col_hit).astype(jnp.float32))
+
+    lax.fori_loop(0, m, body, None)
+
+    @pl.when(m >= 2)
+    def _():
+        copy_out(lax.rem(m, 2), m - 2).wait()
+
+    @pl.when(m >= 1)
+    def _():
+        copy_out(lax.rem(m - 1, 2), m - 1).wait()
+
+
+def detect_sparse(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
+                  dirty_idx: jnp.ndarray, dirty_count: jnp.ndarray,
+                  g: TileGeometry, *, interpret: bool = False):
+    """Detect+update+dilate restricted to the producer's dirty tiles.
+
+    Args:
+      x: (H, W, C) current input (the producer's cropped output).
+      in_cache: (H, W, C) accepted-value cache, aliased/donated.
+      dirty_idx / dirty_count: compacted dirty-hint tile list on the 8x8
+        hint grid of THIS input (ids = hi * ceil(W/8) + hj).
+      g: this layer's output tile geometry.
+
+    Returns (new_cache, out_tile_mask f32 (tiles_h, tiles_w),
+             changed_pixels int32 (1,)).
+    """
+    H, W, C = x.shape
+    assert W % HINT == 0 and H >= HINT, (x.shape,)
+    hint_tiles_w = W // HINT
+    tau_arr = jnp.asarray([tau], jnp.float32)
+
+    kern = functools.partial(_sparse_kernel, H=H, W=W,
+                             hint_tiles_w=hint_tiles_w, g=g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # x
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # in_cache
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # tau
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # cache
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # tile mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # changed px
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, HINT, HINT, C), x.dtype),
+            pltpu.VMEM((2, HINT, HINT, C), in_cache.dtype),
+            pltpu.VMEM((2, HINT, HINT, C), in_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    new_cache, mask, npix = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(in_cache.shape, in_cache.dtype),
+            jax.ShapeDtypeStruct((g.tiles_h, g.tiles_w), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dirty_idx, dirty_count.reshape(1), x.astype(in_cache.dtype), in_cache,
+      tau_arr)
+    return new_cache, mask, npix

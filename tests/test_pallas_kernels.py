@@ -106,7 +106,7 @@ def test_pallas_backend_layer_matches_golden():
     gst = golden.GoldenLayerState()
     step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
     for frame in video.frames(4):
-        yj, jst, stats = step(jst, jnp.asarray(frame))
+        yj, jst, stats, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
 
@@ -119,6 +119,44 @@ def test_pallas_backend_pool_layer_matches_golden():
     gst = golden.GoldenLayerState()
     step = jax.jit(lambda s, x: cb_pool_apply(s, x, spec, cfg))
     for frame in video.frames(4):
-        yj, jst, _ = step(jst, jnp.asarray(frame))
+        yj, jst, _, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_pool_step(frame, spec, gst)
         np.testing.assert_allclose(np.asarray(yj), yg, atol=1e-6)
+
+
+def test_sparse_detect_chain_matches_golden():
+    """Multi-layer pallas net (interpret) with dirty-hint sparse detection:
+    values must match golden exactly despite the conservative tile masks."""
+    from cbinfer_tpu.convert import convert
+    rng = np.random.default_rng(7)
+    w1 = rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.2
+    b1 = rng.standard_normal((8,)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((3, 3, 8, 8)).astype(np.float32) * 0.2
+    b2 = rng.standard_normal((8,)).astype(np.float32) * 0.1
+    specs = [
+        ConvSpec(features=8, threshold=0.02),
+        PoolSpec(threshold=0.02),
+        ConvSpec(features=8, threshold=0.02),
+    ]
+    params = [(jnp.asarray(w1), jnp.asarray(b1)), None,
+              (jnp.asarray(w2), jnp.asarray(b2))]
+    net = convert(specs, (32, 48, 3), _pallas_cfg())
+    gnet = golden.GoldenCBNet([(specs[0], (w1, b1)), (specs[1], None),
+                               (specs[2], (w2, b2))])
+    state = net.init_state()
+    step = jax.jit(net.apply)
+    video = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                          seed=8))
+    saw_sparse = False
+    for t, frame in enumerate(video.frames(4)):
+        y, state, stats = step(params, state, jnp.asarray(frame))
+        yg = gnet(frame)
+        np.testing.assert_allclose(np.asarray(y), yg, atol=5e-4,
+                                   err_msg=f"frame {t}")
+        # layers after the first must report hint-bounded detection:
+        # layer 1's input is 32x48 -> 4x6 = 24 hint tiles; after the cold
+        # start the sprites are localized, so detection must be sparse.
+        if t > 0:
+            assert int(stats[1]["detect_tiles"]) < 24
+            saw_sparse = True
+    assert saw_sparse

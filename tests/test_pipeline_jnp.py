@@ -56,7 +56,7 @@ def test_conv_layer_matches_golden(stride, padding, dilation, k):
     gst = golden.GoldenLayerState()
     step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
     for frame in video.frames(5):
-        yj, jst, stats = step(jst, jnp.asarray(frame))
+        yj, jst, stats, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4), (stride, padding)
         np.testing.assert_allclose(np.asarray(jst.in_cache), gst.in_cache,
@@ -73,9 +73,9 @@ def test_tile_count_is_exact_minimal_cover():
     f0, f1 = two_frame_pair(h=32, w=48, moved_pixels=49, seed=3)
     jst = cb_layer_init(spec, (32, 48, 3), cfg)
     gst = golden.GoldenLayerState()
-    _, jst, _ = cb_conv_apply((w, b), jst, jnp.asarray(f0), spec, cfg)
+    _, jst, _, _ = cb_conv_apply((w, b), jst, jnp.asarray(f0), spec, cfg)
     _, gst = golden.cb_conv_step(f0, w, b, spec, gst)
-    _, jst, stats = cb_conv_apply((w, b), jst, jnp.asarray(f1), spec, cfg)
+    _, jst, stats, _ = cb_conv_apply((w, b), jst, jnp.asarray(f1), spec, cfg)
     _, gst = golden.cb_conv_step(f1, w, b, spec, gst)
     # golden changed-output pixel map for frame 1:
     changed = golden.propagate_mask(
@@ -98,7 +98,7 @@ def test_capacity_overflow_dense_fallback_is_value_exact():
     step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
     saw_overflow = saw_tile_path = False
     for frame in video.frames(6):
-        yj, jst, stats = step(jst, jnp.asarray(frame))
+        yj, jst, stats, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
         saw_overflow |= bool(stats["overflow"])
@@ -115,7 +115,7 @@ def test_pool_layer_matches_golden():
     gst = golden.GoldenLayerState()
     step = jax.jit(lambda s, x: cb_pool_apply(s, x, spec, cfg))
     for frame in video.frames(5):
-        yj, jst, _ = step(jst, jnp.asarray(frame))
+        yj, jst, _, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_pool_step(frame, spec, gst)
         np.testing.assert_allclose(np.asarray(yj), yg, atol=1e-6)
 
@@ -197,7 +197,7 @@ def test_non_divisible_output_dims_internal_padding():
     gst = golden.GoldenLayerState()
     step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
     for frame in video.frames(4):
-        yj, jst, _ = step(jst, jnp.asarray(frame))
+        yj, jst, _, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         assert yj.shape == yg.shape
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
