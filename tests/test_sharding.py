@@ -1,0 +1,77 @@
+"""Multi-device stream parallelism on the virtual 8-device CPU mesh
+(SURVEY.md §4 test 6, configs[4])."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, TileConfig
+from cbinfer_tpu.convert import convert
+from cbinfer_tpu.network import init_params
+from cbinfer_tpu.parallel import MultiStreamRunner, make_stream_mesh
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+
+def _net(h=32, w=48):
+    specs = [
+        ConvSpec(features=8, threshold=0.02),
+        PoolSpec(threshold=0.02),
+        ConvSpec(features=5, kernel=(1, 1), activation=None, threshold=0.02),
+    ]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=4, tile_w=4))
+    net = convert(specs, (h, w, 3), cfg)
+    params = init_params(specs, (h, w, 3), jax.random.PRNGKey(3))
+    return net, params
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_multistream_matches_per_stream_scan():
+    """8 sharded streams == 8 independent single-stream runs."""
+    net, params = _net()
+    mesh = make_stream_mesh(8)
+    runner = MultiStreamRunner(net, params, n_streams=8, mesh=mesh)
+    clips = np.stack([
+        SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=100 + s,
+                                      n_sprites=1 + s % 3)).clip(4)
+        for s in range(8)])
+    ys, stats = runner.run_clip(jnp.asarray(clips))
+    assert ys.shape[:2] == (8, 4)
+    for s in range(8):
+        ys_ref, _, _ = scan_video(net, params, jnp.asarray(clips[s]))
+        np.testing.assert_allclose(np.asarray(ys[s]), np.asarray(ys_ref),
+                                   atol=1e-5, err_msg=f"stream {s}")
+
+
+def test_multistream_step_interface_and_state_isolation():
+    net, params = _net()
+    runner = MultiStreamRunner(net, params, n_streams=8)
+    f0 = np.stack([SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, seed=s)).frame() for s in range(8)])
+    y1, stats = runner.step(jnp.asarray(f0))
+    # cold start: every stream recomputes everything
+    ct = np.asarray(stats[0]["computed_tiles"])
+    assert ct.shape == (8,) and (ct == int(np.max(np.asarray(
+        stats[0]["n_tiles"])))).all()
+    # feeding identical frames again: zero changed tiles on every stream
+    y2, stats = runner.step(jnp.asarray(f0))
+    assert (np.asarray(stats[0]["changed_tiles"]) == 0).all()
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # reset restores cold start
+    runner.reset()
+    _, stats = runner.step(jnp.asarray(f0))
+    ct = np.asarray(stats[0]["computed_tiles"])
+    assert (ct == int(np.max(np.asarray(stats[0]["n_tiles"])))).all()
+
+
+def test_uneven_streams_rejected():
+    net, params = _net()
+    try:
+        MultiStreamRunner(net, params, n_streams=3,
+                          mesh=make_stream_mesh(8))
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
