@@ -1,0 +1,52 @@
+"""Checkpoint/resume (SURVEY.md §5.4).
+
+The reference only loads pretrained ``.pth`` weights; it has no runtime
+state checkpointing. Here, orbax-checkpoint persists BOTH the params and
+(optionally) the per-layer ``CBLayerState`` caches, so a stream can resume
+mid-video without a cold start — the framework's only recovery story
+(§5.3): restart-from-checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save(path: str, params: Any, state: Optional[Any] = None,
+         extra: Optional[dict] = None) -> None:
+    """Save params (+ optional streaming state) to ``path`` (a directory)."""
+    ckpt = {"params": params}
+    if state is not None:
+        ckpt["state"] = state
+    if extra is not None:
+        ckpt["extra"] = extra
+    _checkpointer().save(os.path.abspath(path), ckpt, force=True)
+
+
+def restore(path: str) -> dict:
+    """Restore a checkpoint dict ({'params', 'state'?, 'extra'?})."""
+    restored = _checkpointer().restore(os.path.abspath(path))
+    return restored
+
+
+def save_thresholds(path: str, thresholds, metadata: Optional[dict] = None):
+    """Persist a tuner result's tau vector as plain JSON next to benches."""
+    import json
+    with open(path, "w") as f:
+        json.dump({"thresholds": [float(t) for t in thresholds],
+                   "metadata": metadata or {}}, f, indent=2)
+
+
+def load_thresholds(path: str):
+    import json
+    with open(path) as f:
+        d = json.load(f)
+    return d["thresholds"]

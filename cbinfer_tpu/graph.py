@@ -1,0 +1,217 @@
+"""DAG network IR with concatenation (SURVEY.md C17 fidelity).
+
+The reference's OpenPose workload is not sequential: each refinement stage
+consumes the BACKBONE features concatenated with the previous stage's two
+branch outputs (arXiv 1808.05488 §VI; the original OpenPose architecture).
+This module generalizes the sequential CBNet to a DAG: nodes reference
+named predecessors; ``ConcatSpec`` merges along channels. CB layers behave
+exactly as in layers.py — topology is pure plumbing — and dirty hints merge
+at concat nodes (OR of input hints, same spatial grid).
+
+A node's spec may be any sequential LayerSpec or ConcatSpec. The graph must
+be topologically ordered (nodes only reference earlier nodes or "input").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from . import layers as L
+from . import network
+from .config import ConvSpec, PipelineConfig, PoolSpec, UpsampleSpec
+from .ops.geometry import conv_out_size
+
+
+@dataclasses.dataclass(frozen=True)
+class ConcatSpec:
+    kind: str = "concat"
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphNode:
+    name: str
+    spec: Any                       # LayerSpec | ConcatSpec
+    inputs: Tuple[str, ...] = ("input",)
+
+    def __post_init__(self):
+        object.__setattr__(self, "inputs", tuple(self.inputs))
+
+
+def node_out_shapes(nodes: Sequence[GraphNode],
+                    in_shape: Tuple[int, int, int]
+                    ) -> Dict[str, Tuple[int, int, int]]:
+    shapes: Dict[str, Tuple[int, int, int]] = {"input": tuple(in_shape)}
+    for n in nodes:
+        ins = [shapes[i] for i in n.inputs]
+        if isinstance(n.spec, ConcatSpec):
+            h, w = ins[0][:2]
+            assert all(s[:2] == (h, w) for s in ins), (n.name, ins)
+            shapes[n.name] = (h, w, sum(s[2] for s in ins))
+        elif isinstance(n.spec, ConvSpec):
+            h, w, _ = ins[0]
+            shapes[n.name] = (
+                conv_out_size(h, n.spec.kernel[0], n.spec.stride[0],
+                              n.spec.dilation[0], n.spec.padding),
+                conv_out_size(w, n.spec.kernel[1], n.spec.stride[1],
+                              n.spec.dilation[1], n.spec.padding),
+                n.spec.features)
+        elif isinstance(n.spec, PoolSpec):
+            h, w, c = ins[0]
+            shapes[n.name] = (
+                conv_out_size(h, n.spec.window[0], n.spec.stride[0], 1,
+                              n.spec.padding),
+                conv_out_size(w, n.spec.window[1], n.spec.stride[1], 1,
+                              n.spec.padding), c)
+        elif isinstance(n.spec, UpsampleSpec):
+            h, w, c = ins[0]
+            shapes[n.name] = (h * n.spec.scale[0], w * n.spec.scale[1], c)
+        else:
+            raise TypeError(n.spec)
+    return shapes
+
+
+def init_graph_params(nodes: Sequence[GraphNode],
+                      in_shape: Tuple[int, int, int], rng,
+                      dtype=jnp.float32) -> Dict[str, Any]:
+    import math
+    import jax
+    shapes = node_out_shapes(nodes, in_shape)
+    params: Dict[str, Any] = {}
+    for n in nodes:
+        if isinstance(n.spec, ConvSpec):
+            cin = shapes[n.inputs[0]][2] if not isinstance(n.spec, ConcatSpec) \
+                else None
+            kh, kw = n.spec.kernel
+            rng, k = jax.random.split(rng)
+            fan_in = kh * kw * cin
+            w = (jax.random.normal(k, (kh, kw, cin, n.spec.features), dtype)
+                 * math.sqrt(2.0 / fan_in))
+            b = (jnp.zeros((n.spec.features,), dtype)
+                 if n.spec.use_bias else None)
+            params[n.name] = (w, b)
+    return params
+
+
+@dataclasses.dataclass(frozen=True)
+class CBGraphNet:
+    """Change-based DAG network; same contract as convert.CBNet."""
+
+    nodes: Tuple[GraphNode, ...]
+    in_shape: Tuple[int, int, int]
+    cfg: PipelineConfig
+    output: str  # name of the output node
+
+    def init_state(self) -> Dict[str, Optional[L.CBLayerState]]:
+        shapes = node_out_shapes(self.nodes, self.in_shape)
+        state: Dict[str, Optional[L.CBLayerState]] = {}
+        for n in self.nodes:
+            is_cb = (isinstance(n.spec, (ConvSpec, PoolSpec))
+                     and n.spec.use_cb)
+            state[n.name] = (L.cb_layer_init(n.spec, shapes[n.inputs[0]],
+                                             self.cfg) if is_cb else None)
+        return state
+
+    def apply(self, params: Dict[str, Any], state: Dict[str, Any],
+              x: jnp.ndarray, thresholds=None):
+        vals: Dict[str, jnp.ndarray] = {"input": x}
+        hints: Dict[str, Optional[L.DirtyHint]] = {"input": None}
+        new_state: Dict[str, Any] = {}
+        stats: Dict[str, Dict] = {}
+        cb_i = 0
+        for n in self.nodes:
+            xin = vals[n.inputs[0]]
+            hint = hints[n.inputs[0]]
+            tau = None
+            if (thresholds is not None
+                    and isinstance(n.spec, (ConvSpec, PoolSpec))
+                    and n.spec.use_cb):
+                tau = thresholds[cb_i]
+                cb_i += 1
+            if isinstance(n.spec, ConcatSpec):
+                vals[n.name] = jnp.concatenate([vals[i] for i in n.inputs],
+                                               axis=-1)
+                in_hints = [hints[i] for i in n.inputs]
+                if any(h is None for h in in_hints):
+                    hints[n.name] = None
+                else:
+                    m = in_hints[0].mask
+                    for h in in_hints[1:]:
+                        m = jnp.logical_or(m, h.mask)
+                    hints[n.name] = L.DirtyHint(mask=m)
+                new_state[n.name] = None
+                stats[n.name] = {}
+            elif isinstance(n.spec, ConvSpec):
+                if n.spec.use_cb:
+                    y, st, s, h = L.cb_conv_apply(
+                        params[n.name], state[n.name], xin, n.spec, self.cfg,
+                        tau, hint)
+                else:
+                    y = network.dense_conv(
+                        xin, params[n.name][0], params[n.name][1], n.spec,
+                        jnp.dtype(self.cfg.compute_dtype))
+                    st, s, h = None, {}, None
+                vals[n.name], hints[n.name] = y, h
+                new_state[n.name], stats[n.name] = st, s
+            elif isinstance(n.spec, PoolSpec):
+                if n.spec.use_cb:
+                    y, st, s, h = L.cb_pool_apply(state[n.name], xin, n.spec,
+                                                  self.cfg, tau, hint)
+                else:
+                    y = network.dense_pool(xin, n.spec)
+                    st, s, h = None, {}, None
+                vals[n.name], hints[n.name] = y, h
+                new_state[n.name], stats[n.name] = st, s
+            elif isinstance(n.spec, UpsampleSpec):
+                vals[n.name] = network.upsample(xin, n.spec)
+                hints[n.name] = None
+                new_state[n.name], stats[n.name] = None, {}
+            else:
+                raise TypeError(n.spec)
+        return vals[self.output], new_state, stats
+
+    def apply_dense(self, params: Dict[str, Any], x: jnp.ndarray):
+        vals: Dict[str, jnp.ndarray] = {"input": x}
+        for n in self.nodes:
+            xin = vals[n.inputs[0]]
+            if isinstance(n.spec, ConcatSpec):
+                vals[n.name] = jnp.concatenate([vals[i] for i in n.inputs],
+                                               axis=-1)
+            elif isinstance(n.spec, ConvSpec):
+                vals[n.name] = network.dense_conv(
+                    xin, params[n.name][0], params[n.name][1], n.spec)
+            elif isinstance(n.spec, PoolSpec):
+                vals[n.name] = network.dense_pool(xin, n.spec)
+            elif isinstance(n.spec, UpsampleSpec):
+                vals[n.name] = network.upsample(xin, n.spec)
+        return vals[self.output]
+
+    def num_cb_layers(self) -> int:
+        return sum(1 for n in self.nodes
+                   if isinstance(n.spec, (ConvSpec, PoolSpec))
+                   and n.spec.use_cb)
+
+
+def convert_graph(nodes: Sequence[GraphNode], in_shape, cfg=None,
+                  output: Optional[str] = None,
+                  thresholds: Optional[Sequence[float]] = None
+                  ) -> CBGraphNet:
+    cfg = cfg or PipelineConfig()
+    nodes = tuple(nodes)
+    if thresholds is not None:
+        new_nodes = []
+        ti = 0
+        for n in nodes:
+            if isinstance(n.spec, (ConvSpec, PoolSpec)) and n.spec.use_cb:
+                n = dataclasses.replace(
+                    n, spec=dataclasses.replace(
+                        n.spec, threshold=float(thresholds[ti])))
+                ti += 1
+            new_nodes.append(n)
+        if ti != len(thresholds):
+            raise ValueError(f"{len(thresholds)} thresholds for {ti} layers")
+        nodes = tuple(new_nodes)
+    return CBGraphNet(nodes=nodes, in_shape=tuple(in_shape), cfg=cfg,
+                      output=output or nodes[-1].name)
