@@ -1,0 +1,80 @@
+"""bf16 cache policy (SURVEY.md §7 memory budget) + torch weight import."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, TileConfig
+from cbinfer_tpu.convert import convert, import_torch_state_dict
+from cbinfer_tpu.network import dense_apply, init_params
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+
+def test_bf16_caches_bounded_error():
+    """bf16 caches with tau above bf16 quantization noise: pipeline runs,
+    stays sparse, and output error vs fp32 dense stays O(tau)."""
+    specs = [
+        ConvSpec(features=8, threshold=0.05),
+        PoolSpec(threshold=0.05),
+        ConvSpec(features=5, kernel=(1, 1), activation=None, threshold=0.05),
+    ]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=4, tile_w=4),
+                         cache_dtype="bfloat16")
+    net = convert(specs, (32, 48, 3), cfg)
+    params = init_params(specs, (32, 48, 3), jax.random.PRNGKey(4))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, n_sprites=1, sprite_size=6, seed=12)).clip(6))
+    ys, state, stats = scan_video(net, params, clip)
+    assert state[0].in_cache.dtype == jnp.bfloat16
+    # sparse after cold start (bf16 quantization must not mark everything)
+    computed = np.asarray(stats[0]["computed_tiles"])
+    assert computed[1:].max() < int(np.max(np.asarray(stats[0]["n_tiles"])))
+    # bounded error vs dense fp32
+    for t in (0, 3, 5):
+        yd = dense_apply(specs, params, clip[t])
+        err = float(jnp.max(jnp.abs(ys[t] - yd)))
+        assert err < 1.5, err  # O(sum|w| * tau) bound, loose
+
+
+def test_torch_state_dict_import_roundtrip():
+    torch = __import__("torch")
+    specs = [
+        ConvSpec(features=8, kernel=(3, 3), threshold=0.0),
+        PoolSpec(threshold=0.0),
+        ConvSpec(features=5, kernel=(1, 1), activation=None, threshold=0.0),
+    ]
+    model = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 3, padding=1),
+        torch.nn.ReLU(),
+        torch.nn.MaxPool2d(2),
+        torch.nn.Conv2d(8, 5, 1),
+    )
+    params = import_torch_state_dict(specs, model.state_dict())
+    assert params[0][0].shape == (3, 3, 3, 8)
+    assert params[2][0].shape == (1, 1, 8, 5)
+
+    # forward agreement: torch dense vs our dense path
+    x = np.random.default_rng(5).random((16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        yt = model(torch.from_numpy(x.transpose(2, 0, 1))[None])
+    yt = yt[0].numpy().transpose(1, 2, 0)
+    yj = np.asarray(dense_apply(specs, params, jnp.asarray(x)))
+    np.testing.assert_allclose(yj, yt, atol=1e-4)
+
+    # and the converted CB net at tau=0 matches too
+    net = convert(specs, (16, 16, 3), PipelineConfig(
+        tile=TileConfig(tile_h=4, tile_w=4)))
+    y, _, _ = net.apply(params, net.init_state(), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), yt, atol=1e-4)
+
+
+def test_torch_import_shape_mismatch_rejected():
+    torch = __import__("torch")
+    specs = [ConvSpec(features=8, kernel=(3, 3))]
+    model = torch.nn.Sequential(torch.nn.Conv2d(3, 8, 5, padding=2))
+    try:
+        import_torch_state_dict(specs, model.state_dict())
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "does not match" in str(e)
