@@ -205,8 +205,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     g = _geometry(spec, x.shape, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    use_pallas = (cfg.backend == "pallas" and spec.dilation == (1, 1))
-    if use_pallas:
+    if cfg.backend == "pallas":
         from .ops.pallas.delta_conv import delta_conv_pallas
 
         def tile_fn(in_cache, idx, count, out_cache):

@@ -50,8 +50,11 @@ class TileGeometry:
     n_tiles: int
     win_h: int       # input window per tile (incl. halo) — true extent
     win_w: int       # true extent (used for mask dilation semantics)
-    win_w_dma: int   # win_w rounded up to 8 (Mosaic DMA sublane alignment;
-                     # Pallas kernels gather this much and ignore the excess)
+    # DMA window extents used by the Pallas kernels. Mosaic forbids strided
+    # vector slices, so strided (dy, dx) phases are extracted by contiguous
+    # slice + reshape-split, which needs th*sh (+ alignment) extra room:
+    win_h_dma: int   # >= kh-1 + th*sh
+    win_w_dma: int   # >= kw-1 + tw*sw, rounded up to 8 (DMA sublane align)
     pad_lo_h: int    # input padding (explicit, applied before gather)
     pad_hi_h: int
     pad_lo_w: int
@@ -86,13 +89,14 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
     keff_w = (kw - 1) * dw + 1
     win_h = (th - 1) * sh + keff_h
     win_w = (tw - 1) * sw + keff_w
-    # Mosaic DMA constraint: for (H, W, C) arrays the W dim is the sublane
-    # dim, so HBM<->VMEM copies must have 8-aligned W sizes/offsets (H is
-    # unconstrained, C slices are full). Pallas kernels gather win_w_dma wide
-    # and ignore the excess columns; mask semantics keep the true win_w.
-    win_w_dma = ((win_w + 7) // 8) * 8
+    # DMA extents: room for slice+reshape phase extraction (kernel offset up
+    # to keff-1, then th*sh rows reshape-split by sh), W rounded to 8 for the
+    # Mosaic sublane-alignment rule on HBM<->VMEM copies (H unconstrained,
+    # C slices full). Kernels ignore the excess rows/columns.
+    win_h_dma = (keff_h - 1) + th * sh
+    win_w_dma = (((keff_w - 1) + tw * sw + 7) // 8) * 8
     # ensure the last tile's window fits in the padded input
-    need_h = (Hop - th) * sh + win_h
+    need_h = (Hop - th) * sh + win_h_dma
     need_w = (Wop - tw) * sw + win_w_dma
     phi_h = max(phi_h, need_h - H - plo_h)
     phi_w = max(phi_w, need_w - W - plo_w)
@@ -100,6 +104,6 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
         in_h=H, in_w=W, cin=C, out_h=Ho, out_w=Wo, out_h_pad=Hop,
         out_w_pad=Wop, th=th, tw=tw,
         tiles_h=tiles_h, tiles_w=tiles_w, n_tiles=tiles_h * tiles_w,
-        win_h=win_h, win_w=win_w, win_w_dma=win_w_dma,
+        win_h=win_h, win_w=win_w, win_h_dma=win_h_dma, win_w_dma=win_w_dma,
         pad_lo_h=plo_h, pad_hi_h=phi_h, pad_lo_w=plo_w, pad_hi_w=phi_w,
         stride=(sh, sw), dilation=(dh, dw), kernel=(kh, kw))

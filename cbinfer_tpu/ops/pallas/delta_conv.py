@@ -29,6 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import TileGeometry
+from .common import phase_slice
 
 
 def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
@@ -48,7 +49,7 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
         ti = t // g.tiles_w
         tj = t - ti * g.tiles_w
         return pltpu.make_async_copy(
-            xp_ref.at[pl.ds(ti * g.th * sh, g.win_h),
+            xp_ref.at[pl.ds(ti * g.th * sh, g.win_h_dma),
                       pl.ds(tj * g.tw * sw, g.win_w_dma), :],
             win_buf.at[slot],
             in_sems.at[slot])
@@ -80,13 +81,9 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
         acc = jnp.zeros((g.th * g.tw, cout), jnp.float32)
         for dy in range(kh):
             for dx in range(kw):
-                patch = lax.slice(
-                    win,
-                    (dy, dx, 0),
-                    (dy + (g.th - 1) * sh + 1, dx + (g.tw - 1) * sw + 1,
-                     g.cin),
-                    (sh, sw, 1),
-                ).reshape(g.th * g.tw, g.cin)
+                patch = phase_slice(win, dy * g.dilation[0],
+                                    dx * g.dilation[1], g.th, g.tw, sh, sw
+                                    ).reshape(g.th * g.tw, g.cin)
                 acc = acc + jnp.dot(patch, w_ref[dy, dx],
                                     preferred_element_type=jnp.float32)
         acc = acc + b_ref[0]
@@ -126,8 +123,6 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
     capacity); out_cache: (out_h_pad, out_w_pad, cout), DONATED and aliased
     into the result — unchanged tiles are never copied.
     """
-    if g.dilation != (1, 1):
-        raise NotImplementedError("pallas delta-conv requires dilation=1")
     kh, kw = g.kernel
     cout = w.shape[-1]
     capacity = idx.shape[0]
@@ -154,7 +149,7 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g.win_h, g.win_w_dma, g.cin), xp.dtype),
+            pltpu.VMEM((2, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype),
             pltpu.VMEM((2, g.th, g.tw, cout), cache_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -16,6 +16,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import TileGeometry
+from .common import phase_slice
 
 
 def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
@@ -30,7 +31,7 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
         ti = t // g.tiles_w
         tj = t - ti * g.tiles_w
         return pltpu.make_async_copy(
-            xp_ref.at[pl.ds(ti * g.th * sh, g.win_h),
+            xp_ref.at[pl.ds(ti * g.th * sh, g.win_h_dma),
                       pl.ds(tj * g.tw * sw, g.win_w_dma), :],
             win_buf.at[slot],
             in_sems.at[slot])
@@ -61,12 +62,7 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
         y = None
         for dy in range(kh):
             for dx in range(kw):
-                patch = lax.slice(
-                    win,
-                    (dy, dx, 0),
-                    (dy + (g.th - 1) * sh + 1, dx + (g.tw - 1) * sw + 1,
-                     g.cin),
-                    (sh, sw, 1))
+                patch = phase_slice(win, dy, dx, g.th, g.tw, sh, sw)
                 y = patch if y is None else jnp.maximum(y, patch)
 
         @pl.when(i >= 2)
@@ -108,7 +104,7 @@ def delta_pool_pallas(xp: jnp.ndarray, idx: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g.win_h, g.win_w_dma, g.cin), xp.dtype),
+            pltpu.VMEM((2, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype),
             pltpu.VMEM((2, g.th, g.tw, g.cin), out_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -1,0 +1,132 @@
+"""Integration tests: the five BASELINE.json configs (SURVEY.md §4 item 5),
+at CI-friendly shapes. Each asserts the config's essential contract:
+correctness vs dense/golden plus effective-compute reduction.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cbinfer_tpu import golden
+from cbinfer_tpu.config import (ConvSpec, PipelineConfig, PoolSpec,
+                                TileConfig)
+from cbinfer_tpu.convert import convert
+from cbinfer_tpu.graph import convert_graph, init_graph_params
+from cbinfer_tpu.layers import cb_conv_apply, cb_layer_init
+from cbinfer_tpu.metrics import effective_flops, miou, pck
+from cbinfer_tpu.models import get_model
+from cbinfer_tpu.models.pose import pose_graph
+from cbinfer_tpu.network import init_params
+from cbinfer_tpu.parallel import MultiStreamRunner, make_stream_mesh
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.tuner import tune
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig, two_frame_pair
+
+
+def _cfg(**kw):
+    kw.setdefault("tile", TileConfig(tile_h=4, tile_w=4))
+    return PipelineConfig(**kw)
+
+
+def test_config0_single_conv_two_frame_pair():
+    """configs[0]: single change-gated conv3x3 on a synthetic two-frame
+    pair, validated against the CPU per-pixel golden reference."""
+    f0, f1 = two_frame_pair(h=32, w=48, moved_pixels=64, seed=0)
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.2
+    b = rng.standard_normal((8,)).astype(np.float32) * 0.1
+    spec = ConvSpec(features=8, threshold=0.01)
+    st = cb_layer_init(spec, (32, 48, 3), _cfg())
+    gst = golden.GoldenLayerState()
+    for f in (f0, f1):
+        y, st, stats, _ = cb_conv_apply((w, b), st, jnp.asarray(f), spec,
+                                        _cfg())
+        yg, gst = golden.cb_conv_step(f, w, b, spec, gst)
+        np.testing.assert_allclose(np.asarray(y), yg, atol=2e-4)
+    # second frame recomputed only a small fraction
+    assert int(stats["computed_tiles"]) < stats["n_tiles"] // 3
+
+
+def test_config1_scene_cnn_clip():
+    """configs[1]: scene-labeling CNN on a short clip with cached
+    activations: >=2x effective-FLOP reduction at >=0.99 mIoU vs dense."""
+    specs = get_model("scene_tiny", num_classes=5, width=16)
+    net = convert(specs, (48, 64, 3), _cfg(),
+                  thresholds=[0.02] * 4)
+    params = init_params(specs, (48, 64, 3), jax.random.PRNGKey(1))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=48, width=64, n_sprites=1, sprite_size=8, noise_std=0.002,
+        seed=2)).clip(10))
+    ys, _, stats = scan_video(net, params, clip)
+    dense = jnp.stack([net.apply_dense(params, f) for f in clip])
+    assert miou(np.asarray(ys), np.asarray(dense), 5) >= 0.99
+    ef = effective_flops(stats, net.specs, (48, 64, 3), 4, 4)
+    assert ef["flop_reduction"] >= 2.0, ef
+
+
+def test_config2_seg_cnn_streaming_full_propagation():
+    """configs[2]: segmentation CNN (encoder + dilated context + upsampled
+    head) streaming with change propagation through every layer."""
+    specs = get_model("seg_small", num_classes=6, width=8)
+    net = convert(specs, (64, 64, 3), _cfg(), thresholds=[0.03] * 10)
+    params = init_params(specs, (64, 64, 3), jax.random.PRNGKey(2))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=64, width=64, n_sprites=1, sprite_size=10, seed=3)).clip(6))
+    ys, _, stats = scan_video(net, params, clip)
+    assert ys.shape == (6, 64, 64, 6)
+    dense = jnp.stack([net.apply_dense(params, f) for f in clip])
+    assert miou(np.asarray(ys), np.asarray(dense), 6) >= 0.98
+    # propagation reaches the deepest conv sparsely (not dense every frame)
+    deep = [s for s in stats if s][-1]
+    assert np.asarray(deep["computed_tiles"])[1:].max() < int(
+        np.max(np.asarray(deep["n_tiles"])))
+
+
+def test_config3_pose_cnn_with_threshold_tuning():
+    """configs[3]: OpenPose-style two-branch pose net + per-layer tuner."""
+    nodes, out = pose_graph(num_keypoints=3, num_pafs=4, width=4, stages=1)
+    gnet = convert_graph(nodes, (32, 32, 3), _cfg(), output=out)
+    params = init_graph_params(nodes, (32, 32, 3), jax.random.PRNGKey(3))
+    state = gnet.init_state()
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=32, n_sprites=1,
+                                         sprite_size=6, seed=4)).clip(4)
+    step = jax.jit(gnet.apply)
+    for f in clip:
+        y, state, _ = step(params, state, jnp.asarray(f))
+    yd = gnet.apply_dense(params, jnp.asarray(clip[-1]))
+    assert pck(np.asarray(y), np.asarray(yd)) >= 0.99
+
+    # tuner on the sequential pose variant (scan-compatible runner)
+    specs = get_model("scene_tiny", num_classes=5, width=8)
+    net = convert(specs, (32, 48, 3), _cfg())
+    p2 = init_params(specs, (32, 48, 3), jax.random.PRNGKey(4))
+    # noise-free calibration: small taus keep the metric perfect while the
+    # static background goes fully sparse, so the tuner must find a >1x
+    # reduction operating point within budget
+    calib = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=1,
+                                          seed=5)).clip(6)
+    res = tune(net, p2, calib, functools.partial(miou, num_classes=5),
+               tau_grid=(0.01, 0.05, 0.3), budgets=(0.0, 0.05), budget=0.05)
+    assert 1.0 - res.metric <= 0.05 + 1e-9
+    assert res.flop_reduction > 1.0
+    assert max(res.thresholds) > 0.0
+
+
+def test_config4_multistream_scan_pipeline():
+    """configs[4]: multi-stream batched pipeline with lax.scan state."""
+    specs = get_model("scene_tiny", num_classes=5, width=8)
+    net = convert(specs, (32, 48, 3), _cfg(), thresholds=[0.02] * 4)
+    params = init_params(specs, (32, 48, 3), jax.random.PRNGKey(5))
+    runner = MultiStreamRunner(net, params, n_streams=8,
+                               mesh=make_stream_mesh(8))
+    clips = np.stack([SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, seed=20 + s, n_sprites=1)).clip(4)
+        for s in range(8)])
+    ys, stats = runner.run_clip(jnp.asarray(clips))
+    assert ys.shape[:2] == (8, 4)
+    # every stream stayed sparse after its cold start
+    ct = np.asarray(stats[0]["computed_tiles"])  # (T, S)
+    assert (ct[1:] < int(np.max(np.asarray(stats[0]["n_tiles"])))).all()

@@ -79,7 +79,9 @@ def test_delta_pool_pallas_matches_jnp():
     rng = np.random.default_rng(2)
     H, W, C = 32, 48, 8
     g = conv_tile_geometry((H, W, C), (2, 2), (2, 2), (1, 1), "VALID", 8, 8)
-    xp = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
+    xp = jnp.asarray(rng.standard_normal(
+        (H + g.pad_lo_h + g.pad_hi_h, W + g.pad_lo_w + g.pad_hi_w, C)
+    ).astype(np.float32))
     out0 = jnp.asarray(rng.standard_normal(
         (g.out_h_pad, g.out_w_pad, C)).astype(np.float32))
     mask = np.zeros((g.tiles_h, g.tiles_w), bool)
