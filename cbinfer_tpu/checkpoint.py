@@ -31,10 +31,16 @@ def save(path: str, params: Any, state: Optional[Any] = None,
     _checkpointer().save(os.path.abspath(path), ckpt, force=True)
 
 
-def restore(path: str) -> dict:
-    """Restore a checkpoint dict ({'params', 'state'?, 'extra'?})."""
-    restored = _checkpointer().restore(os.path.abspath(path))
-    return restored
+def restore(path: str, like: Optional[dict] = None) -> dict:
+    """Restore a checkpoint dict ({'params', 'state'?, 'extra'?}).
+
+    Pass ``like`` (a pytree with the same structure, e.g.
+    {'params': params, 'state': net.init_state()}) to restore custom pytree
+    node types (CBLayerState) instead of plain dicts.
+    """
+    if like is not None:
+        return _checkpointer().restore(os.path.abspath(path), item=like)
+    return _checkpointer().restore(os.path.abspath(path))
 
 
 def save_thresholds(path: str, thresholds, metadata: Optional[dict] = None):

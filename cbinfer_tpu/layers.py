@@ -70,15 +70,39 @@ def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
                               spec.padding, cfg.tile.tile_h, cfg.tile.tile_w)
 
 
+LANE = 128  # TPU lane width
+
+
+def lane_pad(c: int, cfg: PipelineConfig) -> int:
+    """Channel storage width. Pallas backend: Mosaic cannot slice VMEM
+    buffers whose minor (lane) dim is not a multiple of 128, so all CB
+    caches/weights are stored 128-lane padded (pad lanes carry zeros and can
+    never trigger detection — both caches agree there by construction).
+    jnp backend stores logical widths."""
+    if cfg.backend == "pallas":
+        return -(-c // LANE) * LANE
+    return c
+
+
+def pad_lanes(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+    if x.shape[-1] == c_pad:
+        return x
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, c_pad - x.shape[-1]),))
+
+
 def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
                   ) -> CBLayerState:
     """Allocate per-layer caches (HBM-resident across frames)."""
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
-    g = _geometry(spec, in_shape, cfg)
+    cin_pad = lane_pad(in_shape[2], cfg)
+    cout_pad = lane_pad(cout, cfg)
+    padded_in = (in_shape[0], in_shape[1], cin_pad)
+    g = _geometry(spec, padded_in, cfg)
     return CBLayerState(
-        in_cache=jnp.full(in_shape, detect.COLD_START_FILL, dtype=dtype),
-        out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout), dtype=dtype),
+        in_cache=jnp.full(padded_in, detect.COLD_START_FILL, dtype=dtype),
+        out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout_pad),
+                            dtype=dtype),
     )
 
 
@@ -202,6 +226,16 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
 
     Returns (y, state', stats, out_hint)."""
     w, b = params
+    cout = spec.features
+    cin_pad = lane_pad(x.shape[2], cfg)
+    cout_pad = lane_pad(cout, cfg)
+    if cin_pad != x.shape[2]:
+        x = pad_lanes(x, cin_pad)
+    if cin_pad != w.shape[2] or cout_pad != w.shape[3]:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
+                        (0, cout_pad - w.shape[3])))
+        if b is not None:
+            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
     g = _geometry(spec, x.shape, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
@@ -225,7 +259,9 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                                spec.activation, compute_dtype)
         return y.astype(out_cache.dtype)
 
-    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau, hint)
+    y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
+                                        dense_fn, tau, hint)
+    return y[..., :cout], st, stats, out_hint
 
 
 def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
@@ -234,6 +270,8 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
     """One frame through a change-based max-pool layer.
 
     Returns (y, state', stats, out_hint)."""
+    cout = x.shape[2]
+    x = pad_lanes(x, lane_pad(cout, cfg))
     g = _geometry(spec, x.shape, cfg)
 
     def pad_pool(v):
@@ -256,4 +294,6 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
         del idx, count
         return dense_pool(pad_pool(in_cache), g).astype(out_cache.dtype)
 
-    return _run_gated(spec, state, x, g, cfg, tile_fn, dense_fn, tau, hint)
+    y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
+                                        dense_fn, tau, hint)
+    return y[..., :cout], st, stats, out_hint

@@ -16,11 +16,9 @@ pixels onto rows/columns and marks the affected output tiles of THIS layer
 directly in a VMEM-resident (tiles_h, tiles_w) mask, written once at the
 end. Detection cost is proportional to the change rate, not the frame area.
 
-The row x column projection over-approximates within one 8x8 hint tile
-(the marked tile set is {a: rows(a) hit} x {b: cols(b) hit} instead of the
-exact pixel dilation). The mask stays a conservative SUPERSET, so outputs
-remain value-exact (golden.py invariant); the extra recompute is at most a
-few tiles per dirty corner.
+The fused dilation is EXACT: per hint tile, the affected-output-tile block
+is sum_{r,c} M1[a,r] * changed[r,c] * M2[c,b] > 0 with window-indicator
+matrices M1/M2 — two tiny MXU matmuls, no pixel mask ever touches HBM.
 
 Alignment notes (Mosaic): (H, W, C) slices need 8-aligned W offsets/sizes
 and full C — hint tiles are 8x8 with W % 8 == 0 enforced by the caller;
@@ -111,30 +109,28 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
         copy_out(slot, i).start()
 
         # ---- fused dilation: mark affected output tiles of this layer ----
+        # Out tile (a, b) reads unpadded input rows [a*th*sh - pad_lo_h,
+        # +win_h) x cols likewise; it is affected iff a changed pixel lies
+        # in that window. Computed EXACTLY as two tiny matmuls with window-
+        # indicator matrices (pure vector/MXU ops — Mosaic has no lane
+        # broadcast of vector-derived scalars):
+        #   contrib[a, b] = sum_{r,c} M1[a,r] * changed[r,c] * M2[c,b] > 0
         oy, ox = origins(i)
-        # out tile (a, b) reads padded-input rows [a*th*sh, +win_h) i.e.
-        # unpadded rows [a*th*sh - pad_lo_h, ...). Affected iff any changed
-        # row/col of this hint tile falls in that window.
-        a_start = (jax.lax.broadcasted_iota(jnp.int32,
-                                            (g.tiles_h, g.tiles_w), 0)
+        a_start = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, HINT), 0)
                    * (g.th * sh) - g.pad_lo_h)
-        b_start = (jax.lax.broadcasted_iota(jnp.int32,
-                                            (g.tiles_h, g.tiles_w), 1)
+        r_ids = jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, HINT), 1) + oy
+        m1 = ((a_start <= r_ids) & (r_ids < a_start + g.win_h)
+              ).astype(jnp.float32)
+        b_start = (jax.lax.broadcasted_iota(jnp.int32, (HINT, g.tiles_w), 1)
                    * (g.tw * sw) - g.pad_lo_w)
-        row_hit = jnp.zeros((g.tiles_h, g.tiles_w), jnp.bool_)
-        col_hit = jnp.zeros((g.tiles_h, g.tiles_w), jnp.bool_)
-        for r in range(HINT):
-            y = oy + r
-            hit = jnp.any(changed[r, :])
-            row_hit = jnp.logical_or(
-                row_hit, hit & (a_start <= y) & (y < a_start + g.win_h))
-        for c in range(HINT):
-            xcol = ox + c
-            hit = jnp.any(changed[:, c])
-            col_hit = jnp.logical_or(
-                col_hit, hit & (b_start <= xcol) & (xcol < b_start + g.win_w))
-        mask_ref[:] = jnp.maximum(
-            mask_ref[:], (row_hit & col_hit).astype(jnp.float32))
+        c_ids = jax.lax.broadcasted_iota(jnp.int32, (HINT, g.tiles_w), 0) + ox
+        m2 = ((b_start <= c_ids) & (c_ids < b_start + g.win_w)
+              ).astype(jnp.float32)
+        contrib = jnp.dot(jnp.dot(m1, changed.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32), m2,
+                          preferred_element_type=jnp.float32)
+        mask_ref[:] = jnp.maximum(mask_ref[:],
+                                  (contrib > 0).astype(jnp.float32))
 
     lax.fori_loop(0, m, body, None)
 

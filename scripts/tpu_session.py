@@ -20,6 +20,7 @@ H, W = 360, 640   # start at 360p for quicker iteration; 720p in bench.py
 BACKEND = sys.argv[1] if len(sys.argv) > 1 else "pallas"
 TILE = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 T = 16
+CHUNKS = 4  # timed steady-state chunks (distinct data each dispatch)
 
 specs = [
     ConvSpec(features=128, threshold=0.04),
@@ -37,20 +38,34 @@ net = convert(specs, (H, W, 3), cfg, dense_layers=[0])  # layer0: C=3, run dense
 params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
 print(f"model: {dense_flops(specs, (H,W,3))/1e9:.1f} GFLOP/frame dense, backend={BACKEND} tile={TILE}", flush=True)
 
-clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+video = SpriteVideo(SpriteVideoConfig(
     height=H, width=W, n_sprites=4, sprite_size=32, speed=4.0,
-    noise_std=0.002, seed=0)).clip(T))
+    noise_std=0.002, seed=0))
+clip = jnp.asarray(video.clip(T))
+# distinct continuation chunks: the runtime memoizes identical dispatches
+# AND the CB state is a fixed point under a repeated clip, so every timed
+# dispatch must see fresh frames.
+chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
 print("clip ready", flush=True)
 
-# dense baseline
+# dense baseline. NOTE: timing must put the frame loop INSIDE one jitted
+# dispatch and chain data dependence between reps — per-dispatch python
+# loops measure dispatch latency (or runtime caching), not device work.
+def dense_body(p, fs):
+    ys = jax.lax.map(lambda x: net.apply_dense(p, x), fs)
+    # chain: feed a scalar of the output back so reps can depend on it
+    return ys, jnp.sum(ys[-1]) * 0
+dense_scan = jax.jit(dense_body)
 t0=time.time()
-dense_scan = jax.jit(lambda p, fs: jax.lax.map(lambda x: net.apply_dense(p, x), fs))
-d = jax.block_until_ready(dense_scan(params, clip)); print(f"dense compile {time.time()-t0:.0f}s", flush=True)
+d, eps = jax.block_until_ready(dense_scan(params, clip))
+print(f"dense compile+run {time.time()-t0:.0f}s", flush=True)
 t0=time.time()
-for _ in range(3): d = dense_scan(params, clip)
-jax.block_until_ready(d)
-dense_fps = T*3/(time.time()-t0)
-print(f"dense: {dense_fps:.1f} fps ({1e3*3*T/ (time.time()-t0)/T/3:.2f} ms/frame)", flush=True)
+for ch in chunks:
+    d, eps = dense_scan(params, ch + eps)
+_ = float(jnp.sum(d[-1]))  # scalar fetch: block_until_ready is unreliable
+dense_ms = (time.time()-t0)/CHUNKS/T*1e3
+dense_fps = 1e3/dense_ms
+print(f"dense: {dense_fps:.1f} fps ({dense_ms:.3f} ms/frame)", flush=True)
 
 # CB path
 t0=time.time()
@@ -59,10 +74,12 @@ ys, state, stats = jax.block_until_ready(cb_scan(params, clip, net.init_state())
 print(f"cb compile+cold {time.time()-t0:.0f}s", flush=True)
 ys, state, stats = jax.block_until_ready(cb_scan(params, clip, state))  # steady state
 t0=time.time()
-for _ in range(3): ys, state, stats = cb_scan(params, clip, state)
-jax.block_until_ready(ys)
-cb_fps = T*3/(time.time()-t0)
-print(f"cb:    {cb_fps:.1f} fps  -> speedup {cb_fps/dense_fps:.2f}x", flush=True)
+for ch in chunks:
+    ys, state, stats = cb_scan(params, ch, state)  # streaming continuation
+_ = float(jnp.sum(ys[-1]))  # scalar fetch forces a real device sync
+cb_ms = (time.time()-t0)/CHUNKS/T*1e3
+cb_fps = 1e3/cb_ms
+print(f"cb:    {cb_fps:.1f} fps ({cb_ms:.3f} ms/frame) -> speedup {cb_fps/dense_fps:.2f}x", flush=True)
 ef = effective_flops(jax.device_get(stats), net.specs, (H,W,3), TILE, TILE)
 print(f"flop reduction: {ef['flop_reduction']:.2f}x", flush=True)
 m = miou(np.asarray(ys), np.asarray(d), 12)
