@@ -71,6 +71,12 @@ class ConvSpec:
     use_bias: bool = True
     threshold: float = 0.0
     use_cb: bool = True
+    # per-layer kernel backend override (None = inherit PipelineConfig).
+    # e.g. the first layer (cin=3) is better served by the XLA tile path:
+    # detection on 3 channels is cheap, lane-padding to 128 would inflate
+    # its cache 43x, and running it change-based (not dense) is what makes
+    # its consumer's detection sparse via the hint chain.
+    backend: Optional[str] = None
     kind: str = "conv"
 
     def __post_init__(self):
@@ -92,6 +98,7 @@ class PoolSpec:
     padding: str = "VALID"
     threshold: float = 0.0
     use_cb: bool = True
+    backend: Optional[str] = None  # see ConvSpec.backend
     kind: str = "pool"
 
     def __post_init__(self):

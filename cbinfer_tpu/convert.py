@@ -101,7 +101,8 @@ class CBNet:
 def convert(specs: Sequence, in_shape: Tuple[int, int, int],
             cfg: Optional[PipelineConfig] = None,
             thresholds: Optional[Sequence[float]] = None,
-            dense_layers: Sequence[int] = ()) -> CBNet:
+            dense_layers: Sequence[int] = (),
+            backend_overrides: Optional[Dict[int, str]] = None) -> CBNet:
     """Convert a dense layer-spec chain into a change-based network.
 
     Args:
@@ -129,6 +130,8 @@ def convert(specs: Sequence, in_shape: Tuple[int, int, int],
                 ti += 1
             if i in dense_layers:
                 changes["use_cb"] = False
+            if backend_overrides and i in backend_overrides:
+                changes["backend"] = backend_overrides[i]
             spec = dataclasses.replace(spec, **changes) if changes else spec
         new_specs.append(spec)
     return CBNet(specs=tuple(new_specs), in_shape=tuple(in_shape), cfg=cfg)

@@ -41,7 +41,9 @@ from jax import lax
 
 from .config import ConvSpec, PipelineConfig, PoolSpec
 from .ops import compact, detect
-from .ops.delta_conv import (delta_conv_jnp, dense_conv_shifted, pad_input)
+from .ops.delta_conv import (delta_conv_jnp, dense_conv_shifted,
+                             make_storage, storage_interior,
+                             storage_update_interior)
 from .ops.delta_pool import delta_pool_jnp, dense_pool
 from .ops.geometry import TileGeometry, cdiv, conv_tile_geometry
 
@@ -93,14 +95,19 @@ def pad_lanes(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
 def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
                   ) -> CBLayerState:
     """Allocate per-layer caches (HBM-resident across frames)."""
+    if getattr(spec, "backend", None) is not None \
+            and spec.backend != cfg.backend:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, backend=spec.backend)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
     cin_pad = lane_pad(in_shape[2], cfg)
     cout_pad = lane_pad(cout, cfg)
     padded_in = (in_shape[0], in_shape[1], cin_pad)
     g = _geometry(spec, padded_in, cfg)
+    margin = NEG_FILL if isinstance(spec, PoolSpec) else 0.0
     return CBLayerState(
-        in_cache=jnp.full(padded_in, detect.COLD_START_FILL, dtype=dtype),
+        in_cache=make_storage(g, detect.COLD_START_FILL, margin, dtype),
         out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout_pad),
                             dtype=dtype),
     )
@@ -150,24 +157,27 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     if use_sparse:
         from .ops.pallas.detect import detect_sparse
         dcomp = compact.compact_mask(hint.mask, hint.mask.size)
-        new_cache, maskf, npix = detect_sparse(
+        new_storage, maskf, npix = detect_sparse(
             x, in_cache, tau, dcomp.idx, dcomp.count, g,
             interpret=cfg.interpret)
-        return new_cache, maskf > 0.5, npix[0], dcomp.count
-    new_cache, changed = detect.detect_and_update(x, in_cache, tau)
+        return new_storage, maskf > 0.5, npix[0], dcomp.count
+    # XLA path: detect against the storage interior, write back the interior
+    interior = storage_interior(in_cache, g)
+    new_interior, changed = detect.detect_and_update(x, interior, tau)
     if hint is not None:
         # even in XLA, clip detection to the hint (helps tests catch a
         # non-conservative hint: values must not depend on this)
         pix_hint = jnp.repeat(jnp.repeat(hint.mask, HINT_TILE, 0),
                               HINT_TILE, 1)[:H, :W]
         changed = jnp.logical_and(changed, pix_hint)
-        new_cache = jnp.where(changed[..., None], x.astype(new_cache.dtype),
-                              in_cache)
+        new_interior = jnp.where(changed[..., None],
+                                 x.astype(interior.dtype), interior)
+    new_storage = storage_update_interior(in_cache, new_interior, g)
     n_detect = (jnp.sum(hint.mask, dtype=jnp.int32) if hint is not None
                 else jnp.asarray(cdiv(H, HINT_TILE) * cdiv(W, HINT_TILE),
                                  jnp.int32))
     mask = detect.changed_tile_mask(changed, g)
-    return new_cache, mask, jnp.sum(changed, dtype=jnp.int32), n_detect
+    return new_storage, mask, jnp.sum(changed, dtype=jnp.int32), n_detect
 
 
 # ------------------------------ layer steps ---------------------------------
@@ -225,6 +235,9 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     """One frame through a change-based conv layer.
 
     Returns (y, state', stats, out_hint)."""
+    if spec.backend is not None and spec.backend != cfg.backend:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, backend=spec.backend)
     w, b = params
     cout = spec.features
     cin_pad = lane_pad(x.shape[2], cfg)
@@ -239,23 +252,48 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     g = _geometry(spec, x.shape, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
+    if cfg.backend == "dense_cached":
+        # detect + full dense conv FROM THE ACCEPTED CACHE every frame:
+        # value-exact by the out_cache == f(in_cache) invariant, produces
+        # the hint chain, zero gather/scatter machinery. The right mode for
+        # layers where CB bookkeeping outweighs the conv (e.g. cin=3 stems).
+        if tau is None:
+            tau = spec.threshold
+        storage, mask, n_pix, n_detect = _detect_and_mask(
+            x, state.in_cache, tau, g, cfg, hint)
+        y = dense_conv_shifted(storage, w, b, g, spec.activation,
+                               compute_dtype)
+        out_cache = y.astype(state.out_cache.dtype)
+        stats = {
+            "changed_tiles": jnp.sum(mask, dtype=jnp.int32),
+            "computed_tiles": jnp.asarray(g.n_tiles, jnp.int32),
+            "n_tiles": g.n_tiles,
+            "overflow": jnp.zeros((), bool),
+            "changed_pixels": n_pix,
+            "detect_tiles": n_detect,
+        }
+        yl = out_cache[:g.out_h, :g.out_w, :cout].astype(compute_dtype)
+        out_hint = _out_hint(mask, jnp.zeros((), bool), g)
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+            stats, out_hint
+
     if cfg.backend == "pallas":
         from .ops.pallas.delta_conv import delta_conv_pallas
 
-        def tile_fn(in_cache, idx, count, out_cache):
+        def tile_fn(storage, idx, count, out_cache):
             return delta_conv_pallas(
-                pad_input(in_cache, g), idx, w, b, out_cache, g,
+                storage, idx, w, b, out_cache, g,
                 spec.activation, compute_dtype, count=count,
                 interpret=cfg.interpret)
     else:
-        def tile_fn(in_cache, idx, count, out_cache):
+        def tile_fn(storage, idx, count, out_cache):
             del count  # jnp path relies on sentinel-drop instead
-            return delta_conv_jnp(pad_input(in_cache, g), idx, w, b,
+            return delta_conv_jnp(storage, idx, w, b,
                                   out_cache, g, spec.activation, compute_dtype)
 
-    def dense_fn(in_cache, idx, count, out_cache):
+    def dense_fn(storage, idx, count, out_cache):
         del idx, count
-        y = dense_conv_shifted(pad_input(in_cache, g), w, b, g,
+        y = dense_conv_shifted(storage, w, b, g,
                                spec.activation, compute_dtype)
         return y.astype(out_cache.dtype)
 
@@ -270,29 +308,27 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
     """One frame through a change-based max-pool layer.
 
     Returns (y, state', stats, out_hint)."""
+    if spec.backend is not None and spec.backend != cfg.backend:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, backend=spec.backend)
     cout = x.shape[2]
     x = pad_lanes(x, lane_pad(cout, cfg))
     g = _geometry(spec, x.shape, cfg)
 
-    def pad_pool(v):
-        return jnp.pad(v, ((g.pad_lo_h, g.pad_hi_h),
-                           (g.pad_lo_w, g.pad_hi_w), (0, 0)),
-                       constant_values=NEG_FILL)
-
     if cfg.backend == "pallas":
         from .ops.pallas.delta_pool import delta_pool_pallas
 
-        def tile_fn(in_cache, idx, count, out_cache):
-            return delta_pool_pallas(pad_pool(in_cache), idx, out_cache, g,
+        def tile_fn(storage, idx, count, out_cache):
+            return delta_pool_pallas(storage, idx, out_cache, g,
                                      count=count, interpret=cfg.interpret)
     else:
-        def tile_fn(in_cache, idx, count, out_cache):
+        def tile_fn(storage, idx, count, out_cache):
             del count
-            return delta_pool_jnp(pad_pool(in_cache), idx, out_cache, g)
+            return delta_pool_jnp(storage, idx, out_cache, g)
 
-    def dense_fn(in_cache, idx, count, out_cache):
+    def dense_fn(storage, idx, count, out_cache):
         del idx, count
-        return dense_pool(pad_pool(in_cache), g).astype(out_cache.dtype)
+        return dense_pool(storage, g).astype(out_cache.dtype)
 
     y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
                                         dense_fn, tau, hint)

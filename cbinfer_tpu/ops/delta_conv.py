@@ -26,15 +26,33 @@ from jax import lax
 from .geometry import TileGeometry
 
 
-def pad_input(x: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
-    """Apply the layer's explicit zero padding once, before gather."""
-    return jnp.pad(x, ((g.pad_lo_h, g.pad_hi_h), (g.pad_lo_w, g.pad_hi_w),
-                       (0, 0)))
+def make_storage(g: TileGeometry, fill, margin_fill, dtype) -> jnp.ndarray:
+    """Allocate the persistent spatially-padded input-cache storage: interior
+    (the logical map) = ``fill``; margins (conv zero padding / pool -inf,
+    plus DMA slack) = ``margin_fill``, written once and never again — no
+    per-frame pad copy (SURVEY.md §7 'in-place cache update')."""
+    st = jnp.full(g.store_shape, margin_fill, dtype)
+    interior = jnp.full((g.in_h, g.in_w, g.cin), fill, dtype)
+    return lax.dynamic_update_slice(st, interior,
+                                    (g.store_lo_h, g.store_lo_w, 0))
 
 
-def gather_windows(xp: jnp.ndarray, idx: jnp.ndarray, g: TileGeometry
+def storage_interior(storage: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
+    return lax.dynamic_slice(storage, (g.store_lo_h, g.store_lo_w, 0),
+                             (g.in_h, g.in_w, storage.shape[-1]))
+
+
+def storage_update_interior(storage: jnp.ndarray, interior: jnp.ndarray,
+                            g: TileGeometry) -> jnp.ndarray:
+    return lax.dynamic_update_slice(storage, interior,
+                                    (g.store_lo_h, g.store_lo_w, 0))
+
+
+def gather_windows(storage: jnp.ndarray, idx: jnp.ndarray, g: TileGeometry
                    ) -> jnp.ndarray:
-    """C4: gather (capacity, win_h, win_w, cin) input windows at tile ids.
+    """C4: gather (capacity, win_h, win_w, cin) input windows at tile ids
+    from the padded storage (tile (i, j)'s window starts at storage coords
+    (i*th*sh, j*tw*sw + dx0)).
 
     Sentinel ids (n_tiles) are clamped to tile 0 — their results are dropped
     at scatter, so the gathered garbage is harmless.
@@ -46,7 +64,8 @@ def gather_windows(xp: jnp.ndarray, idx: jnp.ndarray, g: TileGeometry
 
     def one(i, j):
         return lax.dynamic_slice(
-            xp, (i * g.th * sh, j * g.tw * sw, 0), (g.win_h, g.win_w, g.cin))
+            storage, (i * g.th * sh, j * g.tw * sw + g.dx0, 0),
+            (g.win_h, g.win_w, g.cin))
 
     return jax.vmap(one)(ti, tj)
 
@@ -113,29 +132,30 @@ def delta_conv_jnp(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
     return scatter_tiles(out_cache, idx, y_tiles, g)
 
 
-def dense_conv_shifted(xp: jnp.ndarray, w: jnp.ndarray,
+def dense_conv_shifted(storage: jnp.ndarray, w: jnp.ndarray,
                        b: Optional[jnp.ndarray], g: TileGeometry,
                        activation: Optional[str],
                        compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Full-map conv with the tile path's exact accumulation order.
+    """Full-map conv over the padded storage with the tile path's exact
+    accumulation order.
 
-    Used for the capacity-overflow dense fallback; value-exact vs the tile
-    path because fp32 accumulation visits (dy, dx) in the same order over
-    the same cin contractions.
+    Used for the capacity-overflow dense fallback and the 'dense_cached'
+    layer mode; value-exact vs the tile path because fp32 accumulation
+    visits (dy, dx) in the same order over the same cin contractions.
     """
     kh, kw = g.kernel
     sh, sw = g.stride
     dh, dw = g.dilation
     cout = w.shape[-1]
-    xd = xp.astype(compute_dtype)
+    xd = storage.astype(compute_dtype)
     acc = jnp.zeros((g.out_h_pad * g.out_w_pad, cout), jnp.float32)
     for dy in range(kh):
         for dx in range(kw):
             patch = lax.slice(
                 xd,
-                (dy * dh, dx * dw, 0),
+                (dy * dh, g.dx0 + dx * dw, 0),
                 (dy * dh + (g.out_h_pad - 1) * sh + 1,
-                 dx * dw + (g.out_w_pad - 1) * sw + 1, g.cin),
+                 g.dx0 + dx * dw + (g.out_w_pad - 1) * sw + 1, g.cin),
                 (sh, sw, 1),
             ).reshape(g.out_h_pad * g.out_w_pad, g.cin)
             acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),

@@ -32,26 +32,26 @@ def pool_tiles(windows: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
     return y
 
 
-def delta_pool_jnp(xp: jnp.ndarray, idx: jnp.ndarray, out_cache: jnp.ndarray,
-                   g: TileGeometry) -> jnp.ndarray:
-    """Fused gather + pool + scatter, jnp backend."""
-    windows = gather_windows(xp, idx, g)
+def delta_pool_jnp(storage: jnp.ndarray, idx: jnp.ndarray,
+                   out_cache: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
+    """Fused gather + pool + scatter, jnp backend (reads padded storage)."""
+    windows = gather_windows(storage, idx, g)
     y_tiles = pool_tiles(windows, g)
     return scatter_tiles(out_cache, idx, y_tiles, g)
 
 
-def dense_pool(xp: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
-    """Full-map max pool on the (already padded) input."""
+def dense_pool(storage: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
+    """Full-map max pool over the padded storage."""
     kh, kw = g.kernel
     sh, sw = g.stride
     y = None
     for dy in range(kh):
         for dx in range(kw):
             patch = lax.slice(
-                xp,
-                (dy, dx, 0),
+                storage,
+                (dy, g.dx0 + dx, 0),
                 (dy + (g.out_h_pad - 1) * sh + 1,
-                 dx + (g.out_w_pad - 1) * sw + 1, xp.shape[-1]),
+                 g.dx0 + dx + (g.out_w_pad - 1) * sw + 1, storage.shape[-1]),
                 (sh, sw, 1))
             y = patch if y is None else jnp.maximum(y, patch)
     return y

@@ -53,15 +53,30 @@ class TileGeometry:
     # DMA window extents used by the Pallas kernels. Mosaic forbids strided
     # vector slices, so strided (dy, dx) phases are extracted by contiguous
     # slice + reshape-split, which needs th*sh (+ alignment) extra room:
-    win_h_dma: int   # >= kh-1 + th*sh
-    win_w_dma: int   # >= kw-1 + tw*sw, rounded up to 8 (DMA sublane align)
-    pad_lo_h: int    # input padding (explicit, applied before gather)
+    win_h_dma: int   # >= keff_h-1 + th*sh
+    win_w_dma: int   # >= dx0 + keff_w-1 + tw*sw, rounded to 8 (DMA align)
+    pad_lo_h: int    # LOGICAL conv padding (mask/dilation semantics)
     pad_hi_h: int
     pad_lo_w: int
     pad_hi_w: int
+    # PERSISTENT STORAGE margins: in_cache is stored spatially padded so no
+    # per-frame pad copy is needed. Top/left margins hold the conv zero
+    # padding; left margin is 8-aligned so the detect kernel's interior tile
+    # origins stay DMA-legal, and gathers absorb the residual shift dx0
+    # in-kernel. Margins are written once at init, never touched again.
+    store_lo_h: int  # == pad_lo_h
+    store_hi_h: int
+    store_lo_w: int  # == roundup(pad_lo_w, 8)
+    store_hi_w: int
+    dx0: int         # store_lo_w - pad_lo_w, in [0, 8)
     stride: Tuple[int, int]
     dilation: Tuple[int, int]
     kernel: Tuple[int, int]
+
+    @property
+    def store_shape(self) -> Tuple[int, int, int]:
+        return (self.in_h + self.store_lo_h + self.store_hi_h,
+                self.in_w + self.store_lo_w + self.store_hi_w, self.cin)
 
 
 def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
@@ -89,21 +104,26 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
     keff_w = (kw - 1) * dw + 1
     win_h = (th - 1) * sh + keff_h
     win_w = (tw - 1) * sw + keff_w
+    # storage margins (see TileGeometry doc): 8-aligned left margin
+    slo_h = plo_h
+    slo_w = ((plo_w + 7) // 8) * 8
+    dx0 = slo_w - plo_w
     # DMA extents: room for slice+reshape phase extraction (kernel offset up
-    # to keff-1, then th*sh rows reshape-split by sh), W rounded to 8 for the
-    # Mosaic sublane-alignment rule on HBM<->VMEM copies (H unconstrained,
-    # C slices full). Kernels ignore the excess rows/columns.
+    # to dx0 + keff-1, then th*sh rows reshape-split by sh), W rounded to 8
+    # for the Mosaic sublane-alignment rule on HBM<->VMEM copies (H is
+    # unconstrained, C slices full). Kernels ignore the excess rows/columns.
     win_h_dma = (keff_h - 1) + th * sh
-    win_w_dma = (((keff_w - 1) + tw * sw + 7) // 8) * 8
-    # ensure the last tile's window fits in the padded input
-    need_h = (Hop - th) * sh + win_h_dma
-    need_w = (Wop - tw) * sw + win_w_dma
-    phi_h = max(phi_h, need_h - H - plo_h)
-    phi_w = max(phi_w, need_w - W - plo_w)
+    win_w_dma = ((dx0 + (keff_w - 1) + tw * sw + 7) // 8) * 8
+    # storage extents must fit the last tile's DMA window; gather offsets in
+    # storage coords are (ti*th*sh, tj*tw*sw).
+    shi_h = max(0, (tiles_h - 1) * th * sh + win_h_dma - H - slo_h)
+    shi_w = max(0, (tiles_w - 1) * tw * sw + win_w_dma - W - slo_w)
     return TileGeometry(
         in_h=H, in_w=W, cin=C, out_h=Ho, out_w=Wo, out_h_pad=Hop,
         out_w_pad=Wop, th=th, tw=tw,
         tiles_h=tiles_h, tiles_w=tiles_w, n_tiles=tiles_h * tiles_w,
         win_h=win_h, win_w=win_w, win_h_dma=win_h_dma, win_w_dma=win_w_dma,
         pad_lo_h=plo_h, pad_hi_h=phi_h, pad_lo_w=plo_w, pad_hi_w=phi_w,
+        store_lo_h=slo_h, store_hi_h=shi_h, store_lo_w=slo_w,
+        store_hi_w=shi_w, dx0=dx0,
         stride=(sh, sw), dilation=(dh, dw), kernel=(kh, kw))

@@ -82,8 +82,8 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
         for dy in range(kh):
             for dx in range(kw):
                 patch = phase_slice(win, dy * g.dilation[0],
-                                    dx * g.dilation[1], g.th, g.tw, sh, sw
-                                    ).reshape(g.th * g.tw, g.cin)
+                                    g.dx0 + dx * g.dilation[1], g.th, g.tw,
+                                    sh, sw).reshape(g.th * g.tw, g.cin)
                 acc = acc + jnp.dot(patch, w_ref[dy, dx],
                                     preferred_element_type=jnp.float32)
         acc = acc + b_ref[0]

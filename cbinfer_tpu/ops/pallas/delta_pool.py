@@ -62,7 +62,7 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
         y = None
         for dy in range(kh):
             for dx in range(kw):
-                patch = phase_slice(win, dy, dx, g.th, g.tw, sh, sw)
+                patch = phase_slice(win, dy, g.dx0 + dx, g.th, g.tw, sh, sw)
                 y = patch if y is None else jnp.maximum(y, patch)
 
         @pl.when(i >= 2)

@@ -52,6 +52,7 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
     sh, sw = g.stride
 
     def origins(i):
+        """Logical pixel origin of hint tile i (clamped H edge; W aligned)."""
         t = idx_ref[i]
         hi = t // hint_tiles_w
         hj = t - hi * hint_tiles_w
@@ -61,17 +62,23 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
 
     def copy_in(slot, i, which):
         oy, ox = origins(i)
-        src = x_ref if which == 0 else cache_ref
-        buf = xbuf if which == 0 else cbuf
+        if which == 0:
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(oy, HINT), pl.ds(ox, HINT), :],
+                xbuf.at[slot], in_sems.at[slot, which])
+        # cache is the spatially-padded storage: interior starts at
+        # (store_lo_h, store_lo_w); store_lo_w is 8-aligned so ox stays legal
         return pltpu.make_async_copy(
-            src.at[pl.ds(oy, HINT), pl.ds(ox, HINT), :],
-            buf.at[slot], in_sems.at[slot, which])
+            cache_ref.at[pl.ds(g.store_lo_h + oy, HINT),
+                         pl.ds(g.store_lo_w + ox, HINT), :],
+            cbuf.at[slot], in_sems.at[slot, which])
 
     def copy_out(slot, i):
         oy, ox = origins(i)
         return pltpu.make_async_copy(
             wbuf.at[slot],
-            cache_ref.at[pl.ds(oy, HINT), pl.ds(ox, HINT), :],
+            cache_ref.at[pl.ds(g.store_lo_h + oy, HINT),
+                         pl.ds(g.store_lo_w + ox, HINT), :],
             out_sems.at[slot])
 
     mask_ref[:] = jnp.zeros_like(mask_ref)

@@ -34,7 +34,7 @@ specs = [
 ]
 cfg = PipelineConfig(tile=TileConfig(tile_h=TILE, tile_w=TILE, capacity_fraction=0.4),
                      backend=BACKEND)
-net = convert(specs, (H, W, 3), cfg, dense_layers=[0])  # layer0: C=3, run dense
+net = convert(specs, (H, W, 3), cfg, backend_overrides={0: "jnp"})  # layer0: C=3 via XLA tile path -> hint chain from the start
 params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
 print(f"model: {dense_flops(specs, (H,W,3))/1e9:.1f} GFLOP/frame dense, backend={BACKEND} tile={TILE}", flush=True)
 

@@ -14,7 +14,7 @@ from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, TileConfig
 from cbinfer_tpu.layers import cb_conv_apply, cb_layer_init, cb_pool_apply
 from cbinfer_tpu.ops.geometry import conv_tile_geometry
 from cbinfer_tpu.ops.compact import compact_mask
-from cbinfer_tpu.ops.delta_conv import delta_conv_jnp, pad_input
+from cbinfer_tpu.ops.delta_conv import delta_conv_jnp
 from cbinfer_tpu.ops.pallas.delta_conv import delta_conv_pallas
 from cbinfer_tpu.ops.pallas.delta_pool import delta_pool_pallas
 from cbinfer_tpu.ops.delta_pool import delta_pool_jnp
@@ -37,9 +37,7 @@ def test_delta_conv_pallas_matches_jnp(stride, k, cin, cout):
     rng = np.random.default_rng(0)
     H, W = 32, 48
     g = conv_tile_geometry((H, W, cin), (k, k), stride, (1, 1), "SAME", 8, 8)
-    xp = jnp.asarray(rng.standard_normal(
-        (H + g.pad_lo_h + g.pad_hi_h, W + g.pad_lo_w + g.pad_hi_w, cin)
-    ).astype(np.float32))
+    xp = jnp.asarray(rng.standard_normal(g.store_shape).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.2)
     b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
     out0 = jnp.asarray(rng.standard_normal(
@@ -66,7 +64,7 @@ def test_delta_conv_pallas_matches_jnp(stride, k, cin, cout):
 def test_delta_conv_pallas_count_zero_is_noop():
     rng = np.random.default_rng(1)
     g = conv_tile_geometry((16, 16, 8), (3, 3), (1, 1), (1, 1), "SAME", 8, 8)
-    xp = jnp.asarray(rng.standard_normal((18, 18, 8)).astype(np.float32))
+    xp = jnp.asarray(rng.standard_normal(g.store_shape).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((3, 3, 8, 8)).astype(np.float32))
     out0 = jnp.asarray(rng.standard_normal((16, 16, 8)).astype(np.float32))
     idx = jnp.full((4,), g.n_tiles, jnp.int32)
@@ -79,9 +77,7 @@ def test_delta_pool_pallas_matches_jnp():
     rng = np.random.default_rng(2)
     H, W, C = 32, 48, 8
     g = conv_tile_geometry((H, W, C), (2, 2), (2, 2), (1, 1), "VALID", 8, 8)
-    xp = jnp.asarray(rng.standard_normal(
-        (H + g.pad_lo_h + g.pad_hi_h, W + g.pad_lo_w + g.pad_hi_w, C)
-    ).astype(np.float32))
+    xp = jnp.asarray(rng.standard_normal(g.store_shape).astype(np.float32))
     out0 = jnp.asarray(rng.standard_normal(
         (g.out_h_pad, g.out_w_pad, C)).astype(np.float32))
     mask = np.zeros((g.tiles_h, g.tiles_w), bool)
@@ -162,3 +158,30 @@ def test_sparse_detect_chain_matches_golden():
             assert int(stats[1]["detect_tiles"]) < 24
             saw_sparse = True
     assert saw_sparse
+
+
+def test_mixed_backend_chain_matches_golden():
+    """Layer 0 on the jnp path (cin=3) feeding pallas layers via hints."""
+    from cbinfer_tpu.convert import convert
+    rng = np.random.default_rng(9)
+    w1 = rng.standard_normal((3, 3, 3, 8)).astype(np.float32) * 0.2
+    w2 = rng.standard_normal((3, 3, 8, 8)).astype(np.float32) * 0.2
+    specs = [
+        ConvSpec(features=8, threshold=0.02, use_bias=False),
+        ConvSpec(features=8, threshold=0.02, use_bias=False),
+    ]
+    params = [(jnp.asarray(w1), None), (jnp.asarray(w2), None)]
+    net = convert(specs, (32, 48, 3), _pallas_cfg(),
+                  backend_overrides={0: "jnp"})
+    assert net.specs[0].backend == "jnp"
+    gnet = golden.GoldenCBNet([(specs[0], (w1, None)), (specs[1], (w2, None))])
+    state = net.init_state()
+    assert state[0].in_cache.shape[-1] == 3      # jnp layer: no lane padding
+    assert state[1].in_cache.shape[-1] == 128    # pallas layer: padded
+    step = jax.jit(net.apply)
+    video = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                          seed=10))
+    for frame in video.frames(4):
+        y, state, stats = step(params, state, jnp.asarray(frame))
+        yg = gnet(frame)
+        np.testing.assert_allclose(np.asarray(y), yg, atol=5e-4)

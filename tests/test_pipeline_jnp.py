@@ -55,12 +55,15 @@ def test_conv_layer_matches_golden(stride, padding, dilation, k):
     jst = cb_layer_init(spec, (H, W, 3), cfg)
     gst = golden.GoldenLayerState()
     step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
+    from cbinfer_tpu.layers import _geometry
+    g = _geometry(spec, (H, W, 3), cfg)
     for frame in video.frames(5):
         yj, jst, stats, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4), (stride, padding)
-        np.testing.assert_allclose(np.asarray(jst.in_cache), gst.in_cache,
-                                   atol=1e-6)
+        interior = np.asarray(jst.in_cache)[
+            g.store_lo_h:g.store_lo_h + H, g.store_lo_w:g.store_lo_w + W]
+        np.testing.assert_allclose(interior, gst.in_cache, atol=1e-6)
 
 
 def test_tile_count_is_exact_minimal_cover():
