@@ -64,6 +64,10 @@ class CBNet:
         stats: List[Dict[str, Any]] = []
         cb_i = 0
         hint = None  # dirty hint chained between CB layers (layers.py doc)
+
+        def as_array(v):
+            return v.crop() if isinstance(v, L.Feature) else v
+
         for spec, p, st in zip(self.specs, params, state):
             tau = None
             if (thresholds is not None
@@ -75,7 +79,7 @@ class CBNet:
                     x, st, s, hint = L.cb_conv_apply(p, st, x, spec, self.cfg,
                                                      tau, hint)
                 else:
-                    x = network.dense_conv(x, p[0], p[1], spec,
+                    x = network.dense_conv(as_array(x), p[0], p[1], spec,
                                            jnp.dtype(self.cfg.compute_dtype))
                     s, hint = {}, None
             elif isinstance(spec, PoolSpec):
@@ -83,16 +87,16 @@ class CBNet:
                     x, st, s, hint = L.cb_pool_apply(st, x, spec, self.cfg,
                                                      tau, hint)
                 else:
-                    x = network.dense_pool(x, spec)
+                    x = network.dense_pool(as_array(x), spec)
                     s, hint = {}, None
             elif isinstance(spec, UpsampleSpec):
-                x = network.upsample(x, spec)
+                x = network.upsample(as_array(x), spec)
                 s, hint = {}, None
             else:
                 raise TypeError(spec)
             new_state.append(st)
             stats.append(s)
-        return x, new_state, stats
+        return as_array(x), new_state, stats
 
     def apply_dense(self, params: Sequence, x: jnp.ndarray) -> jnp.ndarray:
         return network.dense_apply(self.specs, params, x, self.cfg)

@@ -116,11 +116,15 @@ class CBGraphNet:
 
     def apply(self, params: Dict[str, Any], state: Dict[str, Any],
               x: jnp.ndarray, thresholds=None):
-        vals: Dict[str, jnp.ndarray] = {"input": x}
+        vals: Dict[str, Any] = {"input": x}
         hints: Dict[str, Optional[L.DirtyHint]] = {"input": None}
         new_state: Dict[str, Any] = {}
         stats: Dict[str, Dict] = {}
         cb_i = 0
+
+        def as_array(v):
+            return v.crop() if isinstance(v, L.Feature) else v
+
         for n in self.nodes:
             xin = vals[n.inputs[0]]
             hint = hints[n.inputs[0]]
@@ -131,8 +135,8 @@ class CBGraphNet:
                 tau = thresholds[cb_i]
                 cb_i += 1
             if isinstance(n.spec, ConcatSpec):
-                vals[n.name] = jnp.concatenate([vals[i] for i in n.inputs],
-                                               axis=-1)
+                vals[n.name] = jnp.concatenate(
+                    [as_array(vals[i]) for i in n.inputs], axis=-1)
                 in_hints = [hints[i] for i in n.inputs]
                 if any(h is None for h in in_hints):
                     hints[n.name] = None
@@ -150,8 +154,8 @@ class CBGraphNet:
                         tau, hint)
                 else:
                     y = network.dense_conv(
-                        xin, params[n.name][0], params[n.name][1], n.spec,
-                        jnp.dtype(self.cfg.compute_dtype))
+                        as_array(xin), params[n.name][0], params[n.name][1],
+                        n.spec, jnp.dtype(self.cfg.compute_dtype))
                     st, s, h = None, {}, None
                 vals[n.name], hints[n.name] = y, h
                 new_state[n.name], stats[n.name] = st, s
@@ -160,17 +164,17 @@ class CBGraphNet:
                     y, st, s, h = L.cb_pool_apply(state[n.name], xin, n.spec,
                                                   self.cfg, tau, hint)
                 else:
-                    y = network.dense_pool(xin, n.spec)
+                    y = network.dense_pool(as_array(xin), n.spec)
                     st, s, h = None, {}, None
                 vals[n.name], hints[n.name] = y, h
                 new_state[n.name], stats[n.name] = st, s
             elif isinstance(n.spec, UpsampleSpec):
-                vals[n.name] = network.upsample(xin, n.spec)
+                vals[n.name] = network.upsample(as_array(xin), n.spec)
                 hints[n.name] = None
                 new_state[n.name], stats[n.name] = None, {}
             else:
                 raise TypeError(n.spec)
-        return vals[self.output], new_state, stats
+        return as_array(vals[self.output]), new_state, stats
 
     def apply_dense(self, params: Dict[str, Any], x: jnp.ndarray):
         vals: Dict[str, jnp.ndarray] = {"input": x}

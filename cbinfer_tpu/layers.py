@@ -62,6 +62,30 @@ class DirtyHint(NamedTuple):
     mask: jnp.ndarray  # (ceil(H/8), ceil(W/8)) bool
 
 
+@struct.dataclass
+class Feature:
+    """A layer output in its PADDED storage form plus logical dims.
+
+    CB layers consume Features directly (their detect kernel reads logical
+    coordinates out of the padded array), so the crop slice between CB
+    layers is never materialized — XLA dead-code-eliminates it. Non-CB
+    consumers call .crop(). Logical dims are static pytree aux data.
+    """
+    data: jnp.ndarray  # (h_pad, w_pad, c_pad)
+    h: int = struct.field(pytree_node=False)
+    w: int = struct.field(pytree_node=False)
+    c: int = struct.field(pytree_node=False)
+
+    def crop(self) -> jnp.ndarray:
+        return self.data[:self.h, :self.w, :self.c]
+
+
+def _unwrap(x):
+    if isinstance(x, Feature):
+        return x.data, x.h, x.w, x.c
+    return x, x.shape[0], x.shape[1], x.shape[2]
+
+
 def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
               ) -> TileGeometry:
     if isinstance(spec, ConvSpec):
@@ -151,7 +175,9 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     (row x col projection within 8x8 hint tiles), which preserves
     value-exactness. All other paths: full-map XLA detect + reduce_window.
     """
-    H, W, _ = x.shape
+    # x may be a PADDED array wider than the logical dims (zero-copy
+    # handoff); logical extents come from the geometry.
+    H, W = g.in_h, g.in_w
     use_sparse = (cfg.backend == "pallas" and hint is not None
                   and H >= HINT_TILE and W % HINT_TILE == 0)
     if use_sparse:
@@ -162,6 +188,8 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
             interpret=cfg.interpret)
         return new_storage, maskf > 0.5, npix[0], dcomp.count
     # XLA path: detect against the storage interior, write back the interior
+    if x.shape[:2] != (H, W):
+        x = x[:H, :W]
     interior = storage_interior(in_cache, g)
     new_interior, changed = detect.detect_and_update(x, interior, tau)
     if hint is not None:
@@ -197,7 +225,13 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
         tau = spec.threshold
     in_cache, mask, n_pix, n_detect = _detect_and_mask(
         x, state.in_cache, tau, g, cfg, hint)
-    capacity = cfg.tile.capacity(g.n_tiles)
+    # Pallas: capacity is free — the kernel loop is bounded by the dynamic
+    # count, so a full-size index buffer costs only SMEM bytes, and the
+    # overflow cond (whose branch boundaries force whole-cache copies)
+    # disappears. The jnp path materializes `capacity` gathered windows, so
+    # it keeps the configured bound + dense fallback.
+    capacity = (g.n_tiles if cfg.backend == "pallas"
+                else cfg.tile.capacity(g.n_tiles))
     comp = compact.compact_mask(mask, capacity)
 
     if capacity >= g.n_tiles:
@@ -221,11 +255,11 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
         "changed_pixels": n_pix,
         "detect_tiles": n_detect,
     }
-    # caches are tile-grid padded; the layer's logical output is the crop
-    y = out_cache[:g.out_h, :g.out_w].astype(jnp.dtype(cfg.compute_dtype))
+    # caches are tile-grid padded; consumers receive the padded Feature and
+    # crop lazily (XLA eliminates the slice when the consumer is CB)
     out_hint = _out_hint(mask, overflow, g)
-    return y, CBLayerState(in_cache=in_cache, out_cache=out_cache), stats, \
-        out_hint
+    return None, CBLayerState(in_cache=in_cache, out_cache=out_cache), \
+        stats, out_hint
 
 
 def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
@@ -240,16 +274,19 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         cfg = _dc.replace(cfg, backend=spec.backend)
     w, b = params
     cout = spec.features
-    cin_pad = lane_pad(x.shape[2], cfg)
+    x, H, W, xc = _unwrap(x)
+    cin_pad = lane_pad(xc, cfg)
     cout_pad = lane_pad(cout, cfg)
-    if cin_pad != x.shape[2]:
+    if x.shape[2] < cin_pad:
         x = pad_lanes(x, cin_pad)
+    elif x.shape[2] > cin_pad:
+        x = x[..., :cin_pad]
     if cin_pad != w.shape[2] or cout_pad != w.shape[3]:
         w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
                         (0, cout_pad - w.shape[3])))
         if b is not None:
             b = jnp.pad(b, (0, cout_pad - b.shape[0]))
-    g = _geometry(spec, x.shape, cfg)
+    g = _geometry(spec, (H, W, cin_pad), cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     if cfg.backend == "dense_cached":
@@ -272,8 +309,8 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
             "changed_pixels": n_pix,
             "detect_tiles": n_detect,
         }
-        yl = out_cache[:g.out_h, :g.out_w, :cout].astype(compute_dtype)
         out_hint = _out_hint(mask, jnp.zeros((), bool), g)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
         return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
             stats, out_hint
 
@@ -299,7 +336,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
 
     y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
                                         dense_fn, tau, hint)
-    return y[..., :cout], st, stats, out_hint
+    return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint
 
 
 def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
@@ -307,13 +344,18 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
                   hint: Optional[DirtyHint] = None):
     """One frame through a change-based max-pool layer.
 
-    Returns (y, state', stats, out_hint)."""
+    Returns (y: Feature, state', stats, out_hint)."""
     if spec.backend is not None and spec.backend != cfg.backend:
         import dataclasses as _dc
         cfg = _dc.replace(cfg, backend=spec.backend)
-    cout = x.shape[2]
-    x = pad_lanes(x, lane_pad(cout, cfg))
-    g = _geometry(spec, x.shape, cfg)
+    x, H, W, xc = _unwrap(x)
+    cout = xc
+    cpad = lane_pad(cout, cfg)
+    if x.shape[2] < cpad:
+        x = pad_lanes(x, cpad)
+    elif x.shape[2] > cpad:
+        x = x[..., :cpad]
+    g = _geometry(spec, (H, W, cpad), cfg)
 
     if cfg.backend == "pallas":
         from .ops.pallas.delta_pool import delta_pool_pallas
@@ -332,4 +374,4 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
 
     y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
                                         dense_fn, tau, hint)
-    return y[..., :cout], st, stats, out_hint
+    return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint

@@ -164,10 +164,14 @@ def detect_sparse(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
 
     Returns (new_cache, out_tile_mask f32 (tiles_h, tiles_w),
              changed_pixels int32 (1,)).
+
+    ``x`` may be spatially padded beyond the logical (g.in_h, g.in_w);
+    only logical coordinates are read.
     """
-    H, W, C = x.shape
-    assert W % HINT == 0 and H >= HINT, (x.shape,)
-    hint_tiles_w = W // HINT
+    H, W = g.in_h, g.in_w
+    C = x.shape[-1]
+    assert W % HINT == 0 and H >= HINT, (x.shape, H, W)
+    hint_tiles_w = -(-W // HINT)
     tau_arr = jnp.asarray([tau], jnp.float32)
 
     kern = functools.partial(_sparse_kernel, H=H, W=W,

@@ -33,8 +33,9 @@ specs = [
     ConvSpec(features=12, kernel=(1,1), activation=None, threshold=0.04),
 ]
 cfg = PipelineConfig(tile=TileConfig(tile_h=TILE, tile_w=TILE, capacity_fraction=0.4),
-                     backend=BACKEND)
-net = convert(specs, (H, W, 3), cfg, backend_overrides={0: "jnp"})  # layer0: C=3 via XLA tile path -> hint chain from the start
+                     backend=BACKEND, compute_dtype="bfloat16",
+                     cache_dtype="bfloat16")
+net = convert(specs, (H, W, 3), cfg, backend_overrides={0: "dense_cached"})  # layer0: detect + dense-from-cache -> hint chain, no gather/scatter
 params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
 print(f"model: {dense_flops(specs, (H,W,3))/1e9:.1f} GFLOP/frame dense, backend={BACKEND} tile={TILE}", flush=True)
 
@@ -46,7 +47,11 @@ clip = jnp.asarray(video.clip(T))
 # AND the CB state is a fixed point under a repeated clip, so every timed
 # dispatch must see fresh frames.
 chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
-print("clip ready", flush=True)
+# force host->device transfer NOW (lazy transfers over the tunnel otherwise
+# land inside the timed loops; scalar-fetch is the only reliable sync)
+for ch in chunks:
+    _ = float(jnp.sum(ch))
+print("clip ready (device-resident)", flush=True)
 
 # dense baseline. NOTE: timing must put the frame loop INSIDE one jitted
 # dispatch and chain data dependence between reps — per-dispatch python

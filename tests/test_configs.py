@@ -45,7 +45,7 @@ def test_config0_single_conv_two_frame_pair():
         y, st, stats, _ = cb_conv_apply((w, b), st, jnp.asarray(f), spec,
                                         _cfg())
         yg, gst = golden.cb_conv_step(f, w, b, spec, gst)
-        np.testing.assert_allclose(np.asarray(y), yg, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(y.crop()), yg, atol=2e-4)
     # second frame recomputed only a small fraction
     assert int(stats["computed_tiles"]) < stats["n_tiles"] // 3
 

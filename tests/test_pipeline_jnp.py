@@ -60,7 +60,7 @@ def test_conv_layer_matches_golden(stride, padding, dilation, k):
     for frame in video.frames(5):
         yj, jst, stats, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
-        np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4), (stride, padding)
+        np.testing.assert_allclose(np.asarray(yj.crop() if hasattr(yj, 'crop') else yj), yg, atol=2e-4), (stride, padding)
         interior = np.asarray(jst.in_cache)[
             g.store_lo_h:g.store_lo_h + H, g.store_lo_w:g.store_lo_w + W]
         np.testing.assert_allclose(interior, gst.in_cache, atol=1e-6)
@@ -103,7 +103,7 @@ def test_capacity_overflow_dense_fallback_is_value_exact():
     for frame in video.frames(6):
         yj, jst, stats, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
-        np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(yj.crop() if hasattr(yj, 'crop') else yj), yg, atol=2e-4)
         saw_overflow |= bool(stats["overflow"])
         saw_tile_path |= not bool(stats["overflow"])
     assert saw_overflow and saw_tile_path  # both branches exercised
@@ -120,7 +120,7 @@ def test_pool_layer_matches_golden():
     for frame in video.frames(5):
         yj, jst, _, _ = step(jst, jnp.asarray(frame))
         yg, gst = golden.cb_pool_step(frame, spec, gst)
-        np.testing.assert_allclose(np.asarray(yj), yg, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(yj.crop() if hasattr(yj, 'crop') else yj), yg, atol=1e-6)
 
 
 def test_network_tau0_equals_dense_xla():
@@ -201,6 +201,7 @@ def test_non_divisible_output_dims_internal_padding():
     step = jax.jit(lambda s, x: cb_conv_apply((w, b), s, x, spec, cfg))
     for frame in video.frames(4):
         yj, jst, _, _ = step(jst, jnp.asarray(frame))
+        yj = yj.crop()
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         assert yj.shape == yg.shape
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
