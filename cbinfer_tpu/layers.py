@@ -298,8 +298,14 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
             tau = spec.threshold
         storage, mask, n_pix, n_detect = _detect_and_mask(
             x, state.in_cache, tau, g, cfg, hint)
-        y = dense_conv_shifted(storage, w, b, g, spec.activation,
-                               compute_dtype)
+        # XLA-native conv on the interior: the k^2 shifted-matmul form is
+        # right for tiles but materializes the full fp32 accumulator k^2
+        # times on a full map (~GBs of traffic); lax.conv fuses it.
+        from . import network as _net
+        interior = storage_interior(storage, g).astype(compute_dtype)
+        y = _net.dense_conv(interior, w, b, spec, compute_dtype)
+        y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                        (0, g.out_w_pad - g.out_w), (0, 0)))
         out_cache = y.astype(state.out_cache.dtype)
         stats = {
             "changed_tiles": jnp.sum(mask, dtype=jnp.int32),
