@@ -57,7 +57,7 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
     net = convert(specs, (H, W, 3), cfg, thresholds=[0.04] * 7,
-                  backend_overrides={0: "dense_cached"})
+                  dense_layers=[0])
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
 
     video = SpriteVideo(SpriteVideoConfig(

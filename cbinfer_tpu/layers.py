@@ -178,15 +178,23 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     # x may be a PADDED array wider than the logical dims (zero-copy
     # handoff); logical extents come from the geometry.
     H, W = g.in_h, g.in_w
-    use_sparse = (cfg.backend == "pallas" and hint is not None
-                  and H >= HINT_TILE and W % HINT_TILE == 0)
-    if use_sparse:
+    if (cfg.backend == "pallas" and hint is not None
+            and H >= HINT_TILE and W % HINT_TILE == 0):
         from .ops.pallas.detect import detect_sparse
         dcomp = compact.compact_mask(hint.mask, hint.mask.size)
         new_storage, maskf, npix = detect_sparse(
             x, in_cache, tau, dcomp.idx, dcomp.count, g,
             interpret=cfg.interpret)
         return new_storage, maskf > 0.5, npix[0], dcomp.count
+    if (cfg.backend == "pallas" and hint is None
+            and H % HINT_TILE == 0 and W % HINT_TILE == 0):
+        # hint-less layer (e.g. after a plain-dense stem): fused full-map
+        # banded detect instead of 3-4 XLA passes
+        from .ops.pallas.detect import detect_full_pallas
+        n_detect = jnp.asarray((H // HINT_TILE) * (W // HINT_TILE), jnp.int32)
+        new_storage, maskf, npix = detect_full_pallas(
+            x, in_cache, tau, g, interpret=cfg.interpret)
+        return new_storage, maskf > 0.5, npix[0], n_detect
     # XLA path: detect against the storage interior, write back the interior
     if x.shape[:2] != (H, W):
         x = x[:H, :W]

@@ -41,6 +41,151 @@ from ..geometry import TileGeometry
 HINT = 8  # hint tile side (pixels); fixed across the framework
 
 
+def _band_kernel(x_ref, cache_in_ref, tau_ref,        # inputs (HBM, HBM, SMEM)
+                 cache_ref, mask_ref, npix_ref,       # outputs
+                 xbuf, cbuf, wbuf, macc, in_sems, out_sems,
+                 *, g: TileGeometry, W: int, Wc: int, nbands: int,
+                 nchunks: int):
+    """Full-map detect+update+dilate, swept in (8, Wc) tiles with
+    double-buffered DMA. Used when a layer has no producer hint."""
+    del cache_in_ref  # aliased with cache_ref
+    n = nbands * nchunks
+
+    def origins(t):
+        i = t // nchunks
+        j = t - i * nchunks
+        return i * HINT, j * Wc
+
+    def copy_in(slot, t, which):
+        oy, ox = origins(t)
+        if which == 0:
+            return pltpu.make_async_copy(
+                x_ref.at[pl.ds(oy, HINT), pl.ds(ox, Wc), :],
+                xbuf.at[slot], in_sems.at[slot, which])
+        return pltpu.make_async_copy(
+            cache_ref.at[pl.ds(g.store_lo_h + oy, HINT),
+                         pl.ds(g.store_lo_w + ox, Wc), :],
+            cbuf.at[slot], in_sems.at[slot, which])
+
+    def copy_out(slot, t):
+        oy, ox = origins(t)
+        return pltpu.make_async_copy(
+            wbuf.at[slot],
+            cache_ref.at[pl.ds(g.store_lo_h + oy, HINT),
+                         pl.ds(g.store_lo_w + ox, Wc), :],
+            out_sems.at[slot])
+
+    macc[:] = jnp.zeros_like(macc)
+    npix_ref[0] = 0
+    copy_in(0, 0, 0).start()
+    copy_in(0, 0, 1).start()
+
+    def body(t, _):
+        slot = lax.rem(t, 2)
+
+        @pl.when(t + 1 < n)
+        def _():
+            copy_in(1 - slot, t + 1, 0).start()
+            copy_in(1 - slot, t + 1, 1).start()
+
+        copy_in(slot, t, 0).wait()
+        copy_in(slot, t, 1).wait()
+
+        x8 = xbuf[slot]
+        c8 = cbuf[slot]
+        diff = jnp.max(jnp.abs(x8.astype(jnp.float32)
+                               - c8.astype(jnp.float32)), axis=-1)
+        changed = diff > tau_ref[0]                  # (8, Wc)
+        npix_ref[0] += jnp.sum(changed.astype(jnp.int32))
+
+        @pl.when(t >= 2)
+        def _():
+            copy_out(slot, t - 2).wait()
+
+        wbuf[slot] = jnp.where(changed[..., None], x8, c8)
+        copy_out(slot, t).start()
+
+        # exact dilation via indicator matmuls (see _sparse_kernel)
+        oy, ox = origins(t)
+        a_start = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, HINT), 0)
+                   * (g.th * g.stride[0]) - g.pad_lo_h)
+        r_ids = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, HINT), 1)
+                 + oy)
+        m1 = ((a_start <= r_ids) & (r_ids < a_start + g.win_h)
+              ).astype(jnp.float32)
+        b_start = (jax.lax.broadcasted_iota(jnp.int32, (Wc, g.tiles_w), 1)
+                   * (g.tw * g.stride[1]) - g.pad_lo_w)
+        c_ids = (jax.lax.broadcasted_iota(jnp.int32, (Wc, g.tiles_w), 0)
+                 + ox)
+        m2 = ((b_start <= c_ids) & (c_ids < b_start + g.win_w)
+              ).astype(jnp.float32)
+        contrib = jnp.dot(jnp.dot(m1, changed.astype(jnp.float32),
+                                  preferred_element_type=jnp.float32), m2,
+                          preferred_element_type=jnp.float32)
+        macc[:] = jnp.maximum(macc[:], (contrib > 0).astype(jnp.float32))
+
+    lax.fori_loop(0, n, body, None)
+
+    @pl.when(n >= 2)
+    def _():
+        copy_out(lax.rem(n, 2), n - 2).wait()
+
+    copy_out(lax.rem(n - 1, 2), n - 1).wait()
+    mask_ref[:] = macc[:]
+
+
+def detect_full_pallas(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
+                       g: TileGeometry, *, interpret: bool = False,
+                       vmem_budget: int = 10 * 2**20):
+    """Fused full-map detect (C1+C2) for hint-less layers: one banded sweep
+    reads x + cache, updates the cache in place (aliased storage), and
+    accumulates the dilated changed-OUT-TILE mask in VMEM — replacing 3-4
+    separate XLA full-map passes. Bands are column-chunked to fit VMEM.
+    Returns (storage', mask f32, npix (1,))."""
+    H, W = g.in_h, g.in_w
+    C = x.shape[-1]
+    assert W % 8 == 0 and H % HINT == 0, (H, W)
+    nbands = H // HINT
+    itemsize = jnp.dtype(in_cache.dtype).itemsize
+    Wc = W
+    while 6 * HINT * Wc * C * itemsize > vmem_budget and Wc % 16 == 0:
+        Wc //= 2
+    nchunks = W // Wc
+    import functools as _ft
+    kern = _ft.partial(_band_kernel, g=g, W=W, Wc=Wc, nbands=nbands,
+                       nchunks=nchunks)
+    new_cache, mask, npix = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(in_cache.shape, in_cache.dtype),
+            jax.ShapeDtypeStruct((g.tiles_h, g.tiles_w), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, HINT, Wc, C), in_cache.dtype),
+            pltpu.VMEM((2, HINT, Wc, C), in_cache.dtype),
+            pltpu.VMEM((2, HINT, Wc, C), in_cache.dtype),
+            pltpu.VMEM((g.tiles_h, g.tiles_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(x.astype(in_cache.dtype), in_cache, jnp.asarray([tau], jnp.float32))
+    return new_cache, mask, npix
+
+
 def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
                    x_ref, cache_in_ref, tau_ref,      # tensors
                    cache_ref, mask_ref, npix_ref,     # outputs

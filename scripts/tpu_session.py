@@ -35,7 +35,7 @@ specs = [
 cfg = PipelineConfig(tile=TileConfig(tile_h=TILE, tile_w=TILE, capacity_fraction=0.4),
                      backend=BACKEND, compute_dtype="bfloat16",
                      cache_dtype="bfloat16")
-net = convert(specs, (H, W, 3), cfg, backend_overrides={0: "dense_cached"})  # layer0: detect + dense-from-cache -> hint chain, no gather/scatter
+net = convert(specs, (H, W, 3), cfg, dense_layers=[0])  # plain dense stem; L1 uses the fused full-map detect kernel
 params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
 print(f"model: {dense_flops(specs, (H,W,3))/1e9:.1f} GFLOP/frame dense, backend={BACKEND} tile={TILE}", flush=True)
 

@@ -185,3 +185,28 @@ def test_mixed_backend_chain_matches_golden():
         y, state, stats = step(params, state, jnp.asarray(frame))
         yg = gnet(frame)
         np.testing.assert_allclose(np.asarray(y), yg, atol=5e-4)
+
+
+def test_detect_full_pallas_matches_xla():
+    """Banded full-map fused detect vs the XLA detect + reduce_window path."""
+    from cbinfer_tpu.ops.pallas.detect import detect_full_pallas
+    from cbinfer_tpu.ops import detect as xdetect
+    from cbinfer_tpu.ops.delta_conv import make_storage, storage_interior
+    rng = np.random.default_rng(11)
+    H, W, C = 32, 48, 8
+    g = conv_tile_geometry((H, W, C), (3, 3), (1, 1), (1, 1), "SAME", 8, 8)
+    prev = rng.standard_normal((H, W, C)).astype(np.float32)
+    x = prev.copy()
+    x[5:11, 9:14] += 1.0  # a changed block
+    x = jnp.asarray(x)
+    st = make_storage(g, 0.0, 0.0, jnp.float32)
+    from cbinfer_tpu.ops.delta_conv import storage_update_interior
+    st = storage_update_interior(st, jnp.asarray(prev), g)
+    st2, maskf, npix = detect_full_pallas(x, st, 0.5, g, interpret=True)
+    # XLA reference
+    ref_cache, changed = xdetect.detect_and_update(x, jnp.asarray(prev), 0.5)
+    ref_mask = xdetect.changed_tile_mask(changed, g)
+    np.testing.assert_array_equal(np.asarray(maskf) > 0.5, np.asarray(ref_mask))
+    np.testing.assert_array_equal(
+        np.asarray(storage_interior(st2, g)), np.asarray(ref_cache))
+    assert int(npix[0]) == int(np.asarray(changed).sum()) > 0
