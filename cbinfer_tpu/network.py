@@ -69,8 +69,34 @@ def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
 
     The conv accumulates in fp32 internally either way; emitting the output
     directly in compute_dtype avoids materializing a full fp32 map + a
-    separate convert pass (measured ~1ms/frame at 360p x 128ch)."""
+    separate convert pass (measured ~1ms/frame at 360p x 128ch).
+
+    Small-cin stems (cin*k^2 <= 64, stride 1, SAME) go through an explicit
+    im2col matmul: XLA's N=1 HWC conv for cin=3 picks a T(2,128) layout with
+    several full-map copies (~5ms/frame at 720p); the im2col matmul avoids
+    the layout trap."""
     compute_dtype = jnp.dtype(compute_dtype)
+    kh, kw = spec.kernel
+    cin = w.shape[2]
+    if (cin * kh * kw <= 64 and spec.stride == (1, 1)
+            and spec.dilation == (1, 1) and spec.padding == "SAME"):
+        H, W, _ = x.shape
+        cout = w.shape[3]
+        plo_h, phi_h = (kh - 1) // 2, kh // 2
+        plo_w, phi_w = (kw - 1) // 2, kw // 2
+        xp = jnp.pad(x.astype(compute_dtype),
+                     ((plo_h, phi_h), (plo_w, phi_w), (0, 0)))
+        cols = [lax.slice(xp, (dy, dx, 0), (dy + H, dx + W, cin))
+                for dy in range(kh) for dx in range(kw)]
+        patches = jnp.concatenate(cols, axis=-1).reshape(H * W, kh * kw * cin)
+        y = jnp.dot(patches,
+                    w.astype(compute_dtype).reshape(kh * kw * cin, cout),
+                    preferred_element_type=compute_dtype)
+        if b is not None:
+            y = y + b.astype(compute_dtype)
+        if spec.activation == "relu":
+            y = jnp.maximum(y, jnp.asarray(0.0, compute_dtype))
+        return y.reshape(H, W, cout)
     y = lax.conv_general_dilated(
         x[None].astype(compute_dtype), w.astype(compute_dtype),
         window_strides=spec.stride, padding=spec.padding,

@@ -1,0 +1,101 @@
+"""CLI runner: convert a model, stream synthetic video, report results.
+
+Examples:
+  python scripts/run.py --model scene --height 360 --width 640 --frames 32
+  python scripts/run.py --model seg --backend pallas --tau 0.04 --bf16
+  python scripts/run.py --model scene --tune --budget 0.005
+"""
+
+import argparse
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="scene")
+    ap.add_argument("--width-mult", type=int, default=64,
+                    help="model channel width")
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--tau", type=float, default=0.04)
+    ap.add_argument("--tile", type=int, default=8)
+    ap.add_argument("--backend", default=None,
+                    help="pallas|jnp (default: pallas on TPU)")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--dense-stem", action="store_true", default=True)
+    ap.add_argument("--tune", action="store_true",
+                    help="run the threshold auto-tuner first")
+    ap.add_argument("--budget", type=float, default=0.005)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--json", action="store_true", help="JSON-only output")
+    args = ap.parse_args(argv)
+
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert, num_cb_layers
+    from cbinfer_tpu.metrics import effective_flops, miou
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.profiling import summarize_stats
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.tuner import tune
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    backend = args.backend or ("pallas" if on_tpu else "jnp")
+    dtype = "bfloat16" if args.bf16 else "float32"
+    specs = get_model(args.model, num_classes=args.classes,
+                      width=args.width_mult)
+    cfg = PipelineConfig(tile=TileConfig(args.tile, args.tile),
+                         backend=backend, compute_dtype=dtype,
+                         cache_dtype=dtype)
+    in_shape = (args.height, args.width, 3)
+    dense_layers = [0] if args.dense_stem else []
+    net = convert(specs, in_shape, cfg, dense_layers=dense_layers)
+    params = init_params(specs, in_shape, jax.random.PRNGKey(args.seed))
+    video = SpriteVideo(SpriteVideoConfig(
+        height=args.height, width=args.width, n_sprites=4,
+        sprite_size=max(16, args.height // 15), speed=4.0, noise_std=0.002,
+        seed=args.seed))
+    clip = jnp.asarray(video.clip(args.frames))
+
+    n_cb = num_cb_layers(net.specs)
+    taus = [args.tau] * n_cb
+    if args.tune:
+        res = tune(net, params, video.clip(max(8, args.frames // 2)),
+                   functools.partial(miou, num_classes=args.classes),
+                   budget=args.budget)
+        taus = res.thresholds
+        if not args.json:
+            print(f"tuned thresholds: {taus}")
+            print(f"tuner metric {res.metric:.4f}, "
+                  f"flop reduction {res.flop_reduction:.2f}x")
+
+    ys, state, stats = scan_video(net, params, clip,
+                                  thresholds=jnp.asarray(taus, jnp.float32))
+    dense = jnp.stack([net.apply_dense(params, f) for f in clip])
+    m = miou(np.asarray(ys), np.asarray(dense), args.classes)
+    ef = effective_flops(jax.device_get(stats), net.specs, in_shape,
+                         args.tile, args.tile)
+    out = {
+        "model": args.model, "backend": backend,
+        "miou_vs_dense": round(m, 4),
+        "flop_reduction": round(ef["flop_reduction"], 2),
+        "thresholds": [float(t) for t in taus],
+    }
+    print(json.dumps(out))
+    if not args.json:
+        print(summarize_stats(jax.device_get(stats), net.specs))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
