@@ -58,7 +58,15 @@ def main():
         cache_dtype="bfloat16" if on_tpu else "float32")
     net = convert(specs, (H, W, 3), cfg, thresholds=[0.04] * 7,
                   dense_layers=[0])
-    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+    # trained weights (scripts/train_scene.py) give realistic change rates
+    # and decision margins; fall back to random init if absent
+    try:
+        from cbinfer_tpu import checkpoint
+        params = checkpoint.restore("/root/repo/ckpts/scene_w128")["params"]
+        params = [tuple(p) if isinstance(p, (list, tuple)) else p
+                  for p in params]
+    except Exception:
+        params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
 
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,

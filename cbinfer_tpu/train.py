@@ -1,0 +1,93 @@
+"""In-repo weight training on synthetic video (SURVEY.md C17: "weights
+imported or synthetically trained").
+
+The reference uses pretrained torch checkpoints; this box has no datasets,
+so models are trained on the synthetic sprite videos' free ground truth
+(video.SpriteVideo.label). Trained weights give the networks real decision
+margins, which is what makes the accuracy-vs-threshold trade-off meaningful
+(random weights have near-zero logit gaps, so any tau drift flips argmaxes).
+
+Training runs the DENSE path (the CB path is inference-only, like the
+reference: no autograd through change-based execution).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .network import dense_apply, init_params, out_shapes
+from .video import SpriteVideo, SpriteVideoConfig
+
+
+def _label_at_stride(labels: jnp.ndarray, stride: int) -> jnp.ndarray:
+    return labels[:, ::stride, ::stride]
+
+
+def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
+                       num_classes: int, steps: int = 300,
+                       batch: int = 4, lr: float = 3e-3, seed: int = 0,
+                       n_videos: int = 8, verbose: bool = False):
+    """Train a spec-chain CNN to segment sprites on synthetic video.
+
+    Returns (params, final_accuracy). The output stride is inferred from the
+    spec chain; labels are subsampled to match.
+    """
+    H, W, _ = in_shape
+    oh, ow, oc = out_shapes(specs, in_shape)[-1]
+    assert oc == num_classes, (oc, num_classes)
+    stride = H // oh
+
+    rng = np.random.default_rng(seed)
+    videos = [SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=3 + int(rng.integers(0, 3)),
+        sprite_size=max(8, H // 10), speed=3.0, noise_std=0.002,
+        seed=seed * 100 + i)) for i in range(n_videos)]
+    data = [v.clip_with_labels(8) for v in videos]
+    frames = np.concatenate([d[0] for d in data])       # (N, H, W, 3)
+    labels = np.concatenate([d[1] for d in data])       # (N, H, W)
+
+    params = init_params(specs, in_shape, jax.random.PRNGKey(seed))
+    opt = optax.adam(lr)
+    # only conv layers have params; build a trainable pytree mask-free by
+    # optimizing the whole params list (None entries are static)
+    trainable = [p for p in params if p is not None]
+    opt_state = opt.init(trainable)
+
+    def rebuild(trainable):
+        out, it = [], iter(trainable)
+        for p in params:
+            out.append(next(it) if p is not None else None)
+        return out
+
+    def loss_fn(trainable, x, y):
+        full = rebuild(trainable)
+        logits = jax.vmap(lambda f: dense_apply(specs, full, f))(x)
+        yt = _label_at_stride(y, stride)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, yt)
+        return ce.mean(), logits
+
+    @jax.jit
+    def step_fn(trainable, opt_state, x, y):
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, x, y)
+        updates, opt_state = opt.update(grads, opt_state)
+        trainable = optax.apply_updates(trainable, updates)
+        acc = jnp.mean(jnp.argmax(logits, -1) == _label_at_stride(y, stride))
+        return trainable, opt_state, loss, acc
+
+    n = frames.shape[0]
+    acc = 0.0
+    for it in range(steps):
+        idx = rng.integers(0, n, batch)
+        x = jnp.asarray(frames[idx])
+        y = jnp.asarray(labels[idx])
+        trainable, opt_state, loss, acc = step_fn(trainable, opt_state, x, y)
+        if verbose and it % 50 == 0:
+            print(f"step {it}: loss {float(loss):.4f} acc {float(acc):.3f}",
+                  flush=True)
+    return rebuild(trainable), float(acc)

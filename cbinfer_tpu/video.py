@@ -97,6 +97,18 @@ class SpriteVideo:
             self.pos[low, d] *= -1
             self.pos[high, d] = 2 * lim - self.pos[high, d]
 
+    def label(self) -> np.ndarray:
+        """(H, W) int32 ground-truth segmentation: 0 = background,
+        1 + (sprite index % 7) = sprite class. The generator knows sprite
+        positions, so synthetic videos come with free supervision — used to
+        train in-repo weights (no datasets on this box)."""
+        cfg = self.cfg
+        lab = np.zeros((cfg.height, cfg.width), np.int32)
+        for i in range(cfg.n_sprites):
+            y, x = int(self.pos[i, 0]), int(self.pos[i, 1])
+            lab[y:y + cfg.sprite_size, x:x + cfg.sprite_size] = 1 + (i % 7)
+        return lab
+
     def frames(self, n: int) -> Iterator[np.ndarray]:
         for _ in range(n):
             yield self.frame()
@@ -105,6 +117,15 @@ class SpriteVideo:
     def clip(self, n: int) -> np.ndarray:
         """(n, H, W, C) float32 clip."""
         return np.stack(list(self.frames(n)))
+
+    def clip_with_labels(self, n: int):
+        """((n, H, W, C) float32, (n, H, W) int32)."""
+        fs, ls = [], []
+        for _ in range(n):
+            fs.append(self.frame())
+            ls.append(self.label())
+            self.step()
+        return np.stack(fs), np.stack(ls)
 
 
 def two_frame_pair(h: int = 24, w: int = 32, c: int = 3, moved_pixels: int = 64,

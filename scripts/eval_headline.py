@@ -1,0 +1,135 @@
+"""Headline evaluation: fps + accuracy + Pareto at 720p on the real chip.
+
+Produces RESULTS.json with, per model: dense fps, CB fps, speedup,
+effective-FLOP reduction, and metric-vs-dense at the operating thresholds;
+plus the tuner's Pareto samples for the scene model (the papers' headline
+figure, arXiv 1808.05488 §VI).
+"""
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cbinfer_tpu.config import PipelineConfig, TileConfig
+from cbinfer_tpu.convert import convert, num_cb_layers
+from cbinfer_tpu.metrics import effective_flops, miou, pck
+from cbinfer_tpu.models import get_model
+from cbinfer_tpu.network import init_params
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+
+def sync(v):
+    return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
+
+
+def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
+                classes=8, width=128, chunks=2, cache_dtype=None):
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    specs = get_model(name, num_classes=classes, width=width) \
+        if name != "pose" else get_model(name, width=width)
+    cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas" if on_tpu
+                         else "jnp",
+                         compute_dtype="bfloat16" if on_tpu else "float32",
+                         cache_dtype=cache_dtype or (
+                             "bfloat16" if on_tpu else "float32"))
+    # per-sync host-link overhead, subtracted from elapsed (see bench.py)
+    syncf = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
+    _ = float(syncf(jnp.ones((8, 128))))
+    t0 = time.perf_counter()
+    for _i in range(3):
+        _ = float(syncf(jnp.ones((8, 128))))
+    sync_overhead = (time.perf_counter() - t0) / 3
+    net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+    video = SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+        noise_std=0.002, seed=0))
+    clips = [jnp.asarray(video.clip(T)) for _ in range(chunks)]
+    for c in clips:
+        _ = float(jnp.sum(c))
+
+    taus = jnp.asarray([tau] * num_cb_layers(net.specs), jnp.float32)
+
+    def dense_body(p, fs):
+        ys = jax.lax.map(lambda x: net.apply_dense(p, x), fs)
+        return ys, jnp.sum(ys[-1]) * 0
+    dense_scan = jax.jit(dense_body)
+    d, eps = dense_scan(params, clips[0]); _ = sync(d)
+    t0 = time.perf_counter()
+    dense_outs = []
+    for c in clips:
+        d, eps = dense_scan(params, c + eps)
+        dense_outs.append(d)
+    _ = sync(d)
+    dense_fps = chunks * T / max(1e-9, time.perf_counter() - t0
+                                 - sync_overhead)
+
+    cb_scan = jax.jit(
+        lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
+                                         thresholds=tv),
+        donate_argnums=(2,))
+    ys, state, stats = cb_scan(params, clips[0], net.init_state(), taus)
+    _ = sync(ys)
+    t0 = time.perf_counter()
+    cb_outs = []
+    for c in clips:
+        ys, state, stats = cb_scan(params, c, state, taus)
+        cb_outs.append(ys)
+    _ = sync(ys)
+    cb_fps = chunks * T / max(1e-9, time.perf_counter() - t0
+                              - sync_overhead)
+
+    mfn = functools.partial(miou, num_classes=classes) if metric == "miou" \
+        else pck
+    mval = float(np.mean([mfn(np.asarray(a), np.asarray(b))
+                          for a, b in zip(cb_outs, dense_outs)]))
+    ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3), 8, 8)
+    row = {
+        "model": name, "resolution": f"{H}x{W}", "tau": tau,
+        "cache_dtype": cfg.cache_dtype,
+        "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
+        "speedup": round(cb_fps / dense_fps, 2),
+        "flop_reduction": round(ef["flop_reduction"], 2),
+        metric + "_vs_dense": round(mval, 4),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    results = {"rows": []}
+    which = sys.argv[1] if len(sys.argv) > 1 else "scene"
+    if which in ("scene", "all"):
+        for tau in (0.02, 0.04):
+            results["rows"].append(bench_model("scene", tau=tau))
+    if which == "scene_f32cache":
+        results["rows"].append(bench_model("scene", tau=0.02,
+                                           cache_dtype="float32"))
+    if which in ("seg", "all"):
+        results["rows"].append(bench_model("seg", tau=0.04, classes=12,
+                                           width=64))
+    if which in ("pose", "all"):
+        results["rows"].append(bench_model("pose", tau=0.04, metric="pck",
+                                           width=64, T=12))
+    try:
+        with open("/root/repo/RESULTS.json") as f:
+            prev = json.load(f)
+    except Exception:
+        prev = {"rows": []}
+    prev["rows"].extend(results["rows"])
+    with open("/root/repo/RESULTS.json", "w") as f:
+        json.dump(prev, f, indent=2)
+    print("written RESULTS.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Train scene CNN on synthetic sprites (TPU), save ckpt, eval CB accuracy."""
+import functools, json, time, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from cbinfer_tpu.config import PipelineConfig, TileConfig
+from cbinfer_tpu.convert import convert, num_cb_layers
+from cbinfer_tpu.metrics import effective_flops, miou
+from cbinfer_tpu.models import get_model
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.train import train_segmentation
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+from cbinfer_tpu import checkpoint
+
+NUM_CLASSES, WIDTH = 8, 128
+Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
+specs = get_model("scene", num_classes=NUM_CLASSES, width=WIDTH)
+t0 = time.time()
+params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
+                                 steps=300, batch=4, verbose=True)
+print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
+checkpoint.save("/root/repo/ckpts/scene_w128", params,
+                extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})
+
+# eval CB-vs-dense at 720p with trained weights
+H, W, T = 720, 1280, 24
+cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
+                     compute_dtype="bfloat16", cache_dtype="bfloat16")
+net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
+video = SpriteVideo(SpriteVideoConfig(height=H, width=W, n_sprites=4,
+                                      sprite_size=72, speed=4.0,
+                                      noise_std=0.002, seed=123))
+clips = [jnp.asarray(video.clip(T)) for _ in range(2)]
+for c in clips: _ = float(jnp.sum(c))
+for tau in (0.02, 0.05, 0.1):
+    taus = jnp.asarray([tau] * num_cb_layers(net.specs), jnp.float32)
+    cb_scan = jax.jit(lambda p, fs, st, tv: scan_video(net, p, fs, state=st, thresholds=tv),
+                      donate_argnums=(2,))
+    state = net.init_state()
+    outs, douts = [], []
+    dense_scan = jax.jit(lambda p, fs: jax.lax.map(lambda x: net.apply_dense(p, x), fs))
+    for c in clips:
+        ys, state, stats = cb_scan(params, c, state, taus)
+        outs.append(np.asarray(ys))
+        douts.append(np.asarray(dense_scan(params, c)))
+    m = float(np.mean([miou(a, b, NUM_CLASSES) for a, b in zip(outs, douts)]))
+    ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3), 8, 8)
+    print(json.dumps({"tau": tau, "miou_vs_dense": round(m, 4),
+                      "flop_reduction": round(ef["flop_reduction"], 2)}), flush=True)
