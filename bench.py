@@ -60,13 +60,16 @@ def main():
                   dense_layers=[0])
     # trained weights (scripts/train_scene.py) give realistic change rates
     # and decision margins; fall back to random init if absent
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
     try:
-        from cbinfer_tpu import checkpoint
-        params = checkpoint.restore("/root/repo/ckpts/scene_w128")["params"]
-        params = [tuple(p) if isinstance(p, (list, tuple)) else p
-                  for p in params]
+        flat = np.load("/root/repo/ckpts/scene_w128.npz")
+        params = [
+            (jnp.asarray(flat[f"w{i}"]),
+             jnp.asarray(flat[f"b{i}"]) if f"b{i}" in flat else None)
+            if p is not None else None
+            for i, p in enumerate(params)]
     except Exception:
-        params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+        pass
 
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,

@@ -19,6 +19,14 @@ params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/scene_w128", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})
+# flat npz for fast dependency-free loading (bench.py)
+flat = {}
+for i, pr in enumerate(params):
+    if pr is not None:
+        flat[f"w{i}"] = np.asarray(pr[0])
+        if pr[1] is not None:
+            flat[f"b{i}"] = np.asarray(pr[1])
+np.savez("/root/repo/ckpts/scene_w128.npz", **flat)
 
 # eval CB-vs-dense at 720p with trained weights
 H, W, T = 720, 1280, 24
