@@ -31,13 +31,29 @@ def save(path: str, params: Any, state: Optional[Any] = None,
     _checkpointer().save(os.path.abspath(path), ckpt, force=True)
 
 
-def restore(path: str, like: Optional[dict] = None) -> dict:
+def restore(path: str, like: Optional[dict] = None,
+            as_numpy: bool = False) -> dict:
     """Restore a checkpoint dict ({'params', 'state'?, 'extra'?}).
 
     Pass ``like`` (a pytree with the same structure, e.g.
     {'params': params, 'state': net.init_state()}) to restore custom pytree
     node types (CBLayerState) instead of plain dicts.
+
+    ``as_numpy=True`` restores arrays as host numpy, ignoring the device
+    shardings recorded at save time — required when restoring a checkpoint
+    saved on a different topology (e.g. TPU-saved params loaded in a
+    CPU-platform process). Needs ``like``.
     """
+    import numpy as np
+    if as_numpy:
+        import orbax.checkpoint as ocp
+        if like is None:
+            raise ValueError("as_numpy=True requires a `like` template")
+        restore_args = jax.tree.map(
+            lambda leaf: ocp.RestoreArgs(restore_type=np.ndarray)
+            if hasattr(leaf, "shape") else ocp.RestoreArgs(), like)
+        return _checkpointer().restore(
+            os.path.abspath(path), item=like, restore_args=restore_args)
     if like is not None:
         return _checkpointer().restore(os.path.abspath(path), item=like)
     return _checkpointer().restore(os.path.abspath(path))

@@ -13,8 +13,10 @@ Pipelining: input DMAs are double-buffered one tile ahead of compute; output
 DMAs are double-buffered one tile behind. Weights live in VMEM for the whole
 kernel ((kh*kw*cin)*cout * 4B; fits for all model-zoo layers).
 
-Restrictions (fall back to the jnp path otherwise, handled by layers.py):
-dilation == 1. Strided convs are supported via strided in-VMEM slicing.
+Strided convs are supported via strided in-VMEM slicing; dilated convs via
+dilation-scaled tap offsets in the phase_slice (the gather window already
+includes the dilated receptive-field halo from TileGeometry). Both are
+covered by tests/test_pallas_kernels.py.
 """
 
 from __future__ import annotations

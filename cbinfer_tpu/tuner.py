@@ -23,8 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .config import ConvSpec, PoolSpec
 from .convert import CBNet, num_cb_layers
-from .metrics import effective_flops
+from .metrics import effective_flops, layer_flops_per_tile
 from .runner import scan_video
 
 
@@ -36,6 +37,9 @@ class TuneResult:
     sensitivity: Dict[int, List]       # layer -> [(tau, metric), ...]
     pareto: List[Dict]                 # [{budget, metric, flop_reduction,
                                        #   thresholds}, ...]
+    flop_frac: Dict[int, List] = dataclasses.field(default_factory=dict)
+                                       # layer -> computed-tile fraction per
+                                       # tau_grid entry (sensitivity sweep)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -89,35 +93,115 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         m = float(metric_fn(np.asarray(ys)[skip_frames:], dense_out))
         return m, stats
 
-    # ---- per-layer sensitivity ----
+    # Map CB-layer index -> spec index (stats are per spec) and per-layer
+    # dense-FLOP totals, the greedy objective's "gain" units.
+    cb_spec_idx = [i for i, s in enumerate(net.specs)
+                   if isinstance(s, (ConvSpec, PoolSpec)) and s.use_cb]
+    per_tile = layer_flops_per_tile(net.specs, net.in_shape,
+                                    net.cfg.tile.tile_h, net.cfg.tile.tile_w)
+
+    # ---- per-layer sensitivity (metric + computed-tile fraction) ----
     sensitivity: Dict[int, List] = {}
+    flop_frac: Dict[int, List] = {}
+    n_tiles_l: Dict[int, float] = {}
     for l in range(n_layers):
         curve = []
+        fracs = []
         for tau in tau_grid:
             taus = np.full((n_layers,), base_tau, np.float32)
             taus[l] = tau
-            m, _ = eval_taus(taus)
+            m, stats = eval_taus(taus)
+            s = stats[cb_spec_idx[l]]
+            nt = float(np.max(np.asarray(s["n_tiles"])))
+            n_tiles_l[l] = nt
+            # skip the cold-start frame: it is always fully computed
+            comp = np.asarray(s["computed_tiles"],
+                              np.float64)[skip_frames:]
+            fracs.append(float(np.mean(comp)) / max(nt, 1.0))
             curve.append((float(tau), m))
             if verbose:
-                print(f"layer {l} tau={tau:.3g}: metric={m:.4f}")
+                print(f"layer {l} tau={tau:.3g}: metric={m:.4f} "
+                      f"frac={fracs[-1]:.3f}")
         sensitivity[l] = curve
+        flop_frac[l] = fracs
 
-    # ---- budgeted selection + Pareto ----
+    # Dense FLOPs gated by layer l's own tau. Pool layers do no MACs
+    # themselves but their tau gates the downstream conv's sparsity — use
+    # half the next conv's total as the gain proxy so the greedy can still
+    # spend budget on them (the independence approximation of [CB19 §V]).
+    layer_gain_flops = []
+    for l in range(n_layers):
+        si = cb_spec_idx[l]
+        own = per_tile[si] * n_tiles_l[l]
+        if own == 0:
+            nxt = next((j for j in range(si + 1, len(net.specs))
+                        if per_tile[j] > 0), None)
+            own = 0.5 * per_tile[nxt] * n_tiles_l[l] if nxt is not None \
+                else 0.0
+        layer_gain_flops.append(own)
+
+    # ---- budgeted selection: greedy over the TOTAL budget ----
+    # State = per-layer grid position (-1 = base_tau). A move raises one
+    # layer to its next grid tau; its projected cost is that layer's
+    # incremental metric drop from the sensitivity curve (additive
+    # approximation), its gain the projected FLOPs saved. Take the best
+    # gain/cost move while the projected total stays within budget, then
+    # validate against the measured combined metric and back the budget off
+    # if the additive projection was optimistic — the returned point always
+    # meets the budget on the calibration clip.
     def select(b: float) -> np.ndarray:
-        per_layer = b / n_layers
+        pos = [-1] * n_layers
+        spent = 0.0
+        while True:
+            best = None
+            for l in range(n_layers):
+                j = pos[l] + 1
+                if j >= len(tau_grid):
+                    continue
+                prev_drop = (1.0 - sensitivity[l][pos[l]][1]) \
+                    if pos[l] >= 0 else 0.0
+                cost = max(0.0, (1.0 - sensitivity[l][j][1]) - prev_drop)
+                prev_frac = flop_frac[l][pos[l]] if pos[l] >= 0 else 1.0
+                gain = max(0.0, prev_frac - flop_frac[l][j]) \
+                    * layer_gain_flops[l]
+                if spent + cost > b + 1e-12 or gain <= 0.0:
+                    continue
+                ratio = gain / max(cost, 1e-9)
+                if best is None or ratio > best[0]:
+                    best = (ratio, l, j, cost)
+            if best is None:
+                break
+            _, l, j, cost = best
+            pos[l] = j
+            spent += cost
         taus = np.full((n_layers,), base_tau, np.float32)
-        for l, curve in sensitivity.items():
-            best = base_tau
-            for tau, m in curve:
-                if 1.0 - m <= per_layer:
-                    best = max(best, tau)
-            taus[l] = best
+        for l in range(n_layers):
+            if pos[l] >= 0:
+                taus[l] = tau_grid[pos[l]]
         return taus
+
+    def select_validated(b: float):
+        """Greedy-select, then shrink the projected budget until the
+        MEASURED combined drop fits within b (<= ~5 extra evals)."""
+        trial = b
+        taus = select(trial)
+        m, stats = eval_taus(taus)
+        tried = {tuple(taus)}
+        while 1.0 - m > b + 1e-9 and trial > b / 64:
+            trial /= 2.0
+            taus2 = select(trial)
+            if tuple(taus2) in tried:
+                continue
+            tried.add(tuple(taus2))
+            taus, (m, stats) = taus2, eval_taus(taus2)
+        if 1.0 - m > b + 1e-9:  # last resort: exact base point
+            taus = np.full((n_layers,), base_tau, np.float32)
+            m, stats = eval_taus(taus)
+        return taus, m, stats
 
     pareto = []
     for b in sorted(set(list(budgets) + [budget])):
-        taus = select(b)
-        m, stats = eval_taus(taus)
+        taus, m, stats = select_validated(b)
         ef = effective_flops(stats, net.specs, net.in_shape,
                              net.cfg.tile.tile_h, net.cfg.tile.tile_w)
         pareto.append({
@@ -137,4 +221,5 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         flop_reduction=chosen["flop_reduction"],
         sensitivity=sensitivity,
         pareto=pareto,
+        flop_frac=flop_frac,
     )

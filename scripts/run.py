@@ -32,7 +32,9 @@ def main(argv=None):
     ap.add_argument("--backend", default=None,
                     help="pallas|jnp (default: pallas on TPU)")
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--dense-stem", action="store_true", default=True)
+    ap.add_argument("--dense-stem", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run layer 0 dense (--no-dense-stem to disable)")
     ap.add_argument("--tune", action="store_true",
                     help="run the threshold auto-tuner first")
     ap.add_argument("--budget", type=float, default=0.005)
@@ -53,8 +55,11 @@ def main(argv=None):
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     backend = args.backend or ("pallas" if on_tpu else "jnp")
     dtype = "bfloat16" if args.bf16 else "float32"
-    specs = get_model(args.model, num_classes=args.classes,
-                      width=args.width_mult)
+    # pose_cnn has a fixed two-branch head (PAF + heatmap), no num_classes
+    specs = (get_model(args.model, width=args.width_mult)
+             if args.model == "pose" else
+             get_model(args.model, num_classes=args.classes,
+                       width=args.width_mult))
     cfg = PipelineConfig(tile=TileConfig(args.tile, args.tile),
                          backend=backend, compute_dtype=dtype,
                          cache_dtype=dtype)

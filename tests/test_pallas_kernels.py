@@ -27,16 +27,20 @@ def _pallas_cfg(th=8, tw=8, cap=1.0):
                           backend="pallas", interpret=True)
 
 
-@pytest.mark.parametrize("stride,k,cin,cout", [
-    ((1, 1), 3, 8, 16),
-    ((1, 1), 1, 8, 8),
-    ((2, 2), 3, 8, 16),
-    ((1, 1), 5, 4, 8),
+@pytest.mark.parametrize("stride,k,cin,cout,dilation", [
+    ((1, 1), 3, 8, 16, (1, 1)),
+    ((1, 1), 1, 8, 8, (1, 1)),
+    ((2, 2), 3, 8, 16, (1, 1)),
+    ((1, 1), 5, 4, 8, (1, 1)),
+    ((1, 1), 3, 8, 16, (2, 2)),   # seg model's dilated context conv shape
+    ((1, 1), 3, 4, 8, (3, 3)),
+    ((1, 1), 3, 128, 128, (1, 1)),  # realistic MXU-width channels
 ])
-def test_delta_conv_pallas_matches_jnp(stride, k, cin, cout):
+def test_delta_conv_pallas_matches_jnp(stride, k, cin, cout, dilation):
     rng = np.random.default_rng(0)
     H, W = 32, 48
-    g = conv_tile_geometry((H, W, cin), (k, k), stride, (1, 1), "SAME", 8, 8)
+    g = conv_tile_geometry((H, W, cin), (k, k), stride, dilation, "SAME",
+                           8, 8)
     xp = jnp.asarray(rng.standard_normal(g.store_shape).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32) * 0.2)
     b = jnp.asarray(rng.standard_normal((cout,)).astype(np.float32))
