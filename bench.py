@@ -46,13 +46,8 @@ def _load_params(specs, in_shape):
 
     params = init_params(specs, in_shape, jax.random.PRNGKey(0))
     try:
-        flat = np.load(NPZ)
-        params = [
-            (jnp.asarray(flat[f"w{i}"]),
-             jnp.asarray(flat[f"b{i}"]) if f"b{i}" in flat else None)
-            if p is not None else None
-            for i, p in enumerate(params)]
-        return params, "trained(npz)"
+        from cbinfer_tpu.checkpoint import load_npz_params
+        return load_npz_params(NPZ, params), "trained(npz)"
     except Exception as e:
         print(f"bench: npz weights unavailable ({e}); trying orbax",
               file=sys.stderr)

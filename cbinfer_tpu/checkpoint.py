@@ -59,6 +59,20 @@ def restore(path: str, like: Optional[dict] = None,
     return _checkpointer().restore(os.path.abspath(path))
 
 
+def load_npz_params(path: str, params_like):
+    """Load a flat ``w{i}``/``b{i}`` npz (written by scripts/train_*.py)
+    into a layer-params list shaped like ``params_like`` (None entries for
+    parameterless layers are preserved). Raises on missing file/keys."""
+    import jax.numpy as jnp
+    import numpy as np
+    flat = np.load(path)
+    return [
+        (jnp.asarray(flat[f"w{i}"]),
+         jnp.asarray(flat[f"b{i}"]) if f"b{i}" in flat else None)
+        if p is not None else None
+        for i, p in enumerate(params_like)]
+
+
 def save_thresholds(path: str, thresholds, metadata: Optional[dict] = None):
     """Persist a tuner result's tau vector as plain JSON next to benches."""
     import json

@@ -142,33 +142,35 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
 
     # ---- budgeted selection: greedy over the TOTAL budget ----
     # State = per-layer grid position (-1 = base_tau). A move raises one
-    # layer to its next grid tau; its projected cost is that layer's
-    # incremental metric drop from the sensitivity curve (additive
-    # approximation), its gain the projected FLOPs saved. Take the best
-    # gain/cost move while the projected total stays within budget, then
-    # validate against the measured combined metric and back the budget off
-    # if the additive projection was optimistic — the returned point always
-    # meets the budget on the calibration clip.
+    # layer to ANY higher grid tau (jumps, not just adjacent steps: metric
+    # curves are often non-monotone — a mid tau can cost more accuracy than
+    # a high one — and FLOP gains frequently appear only beyond several
+    # zero-gain grid points). A move's projected cost is the layer's metric
+    # drop delta from the sensitivity curve (additive approximation), its
+    # gain the projected FLOPs saved. Take the best gain/cost move while
+    # the projected total stays within budget, then validate against the
+    # measured combined metric and back the budget off if the projection
+    # was optimistic — the returned point always meets the budget on the
+    # calibration clip.
     def select(b: float) -> np.ndarray:
         pos = [-1] * n_layers
         spent = 0.0
         while True:
             best = None
             for l in range(n_layers):
-                j = pos[l] + 1
-                if j >= len(tau_grid):
-                    continue
                 prev_drop = (1.0 - sensitivity[l][pos[l]][1]) \
                     if pos[l] >= 0 else 0.0
-                cost = max(0.0, (1.0 - sensitivity[l][j][1]) - prev_drop)
                 prev_frac = flop_frac[l][pos[l]] if pos[l] >= 0 else 1.0
-                gain = max(0.0, prev_frac - flop_frac[l][j]) \
-                    * layer_gain_flops[l]
-                if spent + cost > b + 1e-12 or gain <= 0.0:
-                    continue
-                ratio = gain / max(cost, 1e-9)
-                if best is None or ratio > best[0]:
-                    best = (ratio, l, j, cost)
+                for j in range(pos[l] + 1, len(tau_grid)):
+                    cost = max(0.0,
+                               (1.0 - sensitivity[l][j][1]) - prev_drop)
+                    gain = max(0.0, prev_frac - flop_frac[l][j]) \
+                        * layer_gain_flops[l]
+                    if spent + cost > b + 1e-12 or gain <= 0.0:
+                        continue
+                    ratio = gain / max(cost, 1e-9)
+                    if best is None or ratio > best[0]:
+                        best = (ratio, l, j, cost)
             if best is None:
                 break
             _, l, j, cost = best

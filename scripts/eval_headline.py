@@ -1,15 +1,25 @@
-"""Headline evaluation: fps + accuracy + Pareto at 720p on the real chip.
+"""Headline evaluation: fps + accuracy + FLOPs at 720p on the real chip.
 
-Produces RESULTS.json with, per model: dense fps, CB fps, speedup,
-effective-FLOP reduction, and metric-vs-dense at the operating thresholds;
-plus the tuner's Pareto samples for the scene model (the papers' headline
-figure, arXiv 1808.05488 §VI).
+REGENERATES RESULTS.json from scratch (no appending — stale rows from old
+code versions must not survive) with, per workload family (SURVEY.md C17):
+dense fps, CB fps, speedup, effective-FLOP reduction, and metric-vs-dense
+at the operating thresholds.
+
+Weights: scene and seg load their in-repo-trained checkpoints
+(scripts/train_scene.py / train_seg.py); pose uses fixed-seed random weights
+(PRNGKey 0) — training an OpenPose-style net is out of scope on this box, so
+its PCK is CB-vs-dense agreement of the SAME random net, which is the
+well-defined part of the reference's pose evaluation (arXiv 1808.05488 §VI).
+Each row records its weight provenance.
 """
 
 import functools
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -20,11 +30,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from cbinfer_tpu.config import PipelineConfig, TileConfig
 from cbinfer_tpu.convert import convert, num_cb_layers
+from cbinfer_tpu.checkpoint import load_npz_params, load_thresholds
 from cbinfer_tpu.metrics import effective_flops, miou, pck
 from cbinfer_tpu.models import get_model
 from cbinfer_tpu.network import init_params
 from cbinfer_tpu.runner import scan_video
 from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
+       "seg": "/root/repo/ckpts/seg_w64.npz"}
+TAU_JSON = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
+            "seg": "/root/repo/ckpts/seg_w64_tau.json"}
 
 
 def sync(v):
@@ -50,6 +66,14 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     sync_overhead = (time.perf_counter() - t0) / 3
     net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+    weights = "random(PRNGKey 0)"
+    if name in NPZ:
+        try:
+            params = load_npz_params(NPZ[name], params)
+            weights = "trained(npz)"
+        except Exception as e:
+            print(f"eval: WARNING no trained weights for {name} ({e}); "
+                  "using random init", file=sys.stderr)
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=0))
@@ -57,7 +81,17 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     for c in clips:
         _ = float(jnp.sum(c))
 
-    taus = jnp.asarray([tau] * num_cb_layers(net.specs), jnp.float32)
+    n_cb = num_cb_layers(net.specs)
+    tau_list, tau_src = [tau] * n_cb, f"fixed({tau})"
+    if tau is None:
+        try:
+            tau_list, tau_src = load_thresholds(TAU_JSON[name]), "tuned"
+        except Exception as e:
+            print(f"eval: no tuned taus for {name} ({e}); tau=0.04",
+                  file=sys.stderr)
+            tau_list, tau_src = [0.04] * n_cb, "fixed(0.04)"
+    assert len(tau_list) == n_cb
+    taus = jnp.asarray(tau_list, jnp.float32)
 
     def dense_body(p, fs):
         ys = jax.lax.map(lambda x: net.apply_dense(p, x), fs)
@@ -94,7 +128,10 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
                           for a, b in zip(cb_outs, dense_outs)]))
     ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3), 8, 8)
     row = {
-        "model": name, "resolution": f"{H}x{W}", "tau": tau,
+        "model": name, "resolution": f"{H}x{W}",
+        "tau": tau_src if tau is None else tau,
+        "thresholds": [round(float(t), 4) for t in tau_list],
+        "weights": weights,
         "cache_dtype": cfg.cache_dtype,
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
@@ -106,28 +143,35 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
 
 
 def main():
-    results = {"rows": []}
+    results = {"rows": [], "note": (
+        "CB vs dense on identical 720p synthetic clips, one TPU v5e chip. "
+        "metric_vs_dense is agreement with the dense network's own output "
+        "(BASELINE.json definition). pose uses fixed-seed random weights "
+        "(see module docstring); scene/seg use in-repo-trained weights.")}
     which = sys.argv[1] if len(sys.argv) > 1 else "scene"
     if which in ("scene", "all"):
-        for tau in (0.02, 0.04):
-            results["rows"].append(bench_model("scene", tau=tau))
+        results["rows"].append(bench_model("scene", tau=None))   # tuned taus
+        results["rows"].append(bench_model("scene", tau=0.02))
     if which == "scene_f32cache":
         results["rows"].append(bench_model("scene", tau=0.02,
                                            cache_dtype="float32"))
     if which in ("seg", "all"):
-        results["rows"].append(bench_model("seg", tau=0.04, classes=12,
+        results["rows"].append(bench_model("seg", tau=None, classes=8,
                                            width=64))
     if which in ("pose", "all"):
         results["rows"].append(bench_model("pose", tau=0.04, metric="pck",
                                            width=64, T=12))
-    try:
-        with open("/root/repo/RESULTS.json") as f:
+    out = "/root/repo/RESULTS.json"
+    if which != "all" and os.path.exists(out):
+        # partial run: merge over same-model rows, keep others
+        with open(out) as f:
             prev = json.load(f)
-    except Exception:
-        prev = {"rows": []}
-    prev["rows"].extend(results["rows"])
-    with open("/root/repo/RESULTS.json", "w") as f:
-        json.dump(prev, f, indent=2)
+        keep = [r for r in prev.get("rows", [])
+                if r.get("model") not in {r2["model"]
+                                          for r2 in results["rows"]}]
+        results["rows"] = keep + results["rows"]
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
     print("written RESULTS.json", flush=True)
 
 

@@ -18,9 +18,28 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CBINFER_TPU_TESTS=1 keeps the real platform so @pytest.mark.tpu tests
+# (perf smoke, SURVEY.md §4 item 7) can drive the chip:
+#   CBINFER_TPU_TESTS=1 python -m pytest -m tpu tests/
+if not os.environ.get("CBINFER_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "tpu: needs the real TPU chip (run with "
+        "CBINFER_TPU_TESTS=1, excluded from CPU CI)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("CBINFER_TPU_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="TPU-only (set CBINFER_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")
