@@ -11,8 +11,15 @@ a random-weights or default-tau run is visible, never silent.
 Timing notes (hard-won; see scripts/tpu_session.py):
   * frame loops live INSIDE one jitted dispatch (lax.map / lax.scan) —
     python-loop dispatch timing measures tunnel latency or gets memoized;
-  * every timed dispatch sees fresh frames (the CB state is a fixed point
-    under a repeated clip, and the runtime memoizes identical dispatches);
+  * every timed dispatch sees fresh frames in ONE untimed->timed pass (the
+    CB state is a fixed point under a repeated clip, and the runtime
+    memoizes identical dispatches — distinct chunks make reuse impossible);
+  * NO host-side ops on big arrays inside the timed loop: an innocent
+    `chunk + eps` costs ~10 ms/frame of axon-tunnel serialization (measured
+    r2) and was inflating the r1 DENSE baseline ~2x. Data-dependence
+    chaining is therefore NOT used for dense; honesty comes from distinct
+    device-resident chunks instead. The CB path chains through its state
+    for free.
   * clips are forced device-resident (scalar-fetch) before timing;
   * block_until_ready is unreliable here — sync via scalar fetch.
 """
@@ -111,7 +118,8 @@ def main():
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
+    net = convert(specs, (H, W, 3), cfg,
+                  backend_overrides={0: "dense_cached"})
     params, weights_src = _load_params(specs, (H, W, 3))
     taus, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)
@@ -119,8 +127,10 @@ def main():
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=0))
+    warm_chunk = jnp.asarray(video.clip(T))  # warm-up only, never timed:
+    # a timed dispatch with args identical to the warm one gets memoized
     chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
-    for ch in chunks:
+    for ch in chunks + [warm_chunk]:
         _ = float(jnp.sum(ch))  # force device-resident
 
     # --- dense baseline ---
@@ -128,11 +138,11 @@ def main():
         ys = jax.lax.map(lambda x: net.apply_dense(p, x), fs)
         return ys, jnp.sum(ys[-1]) * 0
     dense_scan = jax.jit(dense_body)
-    d, eps = dense_scan(params, chunks[0])
+    d, _eps = dense_scan(params, warm_chunk)
     _ = float(jnp.sum(d[-1]))  # compile + warm
     t0 = time.perf_counter()
-    for ch in chunks:
-        d, eps = dense_scan(params, ch + eps)
+    for ch in chunks:  # distinct chunks, single pass: nothing to memoize
+        d, _eps = dense_scan(params, ch)
     _ = float(jnp.sum(d[-1]))
     dense_fps = CHUNKS * T / max(1e-9,
                                  time.perf_counter() - t0 - sync_overhead)
@@ -142,7 +152,7 @@ def main():
         lambda p, fs, st: scan_video(net, p, fs, state=st,
                                      thresholds=tau_vec),
         donate_argnums=(2,))
-    ys, state, stats = cb_scan(params, chunks[0], net.init_state())
+    ys, state, stats = cb_scan(params, warm_chunk, net.init_state())
     _ = float(jnp.sum(ys[-1]))  # compile + cold start + cache warm
     t0 = time.perf_counter()
     for ch in chunks:

@@ -99,13 +99,21 @@ def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
 LANE = 128  # TPU lane width
 
 
-def lane_pad(c: int, cfg: PipelineConfig) -> int:
-    """Channel storage width. Pallas backend: Mosaic cannot slice VMEM
-    buffers whose minor (lane) dim is not a multiple of 128, so all CB
+SMALL_C = 8  # conv inputs this narrow stay lane-unpadded (see lane_pad)
+
+
+def lane_pad(c: int, cfg: PipelineConfig, small_ok: bool = False) -> int:
+    """Channel storage width. Pallas backend: Mosaic cannot slot-slice VMEM
+    buffers whose minor (lane) dim is not a multiple of 128, so CB
     caches/weights are stored 128-lane padded (pad lanes carry zeros and can
     never trigger detection — both caches agree there by construction).
-    jnp backend stores logical widths."""
-    if cfg.backend == "pallas":
+
+    Exception (``small_ok``): conv INPUTS with c <= 8 (video stems) stay
+    unpadded — padding a 3-channel map to 128 lanes would make its cache
+    42x larger and its detect/gather HBM-bound; the delta-conv kernel
+    handles unaligned cin with a row-stacked double buffer, and detection
+    routes to the XLA path. jnp backend stores logical widths."""
+    if cfg.backend == "pallas" and not (small_ok and c <= SMALL_C):
         return -(-c // LANE) * LANE
     return c
 
@@ -125,7 +133,7 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
         cfg = _dc.replace(cfg, backend=spec.backend)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
-    cin_pad = lane_pad(in_shape[2], cfg)
+    cin_pad = lane_pad(in_shape[2], cfg, small_ok=isinstance(spec, ConvSpec))
     cout_pad = lane_pad(cout, cfg)
     padded_in = (in_shape[0], in_shape[1], cin_pad)
     g = _geometry(spec, padded_in, cfg)
@@ -178,7 +186,8 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     # x may be a PADDED array wider than the logical dims (zero-copy
     # handoff); logical extents come from the geometry.
     H, W = g.in_h, g.in_w
-    if (cfg.backend == "pallas" and hint is not None
+    lane_ok = x.shape[-1] % 128 == 0  # Mosaic detect kernels need full lanes
+    if (cfg.backend == "pallas" and hint is not None and lane_ok
             and H >= HINT_TILE and W % HINT_TILE == 0):
         from .ops.pallas.detect import detect_sparse
         dcomp = compact.compact_mask(hint.mask, hint.mask.size)
@@ -186,7 +195,7 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
             x, in_cache, tau, dcomp.idx, dcomp.count, g,
             interpret=cfg.interpret)
         return new_storage, maskf > 0.5, npix[0], dcomp.count
-    if (cfg.backend == "pallas" and hint is None
+    if (cfg.backend == "pallas" and hint is None and lane_ok
             and H % HINT_TILE == 0 and W % HINT_TILE == 0):
         # hint-less layer (e.g. after a plain-dense stem): fused full-map
         # banded detect instead of 3-4 XLA passes
@@ -283,7 +292,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     w, b = params
     cout = spec.features
     x, H, W, xc = _unwrap(x)
-    cin_pad = lane_pad(xc, cfg)
+    cin_pad = lane_pad(xc, cfg, small_ok=True)
     cout_pad = lane_pad(cout, cfg)
     if x.shape[2] < cin_pad:
         x = pad_lanes(x, cin_pad)

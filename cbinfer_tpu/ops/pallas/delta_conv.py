@@ -40,11 +40,25 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
             out_ref,                   # output (HBM/ANY, aliased to out_in)
             win_buf, y_buf, in_sems, out_sems,  # scratch
             *, g: TileGeometry, cout: int, activation: Optional[str],
-            compute_dtype):
+            compute_dtype, rowstack: bool = False):
     del out_in_ref  # same memory as out_ref; all access goes through out_ref
     kh, kw = g.kernel
     sh, sw = g.stride
     m = m_ref[0]
+
+    # Small-cin layers (e.g. a 3-channel video stem) keep UNPADDED lanes:
+    # Mosaic cannot slot-slice a VMEM buffer whose minor dim is not a
+    # 128-multiple, so the double buffer is ROW-stacked (2*win_h, win_w, C)
+    # and selected by a leading-dim offset instead of win_buf[slot].
+    def win_at(slot):
+        if rowstack:
+            return win_buf.at[pl.ds(slot * g.win_h_dma, g.win_h_dma)]
+        return win_buf.at[slot]
+
+    def win_val(slot):
+        if rowstack:
+            return win_buf[pl.ds(slot * g.win_h_dma, g.win_h_dma)]
+        return win_buf[slot]
 
     def in_copy(slot, i):
         t = idx_ref[i]
@@ -53,7 +67,7 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
         return pltpu.make_async_copy(
             xp_ref.at[pl.ds(ti * g.th * sh, g.win_h_dma),
                       pl.ds(tj * g.tw * sw, g.win_w_dma), :],
-            win_buf.at[slot],
+            win_at(slot),
             in_sems.at[slot])
 
     def out_copy(slot, i):
@@ -79,7 +93,7 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
 
         in_copy(slot, i).wait()
 
-        win = win_buf[slot].astype(compute_dtype)
+        win = win_val(slot).astype(compute_dtype)
         acc = jnp.zeros((g.th * g.tw, cout), jnp.float32)
         for dy in range(kh):
             for dx in range(kw):
@@ -133,13 +147,20 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
     if b is None:
         b = jnp.zeros((cout,), w.dtype)
 
+    # lane-unaligned cin (3-channel stems, narrow test nets) => row-stacked
+    # input double buffer (see _kernel.win_at)
+    rowstack = g.cin % 128 != 0
     kern = functools.partial(
         _kernel, g=g, cout=cout, activation=activation,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, rowstack=rowstack)
 
     flops_per_tile = 2 * g.th * g.tw * kh * kw * g.cin * cout
     cache_dtype = out_cache.dtype
 
+    win_scratch = (
+        pltpu.VMEM((2 * g.win_h_dma, g.win_w_dma, g.cin), xp.dtype)
+        if rowstack else
+        pltpu.VMEM((2, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -151,7 +172,7 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype),
+            win_scratch,
             pltpu.VMEM((2, g.th, g.tw, cout), cache_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

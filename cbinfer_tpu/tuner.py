@@ -114,8 +114,13 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             s = stats[cb_spec_idx[l]]
             nt = float(np.max(np.asarray(s["n_tiles"])))
             n_tiles_l[l] = nt
-            # skip the cold-start frame: it is always fully computed
-            comp = np.asarray(s["computed_tiles"],
+            # changed_tiles (the mask size), not computed_tiles: for
+            # dense_cached layers compute never shrinks but the mask is the
+            # dirty HINT gating all downstream detection, and for CB layers
+            # the two coincide — so the mask is the right sparsity proxy
+            # for the greedy's gain term everywhere.
+            # (skip the cold-start frame: it is always fully changed)
+            comp = np.asarray(s["changed_tiles"],
                               np.float64)[skip_frames:]
             fracs.append(float(np.mean(comp)) / max(nt, 1.0))
             curve.append((float(tau), m))
@@ -125,19 +130,39 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         sensitivity[l] = curve
         flop_frac[l] = fracs
 
-    # Dense FLOPs gated by layer l's own tau. Pool layers do no MACs
-    # themselves but their tau gates the downstream conv's sparsity — use
-    # half the next conv's total as the gain proxy so the greedy can still
-    # spend budget on them (the independence approximation of [CB19 §V]).
+    # Dense FLOPs gated by layer l's tau — the greedy's gain units.
+    # * regular CB conv: its own dense total.
+    # * pool: no MACs itself; its tau gates the next conv's sparsity — half
+    #   the next conv's total (independence approximation of [CB19 §V]).
+    # * dense_cached: computes its full conv every frame regardless of tau,
+    #   but its tau sizes the dirty HINT that gates detection and recompute
+    #   of EVERYTHING downstream — gain = the total downstream dense FLOPs.
+    #   (A tau=0 stem on noisy video emits a full-map hint and poisons the
+    #   whole chain's wall-clock; measured r2, bench at 0.44x vs 2.5x.)
+    from .network import out_shapes
+    shapes = [tuple(net.in_shape)] + list(out_shapes(net.specs,
+                                                     net.in_shape))
+    layer_total = []
+    for j, spec in enumerate(net.specs):
+        if isinstance(spec, ConvSpec):
+            kh_, kw_ = spec.kernel
+            oh, ow, _ = shapes[j + 1]
+            layer_total.append(2 * oh * ow * kh_ * kw_
+                               * shapes[j][2] * spec.features)
+        else:
+            layer_total.append(0)
     layer_gain_flops = []
     for l in range(n_layers):
         si = cb_spec_idx[l]
-        own = per_tile[si] * n_tiles_l[l]
-        if own == 0:
+        spec = net.specs[si]
+        if getattr(spec, "backend", None) == "dense_cached":
+            own = float(sum(layer_total[si + 1:]))
+        elif layer_total[si] > 0:
+            own = float(layer_total[si])
+        else:  # pool
             nxt = next((j for j in range(si + 1, len(net.specs))
-                        if per_tile[j] > 0), None)
-            own = 0.5 * per_tile[nxt] * n_tiles_l[l] if nxt is not None \
-                else 0.0
+                        if layer_total[j] > 0), None)
+            own = 0.5 * layer_total[nxt] if nxt is not None else 0.0
         layer_gain_flops.append(own)
 
     # ---- budgeted selection: greedy over the TOTAL budget ----

@@ -64,7 +64,8 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     for _i in range(3):
         _ = float(syncf(jnp.ones((8, 128))))
     sync_overhead = (time.perf_counter() - t0) / 3
-    net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
+    net = convert(specs, (H, W, 3), cfg,
+                  backend_overrides={0: "dense_cached"})
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
     weights = "random(PRNGKey 0)"
     if name in NPZ:
@@ -77,8 +78,9 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=0))
+    warm_clip = jnp.asarray(video.clip(T))  # warm-up only (memoization)
     clips = [jnp.asarray(video.clip(T)) for _ in range(chunks)]
-    for c in clips:
+    for c in clips + [warm_clip]:
         _ = float(jnp.sum(c))
 
     n_cb = num_cb_layers(net.specs)
@@ -93,15 +95,18 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     assert len(tau_list) == n_cb
     taus = jnp.asarray(tau_list, jnp.float32)
 
+    # No host-side ops on big arrays in the timed loop (`c + eps` costs
+    # ~10 ms/frame of tunnel serialization, measured r2); honesty against
+    # memoization comes from distinct chunks + a never-timed warm clip.
     def dense_body(p, fs):
         ys = jax.lax.map(lambda x: net.apply_dense(p, x), fs)
         return ys, jnp.sum(ys[-1]) * 0
     dense_scan = jax.jit(dense_body)
-    d, eps = dense_scan(params, clips[0]); _ = sync(d)
+    d, _eps = dense_scan(params, warm_clip); _ = sync(d)
     t0 = time.perf_counter()
     dense_outs = []
     for c in clips:
-        d, eps = dense_scan(params, c + eps)
+        d, _eps = dense_scan(params, c)
         dense_outs.append(d)
     _ = sync(d)
     dense_fps = chunks * T / max(1e-9, time.perf_counter() - t0
@@ -111,7 +116,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv),
         donate_argnums=(2,))
-    ys, state, stats = cb_scan(params, clips[0], net.init_state(), taus)
+    ys, state, stats = cb_scan(params, warm_clip, net.init_state(), taus)
     _ = sync(ys)
     t0 = time.perf_counter()
     cb_outs = []

@@ -1,0 +1,110 @@
+"""Perf experiments: stem policy and tile-size variants at 720p (C16/§7).
+
+Times the CB scan of the scene CNN under named configuration variants on
+identical clips, printing ms/frame for each — the measurement behind the
+optimization-ledger entries in RESULTS.md. Variants:
+
+  stem=dense         plain dense stem (no hint; L1 does full-map detect)
+  stem=dense_cached  stem detects on its 3-ch input + dense conv from the
+                     accepted cache, emitting a dirty hint so L1 detects
+                     sparsely (r1 measured this SLOWER pre-im2col; rematch)
+  tile=HxW           conv/pool tile size sweep (VERDICT r1 item 8)
+
+Usage: python scripts/exp_variants.py [stem|tile|all]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert, num_cb_layers
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    import bench as _bench
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    H, W, T, CHUNKS = 720, 1280, 32, 2
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    backend = "pallas" if on_tpu else "jnp"
+    specs = get_model("scene", num_classes=8, width=128)
+    params, wsrc = _bench._load_params(specs, (H, W, 3))
+
+    video = SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+        noise_std=0.002, seed=0))
+    chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
+    for ch in chunks:
+        _ = float(jnp.sum(ch))
+
+    sync = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
+    _ = float(sync(jnp.ones((8, 128))))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _ = float(sync(jnp.ones((8, 128))))
+    sync_overhead = (time.perf_counter() - t0) / 3
+
+    def cfg_for(tile_h=8, tile_w=8):
+        return PipelineConfig(
+            tile=TileConfig(tile_h=tile_h, tile_w=tile_w,
+                            capacity_fraction=0.375),
+            backend=backend,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            cache_dtype="bfloat16" if on_tpu else "float32")
+
+    def run(name, net):
+        taus = [0.04] * num_cb_layers(net.specs)
+        tv = jnp.asarray(taus, jnp.float32)
+        cb = jax.jit(lambda p, fs, st: scan_video(net, p, fs, state=st,
+                                                  thresholds=tv,
+                                                  collect_stats=False)[:2],
+                     donate_argnums=(2,))
+        ys, st = cb(params, chunks[0], net.init_state())
+        _ = float(jnp.sum(jax.tree.leaves(ys)[0][-1]))
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            for ch in chunks:
+                ys, st = cb(params, ch, st)
+            _ = float(jnp.sum(jax.tree.leaves(ys)[0][-1]))
+            best = min(best, time.perf_counter() - t0 - sync_overhead)
+        ms = 1e3 * best / (CHUNKS * T)
+        print(f"{name:<28} {ms:7.3f} ms/frame  "
+              f"({CHUNKS * T / best:7.1f} fps)", flush=True)
+        return ms
+
+    results = {}
+    if which in ("stem", "all"):
+        results["stem=dense"] = run(
+            "stem=dense (r1 policy)",
+            convert(specs, (H, W, 3), cfg_for(), dense_layers=[0]))
+        results["stem=dense_cached"] = run(
+            "stem=dense_cached (hinted)",
+            convert(specs, (H, W, 3), cfg_for(),
+                    backend_overrides={0: "dense_cached"}))
+    if which in ("tile", "all"):
+        for th, tw in ((8, 8), (8, 16), (16, 8), (16, 16)):
+            results[f"tile={th}x{tw}"] = run(
+                f"tile={th}x{tw}",
+                convert(specs, (H, W, 3), cfg_for(th, tw),
+                        dense_layers=[0]))
+    with open("/root/repo/EXP_variants.json", "w") as f:
+        json.dump({"weights": wsrc, "ms_per_frame": results}, f, indent=2)
+    print("wrote EXP_variants.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,17 +32,23 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def measure(fn_jit, args_list, sync_overhead, reps=2):
-    """Time fn_jit over the arg chunks; returns seconds per chunk-set."""
+def measure(step, chunks, carry, sync_overhead, reps=1):
+    """Time ``step(chunk, carry) -> (sync_arr, carry)`` over the chunks.
+
+    The carry (CB state) is donated inside step, so it must be re-threaded
+    between calls; returns (best seconds per chunk-sweep, final carry).
+    reps defaults to 1: a second carry-less (dense) rep would repeat
+    identical dispatches, which the runtime memoizes.
+    """
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = None
-        for a in args_list:
-            out = fn_jit(*a)
-        _ = float(jnp.sum(jax.tree.leaves(out)[0][-1]))
+        s = None
+        for ch in chunks:
+            s, carry = step(ch, carry)
+        _ = float(s[0])
         best = min(best, time.perf_counter() - t0 - sync_overhead)
-    return best
+    return best, carry
 
 
 def main(argv=None):
@@ -93,26 +99,42 @@ def main(argv=None):
     prev_cb = prev_dense = 0.0
     for k in range(1, len(specs) + 1):
         sub = specs[:k]
-        n_cb = num_cb_layers(convert(sub, (H, W, 3), cfg,
-                                     dense_layers=[0]).specs)
-        net = convert(sub, (H, W, 3), cfg, thresholds=[0.04] * n_cb,
+        # convert() consumes one threshold per RAW CB-able layer (incl. the
+        # layer dense_layers then forces dense)
+        net = convert(sub, (H, W, 3), cfg,
+                      thresholds=[0.04] * num_cb_layers(sub),
                       dense_layers=[0])
         p = params[:k]
 
-        cb = jax.jit(lambda pp, fs, st, _n=net: scan_video(
-            _n, pp, fs, state=st, collect_stats=False)[:2],
-            donate_argnums=(2,))
-        ys, st = cb(p, chunks[0], net.init_state())
-        _ = float(jnp.sum(jax.tree.leaves(ys)[0][-1]))
-        t_cb = measure(cb, [(p, ch, st) for ch in chunks], sync_overhead)
-        # state was donated; rebuild for safety of next use
-        del st
+        # Wide-prefix outputs are huge (stem: 720x1280x128 x T frames) —
+        # neither path may STACK per-frame outputs. Scans emit only one
+        # row-slice sum per frame; the last value is the sync scalar.
+        def cb_body(pp, fs, st, _n=net):
+            def step(carry, x):
+                y, st2, _ = _n.apply(pp, carry, x)
+                y = y.data if hasattr(y, "data") else y
+                return st2, jnp.sum(y[-1, :, 0].astype(jnp.float32))
+            st2, s = jax.lax.scan(step, st, fs)
+            return s[-1].reshape(1), st2
 
-        dn = jax.jit(lambda pp, fs, _n=net: jax.lax.map(
-            lambda x: _n.apply_dense(pp, x), fs))
+        cb = jax.jit(cb_body, donate_argnums=(2,))
+        s, st = cb(p, chunks[0], net.init_state())
+        _ = float(s[0])
+        t_cb, _st = measure(lambda ch, c: cb(p, ch, c), chunks, st,
+                            sync_overhead)
+
+        def dn_body(pp, fs, _n=net):
+            def step(carry, x):
+                y = _n.apply_dense(pp, x)
+                return carry, jnp.sum(y[-1, :, 0].astype(jnp.float32))
+            _, s = jax.lax.scan(step, 0, fs)
+            return s[-1].reshape(1)
+
+        dn = jax.jit(dn_body)
         d = dn(p, chunks[0])
-        _ = float(jnp.sum(d[-1]))
-        t_dense = measure(dn, [(p, ch) for ch in chunks], sync_overhead)
+        _ = float(d[0])
+        t_dense, _ = measure(lambda ch, c: (dn(p, ch), c), chunks, None,
+                             sync_overhead)
 
         rows.append({
             "k": k, "layer": type(specs[k - 1]).__name__,

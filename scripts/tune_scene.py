@@ -41,7 +41,8 @@ def main():
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
+    net = convert(specs, (H, W, 3), cfg,
+                  backend_overrides={0: "dense_cached"})
     params, weights_src = _bench._load_params(specs, (H, W, 3))
     assert weights_src != "random", "tune requires trained weights"
 
