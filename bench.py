@@ -118,8 +118,7 @@ def main():
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert(specs, (H, W, 3), cfg,
-                  backend_overrides={0: "dense_cached"})
+    net = convert(specs, (H, W, 3), cfg)  # layer 0 -> fused banded stem kernel (ops/pallas/stem.py)
     params, weights_src = _load_params(specs, (H, W, 3))
     taus, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)

@@ -99,21 +99,23 @@ def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
 LANE = 128  # TPU lane width
 
 
-SMALL_C = 8  # conv inputs this narrow stay lane-unpadded (see lane_pad)
-
-
-def lane_pad(c: int, cfg: PipelineConfig, small_ok: bool = False) -> int:
-    """Channel storage width. Pallas backend: Mosaic cannot slot-slice VMEM
-    buffers whose minor (lane) dim is not a multiple of 128, so CB
+def lane_pad(c: int, cfg: PipelineConfig) -> int:
+    """Channel storage width. Pallas backend: Mosaic cannot slice VMEM
+    buffers whose minor (lane) dim is not a multiple of 128, so all CB
     caches/weights are stored 128-lane padded (pad lanes carry zeros and can
     never trigger detection — both caches agree there by construction).
+    jnp backend stores logical widths.
 
-    Exception (``small_ok``): conv INPUTS with c <= 8 (video stems) stay
-    unpadded — padding a 3-channel map to 128 lanes would make its cache
-    42x larger and its detect/gather HBM-bound; the delta-conv kernel
-    handles unaligned cin with a row-stacked double buffer, and detection
-    routes to the XLA path. jnp backend stores logical widths."""
-    if cfg.backend == "pallas" and not (small_ok and c <= SMALL_C):
+    Small-cin stems (3 channels) CANNOT opt out of the padding on this
+    hardware generation: probed r2, Mosaic physically lane-pads rank-3
+    small-lane buffers in BOTH memory spaces (a (720,1280,3) VMEM scratch
+    is 42x its logical bytes and blows the ~16MB budget) and rejects
+    DMA-slicing of small-lane HBM memrefs entirely (even H-only slices),
+    so there is no layout in which a banded/per-tile small-cin delta-conv
+    kernel can reach its data — that is why cin=3 stems run as
+    ``dense_cached`` (XLA detect + XLA conv from the accepted cache, full
+    hint chain) rather than through a Pallas delta kernel."""
+    if cfg.backend == "pallas":
         return -(-c // LANE) * LANE
     return c
 
@@ -133,7 +135,7 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
         cfg = _dc.replace(cfg, backend=spec.backend)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
-    cin_pad = lane_pad(in_shape[2], cfg, small_ok=isinstance(spec, ConvSpec))
+    cin_pad = lane_pad(in_shape[2], cfg)
     cout_pad = lane_pad(cout, cfg)
     padded_in = (in_shape[0], in_shape[1], cin_pad)
     g = _geometry(spec, padded_in, cfg)
@@ -292,7 +294,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     w, b = params
     cout = spec.features
     x, H, W, xc = _unwrap(x)
-    cin_pad = lane_pad(xc, cfg, small_ok=True)
+    cin_pad = lane_pad(xc, cfg)
     cout_pad = lane_pad(cout, cfg)
     if x.shape[2] < cin_pad:
         x = pad_lanes(x, cin_pad)

@@ -111,6 +111,48 @@ def effective_flops(stats: List[Dict], specs: Sequence, in_shape,
     }
 
 
+def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
+                   tile_h: int, tile_w: int, balance: float = 500.0,
+                   cache_bytes: int = 2) -> Dict[str, float]:
+    """Roofline-aware cost model: FLOPs + detection TRAFFIC.
+
+    `effective_flops` prices only MACs, which misprices the pipeline:
+    detection is bandwidth-bound (it reads x + cache and writes the cache
+    at every visited tile), so a threshold setting that recomputes little
+    but forces wide detection looks great in FLOPs and terrible on the
+    clock (measured r2: a tau=0 stem scored 12x FLOP reduction and 0.44x
+    wall-clock). Here every visited detect tile is charged its bytes times
+    the machine balance (peak bf16 FLOPs / peak HBM bandwidth; ~500
+    flop/byte on v5e), converting traffic into FLOP-equivalents at the
+    roofline. The result tracks wall-clock well enough to drive the
+    threshold tuner's selection; the BASELINE 'flop_reduction' headline
+    stays pure-FLOP (effective_flops) for comparability.
+    """
+    from .network import out_shapes
+    per_tile = layer_flops_per_tile(specs, in_shape, tile_h, tile_w)
+    shapes = [tuple(in_shape)] + list(out_shapes(specs, in_shape))
+    dense_total = 0.0
+    eff_total = 0.0
+    for j, (spec, s, ft) in enumerate(zip(specs, stats, per_tile)):
+        if not s:
+            continue
+        n_tiles = float(np.max(np.asarray(s["n_tiles"])))
+        computed = float(np.mean(np.asarray(s["computed_tiles"],
+                                            np.float64)))
+        dense_total += ft * n_tiles
+        eff_total += computed * ft
+        # detection traffic: 2 reads + <=1 write of (8, 8, cin) per
+        # visited tile, in cache dtype
+        cin = shapes[j][2]
+        det = float(np.mean(np.asarray(s["detect_tiles"], np.float64)))
+        eff_total += det * 3 * 64 * cin * cache_bytes * balance
+    return {
+        "dense_flops_per_frame": float(dense_total),
+        "effective_cost_per_frame": float(eff_total),
+        "cost_reduction": float(dense_total / max(eff_total, 1.0)),
+    }
+
+
 def change_rate_histogram(stats: List[Dict]) -> List[Dict[str, float]]:
     """Per-layer mean/max changed-tile fraction over the clip [B:2]."""
     out = []

@@ -46,10 +46,14 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
     sh, sw = g.stride
     m = m_ref[0]
 
-    # Small-cin layers (e.g. a 3-channel video stem) keep UNPADDED lanes:
-    # Mosaic cannot slot-slice a VMEM buffer whose minor dim is not a
-    # 128-multiple, so the double buffer is ROW-stacked (2*win_h, win_w, C)
-    # and selected by a leading-dim offset instead of win_buf[slot].
+    # Lane-unaligned cin keeps UNPADDED lanes: Mosaic cannot slot-slice a
+    # VMEM buffer whose minor dim is not a 128-multiple, so the double
+    # buffer is ROW-stacked (2*win_h, win_w, C) and selected by a
+    # leading-dim offset instead of win_buf[slot]. NOTE: on the current
+    # hardware generation this path only runs under interpret=True (kernel
+    # unit tests) — Mosaic rejects DMA-slicing of small-lane HBM memrefs
+    # outright (probed r2), so layers.py lane-pads every real cache and
+    # routes small-cin stems to the dense_cached backend instead.
     def win_at(slot):
         if rowstack:
             return win_buf.at[pl.ds(slot * g.win_h_dma, g.win_h_dma)]

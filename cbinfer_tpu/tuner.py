@@ -25,7 +25,7 @@ import numpy as np
 
 from .config import ConvSpec, PoolSpec
 from .convert import CBNet, num_cb_layers
-from .metrics import effective_flops, layer_flops_per_tile
+from .metrics import effective_cost, effective_flops, layer_flops_per_tile
 from .runner import scan_video
 
 
@@ -165,81 +165,105 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             own = 0.5 * layer_total[nxt] if nxt is not None else 0.0
         layer_gain_flops.append(own)
 
-    # ---- budgeted selection: greedy over the TOTAL budget ----
-    # State = per-layer grid position (-1 = base_tau). A move raises one
-    # layer to ANY higher grid tau (jumps, not just adjacent steps: metric
-    # curves are often non-monotone — a mid tau can cost more accuracy than
-    # a high one — and FLOP gains frequently appear only beyond several
-    # zero-gain grid points). A move's projected cost is the layer's metric
-    # drop delta from the sensitivity curve (additive approximation), its
-    # gain the projected FLOPs saved. Take the best gain/cost move while
-    # the projected total stays within budget, then validate against the
-    # measured combined metric and back the budget off if the projection
-    # was optimistic — the returned point always meets the budget on the
-    # calibration clip.
-    def select(b: float) -> np.ndarray:
-        pos = [-1] * n_layers
-        spent = 0.0
-        while True:
-            best = None
-            for l in range(n_layers):
-                prev_drop = (1.0 - sensitivity[l][pos[l]][1]) \
-                    if pos[l] >= 0 else 0.0
-                prev_frac = flop_frac[l][pos[l]] if pos[l] >= 0 else 1.0
-                for j in range(pos[l] + 1, len(tau_grid)):
-                    cost = max(0.0,
-                               (1.0 - sensitivity[l][j][1]) - prev_drop)
-                    gain = max(0.0, prev_frac - flop_frac[l][j]) \
-                        * layer_gain_flops[l]
-                    if spent + cost > b + 1e-12 or gain <= 0.0:
-                        continue
-                    ratio = gain / max(cost, 1e-9)
-                    if best is None or ratio > best[0]:
-                        best = (ratio, l, j, cost)
-            if best is None:
-                break
-            _, l, j, cost = best
-            pos[l] = j
-            spent += cost
+    # ---- budgeted selection: MEASURED ratio-greedy over the TOTAL budget ----
+    # The per-layer independence approximation is unreliable here: layer
+    # taus are partial SUBSTITUTES (a producer's tau shrinks the hint that
+    # gates its consumers, so raising one layer changes every other layer's
+    # marginal value), and curves are non-monotone. So selection measures
+    # every accepted move on the combined network:
+    #   1. Candidate proposal (cheap, from the solo sensitivity curves):
+    #      per layer, the grid tau with the largest projected mask-fraction
+    #      gain whose SOLO drop fits the remaining measured budget.
+    #   2. Each candidate (current taus + that one change) is EVALUATED;
+    #      candidates violating the measured budget are discarded.
+    #   3. Accept the move with the best measured flop-gain / metric-drop
+    #      ratio; repeat until no candidate fits.
+    # Every accepted point is measured-valid: the returned operating point
+    # always meets the budget on the calibration clip. Cost: O(moves *
+    # n_layers) evals of one pre-compiled program.
+    def ef_of(stats) -> float:
+        # selection objective: roofline-aware cost (FLOPs + detect traffic)
+        # — pure FLOP reduction misprices bandwidth-bound detection and
+        # picks wall-clock-terrible operating points (metrics.py)
+        return effective_cost(stats, net.specs, net.in_shape,
+                              net.cfg.tile.tile_h,
+                              net.cfg.tile.tile_w)["cost_reduction"]
+
+    def flops_of(stats) -> float:
+        return effective_flops(stats, net.specs, net.in_shape,
+                               net.cfg.tile.tile_h,
+                               net.cfg.tile.tile_w)["flop_reduction"]
+
+    def candidates_for(pos, remaining):
+        out = []
+        for l in range(n_layers):
+            prev_drop = (1.0 - sensitivity[l][pos[l]][1]) \
+                if pos[l] >= 0 else 0.0
+            prev_frac = flop_frac[l][pos[l]] if pos[l] >= 0 else 1.0
+            best_j, best_gain = None, 0.0
+            for j in range(pos[l] + 1, len(tau_grid)):
+                solo_cost = max(0.0,
+                                (1.0 - sensitivity[l][j][1]) - prev_drop)
+                gain = max(0.0, prev_frac - flop_frac[l][j]) \
+                    * layer_gain_flops[l]
+                if solo_cost <= remaining + 1e-12 and gain > best_gain:
+                    best_j, best_gain = j, gain
+            if best_j is not None:
+                out.append((l, best_j))
+        return out
+
+    def taus_of(pos):
         taus = np.full((n_layers,), base_tau, np.float32)
         for l in range(n_layers):
             if pos[l] >= 0:
                 taus[l] = tau_grid[pos[l]]
         return taus
 
-    def select_validated(b: float):
-        """Greedy-select, then shrink the projected budget until the
-        MEASURED combined drop fits within b (<= ~5 extra evals)."""
-        trial = b
-        taus = select(trial)
-        m, stats = eval_taus(taus)
-        tried = {tuple(taus)}
-        while 1.0 - m > b + 1e-9 and trial > b / 64:
-            trial /= 2.0
-            taus2 = select(trial)
-            if tuple(taus2) in tried:
-                continue
-            tried.add(tuple(taus2))
-            taus, (m, stats) = taus2, eval_taus(taus2)
-        if 1.0 - m > b + 1e-9:  # last resort: exact base point
-            taus = np.full((n_layers,), base_tau, np.float32)
-            m, stats = eval_taus(taus)
-        return taus, m, stats
-
     pareto = []
+    pos = [-1] * n_layers
+    m_cur, stats_cur = eval_taus(taus_of(pos))
+    ef_cur = ef_of(stats_cur)
+    seen: Dict = {}
     for b in sorted(set(list(budgets) + [budget])):
-        taus, m, stats = select_validated(b)
-        ef = effective_flops(stats, net.specs, net.in_shape,
-                             net.cfg.tile.tile_h, net.cfg.tile.tile_w)
+        # warm-start each budget from the previous (smaller) solution
+        while True:
+            cands = candidates_for(pos, b - (1.0 - m_cur))
+            best = None
+            for l, j in cands:
+                trial = list(pos)
+                trial[l] = j
+                key = tuple(trial)
+                if key not in seen:
+                    seen[key] = eval_taus(taus_of(trial))
+                m, stats = seen[key]
+                if 1.0 - m > b + 1e-9:
+                    continue
+                gain = ef_of(stats) - ef_cur
+                if gain <= 1e-6:
+                    continue
+                drop = max(1e-9, (1.0 - m) - (1.0 - m_cur))
+                ratio = gain / drop
+                if best is None or ratio > best[0]:
+                    best = (ratio, l, j, m, stats)
+            if best is None:
+                break
+            _, l, j, m_cur, stats_cur = best
+            pos[l] = j
+            ef_cur = ef_of(stats_cur)
+            if verbose:
+                print(f"  accept layer {l} tau={tau_grid[j]:.3g}: "
+                      f"metric={m_cur:.4f} flops={ef_cur:.2f}x")
         pareto.append({
             "budget": float(b),
-            "metric": m,
-            "flop_reduction": ef["flop_reduction"],
-            "thresholds": [float(t) for t in taus],
+            "metric": m_cur,
+            "flop_reduction": flops_of(stats_cur),
+            "cost_reduction": ef_cur,
+            "thresholds": [float(t) for t in taus_of(pos)],
         })
         if verbose:
-            print(f"budget {b}: metric={m:.4f} "
-                  f"flop_reduction={ef['flop_reduction']:.2f}x")
+            print(f"budget {b}: metric={m_cur:.4f} "
+                  f"flops={pareto[-1]['flop_reduction']:.2f}x "
+                  f"cost={ef_cur:.2f}x")
 
     chosen = min(pareto, key=lambda p: abs(p["budget"] - budget))
     return TuneResult(

@@ -95,6 +95,9 @@ def main():
             "stem=dense_cached (hinted)",
             convert(specs, (H, W, 3), cfg_for(),
                     backend_overrides={0: "dense_cached"}))
+        results["stem=cb_banded"] = run(
+            "stem=cb_banded (fused sparse)",
+            convert(specs, (H, W, 3), cfg_for()))
     if which in ("tile", "all"):
         for th, tw in ((8, 8), (8, 16), (16, 8), (16, 16)):
             results[f"tile={th}x{tw}"] = run(

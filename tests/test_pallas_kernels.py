@@ -180,9 +180,8 @@ def test_mixed_backend_chain_matches_golden():
     assert net.specs[0].backend == "jnp"
     gnet = golden.GoldenCBNet([(specs[0], (w1, None)), (specs[1], (w2, None))])
     state = net.init_state()
-    assert state[0].in_cache.shape[-1] == 3   # jnp layer: no lane padding
-    assert state[1].in_cache.shape[-1] == 8   # pallas conv, small cin:
-    # unpadded (SMALL_C row-stacked kernel path); wide layers pad to 128
+    assert state[0].in_cache.shape[-1] == 3      # jnp layer: no lane padding
+    assert state[1].in_cache.shape[-1] == 128    # pallas layer: padded
     step = jax.jit(net.apply)
     video = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
                                           seed=10))
