@@ -74,16 +74,18 @@ def _load_params(specs, in_shape):
 
 
 def _load_thresholds(n_cb):
-    """Tuner-chosen tau vector (scripts/tune_scene.py), else default."""
+    """Tuner-chosen tau vector + refresh interval (scripts/tune_scene.py),
+    else defaults. Returns (taus, refresh_every, provenance)."""
     try:
-        from cbinfer_tpu.checkpoint import load_thresholds
-        taus = load_thresholds(TAU_JSON)
+        with open(TAU_JSON) as f:
+            d = json.load(f)
+        taus = d["thresholds"]
         assert len(taus) == n_cb, (len(taus), n_cb)
-        return taus, "tuned"
+        return taus, d.get("metadata", {}).get("refresh_every"), "tuned"
     except Exception as e:
         print(f"bench: no tuned thresholds ({e}); using default tau=0.04",
               file=sys.stderr)
-        return [0.04] * n_cb, "default"
+        return [0.04] * n_cb, 32, "default"
 
 
 def main():
@@ -120,7 +122,7 @@ def main():
         cache_dtype="bfloat16" if on_tpu else "float32")
     net = convert(specs, (H, W, 3), cfg)  # layer 0 -> fused banded stem kernel (ops/pallas/stem.py)
     params, weights_src = _load_params(specs, (H, W, 3))
-    taus, tau_src = _load_thresholds(num_cb_layers(net.specs))
+    taus, refresh, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)
 
     video = SpriteVideo(SpriteVideoConfig(
@@ -146,16 +148,20 @@ def main():
     dense_fps = CHUNKS * T / max(1e-9,
                                  time.perf_counter() - t0 - sync_overhead)
 
-    # --- CB path ---
+    # --- CB path (timed WITH the production refresh policy) ---
     cb_scan = jax.jit(
-        lambda p, fs, st: scan_video(net, p, fs, state=st,
-                                     thresholds=tau_vec),
+        lambda p, fs, st, off: scan_video(net, p, fs, state=st,
+                                          thresholds=tau_vec,
+                                          refresh_every=refresh,
+                                          frame_offset=off),
         donate_argnums=(2,))
-    ys, state, stats = cb_scan(params, warm_chunk, net.init_state())
+    off = jnp.asarray(0, jnp.int32)
+    ys, state, stats = cb_scan(params, warm_chunk, net.init_state(), off)
     _ = float(jnp.sum(ys[-1]))  # compile + cold start + cache warm
     t0 = time.perf_counter()
-    for ch in chunks:
-        ys, state, stats = cb_scan(params, ch, state)
+    for i, ch in enumerate(chunks):
+        ys, state, stats = cb_scan(params, ch, state,
+                                   jnp.asarray((i + 1) * T, jnp.int32))
     _ = float(jnp.sum(ys[-1]))
     cb_fps = CHUNKS * T / max(1e-9,
                               time.perf_counter() - t0 - sync_overhead)
@@ -178,6 +184,7 @@ def main():
         "flop_reduction": round(ef["flop_reduction"], 2),
         "weights": weights_src,
         "tau_source": tau_src,
+        "refresh_every": refresh,
     }))
 
 

@@ -25,24 +25,49 @@ from .convert import CBNet
 
 def scan_video(net: CBNet, params, frames: jnp.ndarray,
                state: Optional[List] = None, collect_stats: bool = True,
-               thresholds: Optional[jnp.ndarray] = None, unroll: int = 1):
+               thresholds: Optional[jnp.ndarray] = None, unroll: int = 1,
+               refresh_every: Optional[int] = None, frame_offset=0):
     """Run a (T, H, W, C) clip through the CB net as one scan.
 
     Returns (outputs (T, ...), final_state, stats) where stats is a per-layer
     dict of (T,)-shaped counters (changed/computed tiles, overflow) — the
     always-on observability channel (SURVEY.md §5.1). ``thresholds`` is the
     optional runtime tau vector (see CBNet.apply).
+
+    ``refresh_every=K`` forces a full recompute (tau = -1 on every layer)
+    whenever (frame_offset + t) % K == 0: the accepted-value rule lets each
+    cache drift up to tau from the exactly-computed value indefinitely, and
+    a periodic refresh bounds the WORST-CASE staleness of any cache entry
+    to K frames at the cost of one dense-equivalent frame per K. The
+    reference has no equivalent (its streams were evaluated over short
+    clips); this is the production knob for unbounded streams.
+    ``frame_offset`` (static or traced scalar) keeps the refresh phase
+    aligned across successive scan_video calls on one stream.
     """
     if state is None:
         state = net.init_state()
+    n_cb = sum(1 for s in net.specs
+               if getattr(s, "use_cb", False))
 
-    def step(carry, x):
-        y, new_carry, stats = net.apply(params, carry, x, thresholds)
+    def step(carry, xt):
+        t, x = xt
+        taus = thresholds
+        if refresh_every is not None:
+            base = (thresholds if thresholds is not None
+                    else jnp.asarray([s.threshold for s in net.specs
+                                      if getattr(s, "use_cb", False)],
+                                     jnp.float32))
+            refresh = (t % refresh_every) == 0
+            taus = jnp.where(refresh, jnp.full((n_cb,), -1.0, jnp.float32),
+                             base)
+        y, new_carry, stats = net.apply(params, carry, x, taus)
         if not collect_stats:
             stats = []
         return new_carry, (y, stats)
 
-    final_state, (ys, stats) = lax.scan(step, state, frames, unroll=unroll)
+    ts = frame_offset + jnp.arange(frames.shape[0], dtype=jnp.int32)
+    final_state, (ys, stats) = lax.scan(step, state, (ts, frames),
+                                        unroll=unroll)
     return ys, final_state, stats
 
 

@@ -45,13 +45,14 @@ class TuneResult:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
 
-def _make_runner(net: CBNet, params):
+def _make_runner(net: CBNet, params, refresh_every=None):
     """One jitted (frames, thresholds) -> (outputs, stats) closure."""
 
     @jax.jit
     def run(frames, thresholds):
         ys, _, stats = scan_video(net, params, frames,
-                                  thresholds=thresholds)
+                                  thresholds=thresholds,
+                                  refresh_every=refresh_every)
         return ys, stats
 
     return run
@@ -61,7 +62,8 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
          tau_grid: Sequence[float] = (0.01, 0.02, 0.04, 0.08, 0.16, 0.32),
          budgets: Sequence[float] = (0.001, 0.002, 0.005, 0.01, 0.02),
          budget: float = 0.005, base_tau: float = 0.0,
-         skip_frames: int = 1, verbose: bool = False) -> TuneResult:
+         skip_frames: int = 1, refresh_every: Optional[int] = None,
+         verbose: bool = False) -> TuneResult:
     """Tune per-layer thresholds against a calibration clip.
 
     Args:
@@ -76,12 +78,17 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
       base_tau: tau for non-swept layers during sensitivity analysis.
       skip_frames: leading frames excluded from the metric (cold start is
         exact by construction; excluding it sharpens sensitivity).
+      refresh_every: periodic full-recompute interval to calibrate UNDER
+        (runner.scan_video) — tuning must see the same drift horizon the
+        deployment runs with, or steady-state drift invalidates the taus
+        (measured r2: a 32-frame calib overestimated 128-frame accuracy
+        by 4 pp without refresh).
 
     Returns TuneResult with selected thresholds and the Pareto samples.
     """
     frames = jnp.asarray(calib_frames)
     n_layers = num_cb_layers(net.specs)
-    run = _make_runner(net, params)
+    run = _make_runner(net, params, refresh_every)
 
     # dense reference outputs = CB with tau < 0 (every pixel recomputed each
     # frame) — reuses the same compiled program instead of a second graph.

@@ -83,10 +83,13 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         _ = float(jnp.sum(c))
 
     n_cb = num_cb_layers(net.specs)
-    tau_list, tau_src = [tau] * n_cb, f"fixed({tau})"
+    tau_list, tau_src, refresh = [tau] * n_cb, f"fixed({tau})", 32
     if tau is None:
         try:
-            tau_list, tau_src = load_thresholds(TAU_JSON[name]), "tuned"
+            with open(TAU_JSON[name]) as f:
+                d = json.load(f)
+            tau_list, tau_src = d["thresholds"], "tuned"
+            refresh = d.get("metadata", {}).get("refresh_every", 32)
         except Exception as e:
             print(f"eval: no tuned taus for {name} ({e}); tau=0.04",
                   file=sys.stderr)
@@ -112,15 +115,19 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
                                  - sync_overhead)
 
     cb_scan = jax.jit(
-        lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
-                                         thresholds=tv),
+        lambda p, fs, st, tv, off: scan_video(net, p, fs, state=st,
+                                              thresholds=tv,
+                                              refresh_every=refresh,
+                                              frame_offset=off),
         donate_argnums=(2,))
-    ys, state, stats = cb_scan(params, warm_clip, net.init_state(), taus)
+    ys, state, stats = cb_scan(params, warm_clip, net.init_state(), taus,
+                               jnp.asarray(0, jnp.int32))
     _ = sync(ys)
     t0 = time.perf_counter()
     cb_outs = []
-    for c in clips:
-        ys, state, stats = cb_scan(params, c, state, taus)
+    for i, c in enumerate(clips):
+        ys, state, stats = cb_scan(params, c, state, taus,
+                                   jnp.asarray((i + 1) * T, jnp.int32))
         cb_outs.append(ys)
     _ = sync(ys)
     cb_fps = chunks * T / max(1e-9, time.perf_counter() - t0
@@ -137,6 +144,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         "thresholds": [round(float(t), 4) for t in tau_list],
         "weights": weights,
         "cache_dtype": cfg.cache_dtype,
+        "refresh_every": refresh,
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
         "flop_reduction": round(ef["flop_reduction"], 2),

@@ -30,7 +30,12 @@ def main():
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
     import bench as _bench
 
-    H, W, T = 720, 1280, 32
+    # T=96: the calibration horizon must cover STEADY-STATE drift — the
+    # accepted-value rule converges to its error bound over ~100 frames,
+    # and a 32-frame calib under-prices large taus (measured r2: taus that
+    # scored 0.998 on 32 frames scored 0.957 on the bench's 128-frame
+    # stream).
+    H, W, T = 720, 1280, 96
     NUM_CLASSES = 8
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     backend = "pallas" if on_tpu else "jnp"
@@ -50,11 +55,20 @@ def main():
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=7)).clip(T))
 
+    # grid: 0.01 is below the bf16-cache quantization + sensor-noise floor
+    # (full-map changes, no gain) and 0.15 drifts too far at steady state —
+    # both measured r2
+    # Deployment runs with a periodic full refresh (runner.scan_video
+    # refresh_every): it bounds worst-case cache staleness to K frames for
+    # one dense-equivalent frame per K, which is what makes <=0.5%
+    # achievable at steady state. Calibrate under the same policy.
+    REFRESH = 32
     res = tune(net, params, calib,
                functools.partial(miou, num_classes=NUM_CLASSES),
-               tau_grid=(0.01, 0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
+               tau_grid=(0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
                budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
-               budget=0.005, skip_frames=1, verbose=True)
+               budget=0.005, skip_frames=8, refresh_every=REFRESH,
+               verbose=True)
 
     print(f"selected taus: {res.thresholds}")
     print(f"calib metric {res.metric:.5f}  "
@@ -62,7 +76,8 @@ def main():
     save_thresholds("/root/repo/ckpts/scene_w128_tau.json", res.thresholds,
                     metadata={"budget": 0.005, "metric": res.metric,
                               "flop_reduction": res.flop_reduction,
-                              "calib": "sprites seed=7 T=32 720p",
+                              "calib": "sprites seed=7 T=96 720p",
+                              "refresh_every": REFRESH,
                               "weights": weights_src})
     with open("/root/repo/TUNE_scene.json", "w") as f:
         f.write(res.to_json())

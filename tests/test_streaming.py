@@ -92,3 +92,29 @@ def test_miou_pck_self_identity():
     # a perturbation that moves argmaxes must reduce both
     logits2 = logits + rng.standard_normal(logits.shape).astype(np.float32)
     assert miou(logits, logits2, 5) < 1.0
+
+
+def test_refresh_every_bounds_drift():
+    """refresh_every=K: refresh frames match the dense forward exactly and
+    the refresh phase follows frame_offset across chunked scans."""
+    net, params, _ = _net(tau=0.3)  # huge tau: heavy drift between refreshes
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, n_sprites=2, noise_std=0.01, seed=9)).clip(8))
+    ys, state, _ = scan_video(net, params, clip, refresh_every=4)
+    dense = jnp.stack([net.apply_dense(params, f) for f in clip])
+    # frames 0 and 4 are refreshes: exact (fp tolerance) dense agreement
+    for t in (0, 4):
+        np.testing.assert_allclose(np.asarray(ys[t]), np.asarray(dense[t]),
+                                   atol=2e-5)
+    # drifted frames differ at tau=0.3 (the refresh is doing real work)
+    assert np.abs(np.asarray(ys[3]) - np.asarray(dense[3])).max() > 1e-3
+
+    # chunked continuation: offset keeps the phase — frame 8 (global) is a
+    # refresh for the second chunk
+    clip2 = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, n_sprites=2, noise_std=0.01, seed=10)).clip(4))
+    ys2, _, _ = scan_video(net, params, clip2, state=state,
+                           refresh_every=4, frame_offset=8)
+    d2 = net.apply_dense(params, clip2[0])
+    np.testing.assert_allclose(np.asarray(ys2[0]), np.asarray(d2),
+                               atol=2e-5)
