@@ -74,7 +74,7 @@ def _load_params(specs, in_shape):
 
 
 def _load_thresholds(n_cb):
-    """Tuner-chosen tau vector + refresh interval (scripts/tune_scene.py),
+    """Tuner-chosen tau vector + refresh interval (scripts/tune_model.py),
     else defaults. Returns (taus, refresh_every, provenance)."""
     try:
         with open(TAU_JSON) as f:
@@ -125,9 +125,14 @@ def main():
     taus, refresh, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)
 
+    # Per-run unique seed: the runtime memoizes identical dispatches
+    # ACROSS processes, so a fixed clip makes repeat runs read from cache
+    # and report inflated fps (measured r2: dense drifted 275->377 fps
+    # over identical reruns). Same sprite statistics, fresh pixels.
+    run_seed = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=0))
+        noise_std=0.002, seed=run_seed))
     warm_chunk = jnp.asarray(video.clip(T))  # warm-up only, never timed:
     # a timed dispatch with args identical to the warm one gets memoized
     chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
@@ -185,6 +190,7 @@ def main():
         "weights": weights_src,
         "tau_source": tau_src,
         "refresh_every": refresh,
+        "video_seed": run_seed,
     }))
 
 

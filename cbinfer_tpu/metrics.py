@@ -66,6 +66,42 @@ def pck(pred_heatmaps: np.ndarray, ref_heatmaps: np.ndarray,
     return float(np.mean(dist <= thresh))
 
 
+# ------------------------ device-side (jnp) metrics --------------------------
+# The host metrics above are the oracles; these jnp twins run INSIDE a jit
+# so evaluation loops (the threshold tuner) fetch one scalar instead of the
+# full output maps — a 96-frame 720p logits stack is ~44 MB, which costs
+# ~10 s/eval over this host<->TPU link (measured r2).
+
+
+def miou_device(pred_logits, ref_logits, num_classes: int):
+    """jnp mean-IoU of argmax maps; classes absent from BOTH maps are
+    excluded from the mean exactly as in `miou` (union==0 => skipped)."""
+    import jax.numpy as jnp
+    pred = jnp.argmax(pred_logits, axis=-1).reshape(-1)
+    ref = jnp.argmax(ref_logits, axis=-1).reshape(-1)
+    c = jnp.arange(num_classes)
+    pc = (pred[None, :] == c[:, None])
+    rc = (ref[None, :] == c[:, None])
+    inter = jnp.sum(pc & rc, axis=1).astype(jnp.float32)
+    union = jnp.sum(pc | rc, axis=1).astype(jnp.float32)
+    present = union > 0
+    iou = jnp.where(present, inter / jnp.maximum(union, 1.0), 0.0)
+    n = jnp.maximum(jnp.sum(present), 1)
+    return jnp.sum(iou) / n
+
+
+def pck_device(pred_heatmaps, ref_heatmaps, alpha: float = 0.05):
+    """jnp PCK vs dense keypoints; accepts (..., H, W, K)."""
+    import jax.numpy as jnp
+    *lead, H, W, K = pred_heatmaps.shape
+    p = pred_heatmaps.reshape((-1, H * W, K)).argmax(axis=1)
+    r = ref_heatmaps.reshape((-1, H * W, K)).argmax(axis=1)
+    py, px = p // W, p % W
+    ry, rx = r // W, r % W
+    dist = jnp.sqrt(((py - ry) ** 2 + (px - rx) ** 2).astype(jnp.float32))
+    return jnp.mean((dist <= alpha * max(H, W)).astype(jnp.float32))
+
+
 # --------------------------- compute accounting ------------------------------
 
 

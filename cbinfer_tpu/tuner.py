@@ -58,11 +58,32 @@ def _make_runner(net: CBNet, params, refresh_every=None):
     return run
 
 
+def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
+                        refresh_every=None):
+    """Jitted (frames, thresholds, dense_ys) -> (metric scalar, stats).
+
+    The metric is computed ON DEVICE so each tuner eval fetches one scalar
+    plus the (tiny) stats counters instead of the full output stack — the
+    output fetch dominated eval time on this host<->TPU link (~10 s for a
+    96-frame 720p clip, measured r2)."""
+
+    @jax.jit
+    def run(frames, thresholds, dense_ys):
+        ys, _, stats = scan_video(net, params, frames,
+                                  thresholds=thresholds,
+                                  refresh_every=refresh_every)
+        m = device_metric_fn(ys[skip_frames:], dense_ys[skip_frames:])
+        return m, stats
+
+    return run
+
+
 def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
          tau_grid: Sequence[float] = (0.01, 0.02, 0.04, 0.08, 0.16, 0.32),
          budgets: Sequence[float] = (0.001, 0.002, 0.005, 0.01, 0.02),
          budget: float = 0.005, base_tau: float = 0.0,
          skip_frames: int = 1, refresh_every: Optional[int] = None,
+         device_metric_fn: Optional[Callable] = None,
          verbose: bool = False) -> TuneResult:
     """Tune per-layer thresholds against a calibration clip.
 
@@ -93,12 +114,25 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     # dense reference outputs = CB with tau < 0 (every pixel recomputed each
     # frame) — reuses the same compiled program instead of a second graph.
     dense_out, _ = run(frames, jnp.full((n_layers,), -1.0, jnp.float32))
-    dense_out = np.asarray(dense_out)[skip_frames:]
 
-    def eval_taus(taus: np.ndarray):
-        ys, stats = run(frames, jnp.asarray(taus, jnp.float32))
-        m = float(metric_fn(np.asarray(ys)[skip_frames:], dense_out))
-        return m, stats
+    if device_metric_fn is not None:
+        # fast path: metric computed on device, one scalar fetched per eval
+        # (metrics.miou_device / pck_device); dense_out never leaves HBM
+        drun = _make_device_runner(net, params, device_metric_fn,
+                                   skip_frames, refresh_every)
+
+        def eval_taus(taus: np.ndarray):
+            m, stats = drun(frames, jnp.asarray(taus, jnp.float32),
+                            dense_out)
+            # one batched transfer; per-leaf fetches each pay a tunnel RTT
+            return float(m), jax.device_get(stats)
+    else:
+        dense_np = np.asarray(dense_out)[skip_frames:]
+
+        def eval_taus(taus: np.ndarray):
+            ys, stats = run(frames, jnp.asarray(taus, jnp.float32))
+            m = float(metric_fn(np.asarray(ys)[skip_frames:], dense_np))
+            return m, stats
 
     # Map CB-layer index -> spec index (stats are per spec) and per-layer
     # dense-FLOP totals, the greedy objective's "gain" units.
@@ -201,19 +235,22 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
                                net.cfg.tile.tile_h,
                                net.cfg.tile.tile_w)["flop_reduction"]
 
-    def candidates_for(pos, remaining):
+    def candidates_for(pos):
+        # Per layer, the grid tau with the best projected mask-fraction
+        # gain. NO solo-drop budget pre-filter: solo sensitivities measure
+        # a layer with every other tau at base, which systematically
+        # OVERestimates the combined drop (downstream quantization masks
+        # upstream drift), and pre-filtering on it starves exactly the
+        # high-gain moves — the measured combined eval is the only
+        # admission test.
         out = []
         for l in range(n_layers):
-            prev_drop = (1.0 - sensitivity[l][pos[l]][1]) \
-                if pos[l] >= 0 else 0.0
             prev_frac = flop_frac[l][pos[l]] if pos[l] >= 0 else 1.0
             best_j, best_gain = None, 0.0
             for j in range(pos[l] + 1, len(tau_grid)):
-                solo_cost = max(0.0,
-                                (1.0 - sensitivity[l][j][1]) - prev_drop)
                 gain = max(0.0, prev_frac - flop_frac[l][j]) \
                     * layer_gain_flops[l]
-                if solo_cost <= remaining + 1e-12 and gain > best_gain:
+                if gain > best_gain:
                     best_j, best_gain = j, gain
             if best_j is not None:
                 out.append((l, best_j))
@@ -234,7 +271,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     for b in sorted(set(list(budgets) + [budget])):
         # warm-start each budget from the previous (smaller) solution
         while True:
-            cands = candidates_for(pos, b - (1.0 - m_cur))
+            cands = candidates_for(pos)
             best = None
             for l, j in cands:
                 trial = list(pos)

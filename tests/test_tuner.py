@@ -63,3 +63,33 @@ def test_tune_produces_monotone_pareto():
     # the selected operating point must respect the budget on calib data
     assert 1.0 - res.metric <= 0.05 + 1e-9
     assert res.flop_reduction >= 1.0
+
+
+def test_device_metrics_match_host():
+    """miou_device / pck_device (tuner fast path) == host oracles."""
+    from cbinfer_tpu.metrics import miou_device, pck_device
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((4, 16, 16, 5)).astype(np.float32)
+    b = a + 0.5 * rng.standard_normal(a.shape).astype(np.float32)
+    np.testing.assert_allclose(float(miou_device(jnp.asarray(a),
+                                                 jnp.asarray(b), 5)),
+                               miou(a, b, 5), atol=1e-6)
+    hm_a = rng.standard_normal((3, 24, 24, 6)).astype(np.float32)
+    hm_b = hm_a + 0.8 * rng.standard_normal(hm_a.shape).astype(np.float32)
+    from cbinfer_tpu.metrics import pck
+    np.testing.assert_allclose(float(pck_device(jnp.asarray(hm_a),
+                                                jnp.asarray(hm_b))),
+                               pck(hm_a, hm_b), atol=1e-6)
+
+
+def test_tune_device_metric_fast_path_matches_host():
+    net, params, clip = _setup()
+    import functools as ft
+    from cbinfer_tpu.metrics import miou_device
+    kw = dict(tau_grid=(0.02, 0.05, 0.1, 0.3), budgets=(0.05,), budget=0.05)
+    r_host = tune(net, params, clip, ft.partial(miou, num_classes=5), **kw)
+    r_dev = tune(net, params, clip, ft.partial(miou, num_classes=5),
+                 device_metric_fn=ft.partial(miou_device, num_classes=5),
+                 **kw)
+    assert r_host.thresholds == r_dev.thresholds
+    np.testing.assert_allclose(r_host.metric, r_dev.metric, atol=1e-6)
