@@ -31,11 +31,20 @@ def _label_at_stride(labels: jnp.ndarray, stride: int) -> jnp.ndarray:
 def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
                        num_classes: int, steps: int = 300,
                        batch: int = 4, lr: float = 3e-3, seed: int = 0,
-                       n_videos: int = 8, verbose: bool = False):
+                       n_videos: int = 8, input_noise: float = 0.0,
+                       verbose: bool = False):
     """Train a spec-chain CNN to segment sprites on synthetic video.
 
     Returns (params, final_accuracy). The output stride is inferred from the
     spec chain; labels are subsampled to match.
+
+    ``input_noise``: uniform per-pixel train-time input perturbation
+    amplitude. The CB pipeline holds each cache entry within tau of its
+    exact value (the accepted-value rule), so a net whose logits are
+    invariant to tau-scale input perturbations loses no metric under CB
+    drift — training WITH that perturbation is the cheapest way to widen
+    the margins the threshold tuner trades against (set it to the largest
+    tau you expect to deploy, e.g. 0.05).
     """
     H, W, _ = in_shape
     oh, ow, oc = out_shapes(specs, in_shape)[-1]
@@ -84,7 +93,11 @@ def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
     acc = 0.0
     for it in range(steps):
         idx = rng.integers(0, n, batch)
-        x = jnp.asarray(frames[idx])
+        xb = frames[idx]
+        if input_noise > 0:
+            xb = xb + rng.uniform(-input_noise, input_noise,
+                                  xb.shape).astype(np.float32)
+        x = jnp.asarray(xb)
         y = jnp.asarray(labels[idx])
         trainable, opt_state, loss, acc = step_fn(trainable, opt_state, x, y)
         if verbose and it % 50 == 0:

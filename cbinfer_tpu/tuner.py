@@ -107,32 +107,52 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
 
     Returns TuneResult with selected thresholds and the Pareto samples.
     """
-    frames = jnp.asarray(calib_frames)
+    calib = jnp.asarray(calib_frames)
+    # calibration SET: (S, T, H, W, C) = S clips, metric averaged over
+    # clips — single-clip calibration is noisy exactly at the 0.5% scale
+    # the budget works at (measured r2: per-seed combined drops differed
+    # by >0.5 pp), and the reference tunes on video sets [CB19 §V].
+    clips = calib[None] if calib.ndim == 4 else calib
     n_layers = num_cb_layers(net.specs)
     run = _make_runner(net, params, refresh_every)
 
     # dense reference outputs = CB with tau < 0 (every pixel recomputed each
     # frame) — reuses the same compiled program instead of a second graph.
-    dense_out, _ = run(frames, jnp.full((n_layers,), -1.0, jnp.float32))
+    dense_outs = [run(f, jnp.full((n_layers,), -1.0, jnp.float32))[0]
+                  for f in clips]
+
+    def _cat_stats(stats_list):
+        if len(stats_list) == 1:
+            return stats_list[0]
+        return jax.tree.map(lambda *xs: np.concatenate(
+            [np.atleast_1d(np.asarray(x)) for x in xs]), *stats_list)
 
     if device_metric_fn is not None:
         # fast path: metric computed on device, one scalar fetched per eval
-        # (metrics.miou_device / pck_device); dense_out never leaves HBM
+        # (metrics.miou_device / pck_device); dense outputs never leave HBM
         drun = _make_device_runner(net, params, device_metric_fn,
                                    skip_frames, refresh_every)
 
         def eval_taus(taus: np.ndarray):
-            m, stats = drun(frames, jnp.asarray(taus, jnp.float32),
-                            dense_out)
-            # one batched transfer; per-leaf fetches each pay a tunnel RTT
-            return float(m), jax.device_get(stats)
+            tv = jnp.asarray(taus, jnp.float32)
+            ms, sts = [], []
+            for f, d in zip(clips, dense_outs):
+                m, stats = drun(f, tv, d)
+                ms.append(float(m))
+                # one batched transfer; per-leaf fetches pay a tunnel RTT
+                sts.append(jax.device_get(stats))
+            return float(np.mean(ms)), _cat_stats(sts)
     else:
-        dense_np = np.asarray(dense_out)[skip_frames:]
+        dense_np = [np.asarray(d)[skip_frames:] for d in dense_outs]
 
         def eval_taus(taus: np.ndarray):
-            ys, stats = run(frames, jnp.asarray(taus, jnp.float32))
-            m = float(metric_fn(np.asarray(ys)[skip_frames:], dense_np))
-            return m, stats
+            tv = jnp.asarray(taus, jnp.float32)
+            ms, sts = [], []
+            for f, d in zip(clips, dense_np):
+                ys, stats = run(f, tv)
+                ms.append(float(metric_fn(np.asarray(ys)[skip_frames:], d)))
+                sts.append(jax.device_get(stats))
+            return float(np.mean(ms)), _cat_stats(sts)
 
     # Map CB-layer index -> spec index (stats are per spec) and per-layer
     # dense-FLOP totals, the greedy objective's "gain" units.
@@ -254,6 +274,13 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
                     best_j, best_gain = j, gain
             if best_j is not None:
                 out.append((l, best_j))
+        # UNIFORM moves: raise every layer below grid[j] to grid[j]. Layer
+        # taus are partial substitutes, so a uniform step is often cheaper
+        # than the sum of its parts and the per-layer greedy cannot reach
+        # it (each component alone may look budget-infeasible).
+        for j in range(len(tau_grid)):
+            if any(p < j for p in pos):
+                out.append(("ALL", j))
         return out
 
     def taus_of(pos):
@@ -275,7 +302,10 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             best = None
             for l, j in cands:
                 trial = list(pos)
-                trial[l] = j
+                if l == "ALL":
+                    trial = [max(p, j) for p in trial]
+                else:
+                    trial[l] = j
                 key = tuple(trial)
                 if key not in seen:
                     seen[key] = eval_taus(taus_of(trial))
@@ -292,7 +322,10 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             if best is None:
                 break
             _, l, j, m_cur, stats_cur = best
-            pos[l] = j
+            if l == "ALL":
+                pos = [max(p, j) for p in pos]
+            else:
+                pos[l] = j
             ef_cur = ef_of(stats_cur)
             if verbose:
                 print(f"  accept layer {l} tau={tau_grid[j]:.3g}: "

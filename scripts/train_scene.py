@@ -14,8 +14,11 @@ NUM_CLASSES, WIDTH = 8, 128
 Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
 specs = get_model("scene", num_classes=NUM_CLASSES, width=WIDTH)
 t0 = time.time()
+# input_noise 0.05: train-time tau-scale perturbations widen the margins
+# the CB threshold tuner trades against (see train.py docstring)
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=300, batch=4, verbose=True)
+                                 steps=900, batch=4, input_noise=0.05,
+                                 verbose=True)
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/scene_w128", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})

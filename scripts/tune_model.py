@@ -64,10 +64,13 @@ def main():
     params = load_npz_params(npz, init_params(specs, (H, W, 3),
                                               jax.random.PRNGKey(0)))
 
-    # calibration clip: different seed from the bench video (seed=0)
-    calib = jnp.asarray(SpriteVideo(SpriteVideoConfig(
-        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=7)).clip(T))
+    # calibration SET: two clips, seeds disjoint from the bench video
+    # (single-clip calibration is noisy at the 0.5% budget scale)
+    calib = jnp.stack([
+        jnp.asarray(SpriteVideo(SpriteVideoConfig(
+            height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+            noise_std=0.002, seed=s)).clip(T))
+        for s in (7, 11)])
 
     # Deployment runs with a periodic full refresh (runner.scan_video
     # refresh_every): it bounds worst-case cache staleness to K frames for
@@ -80,7 +83,7 @@ def main():
                functools.partial(miou, num_classes=NUM_CLASSES),
                device_metric_fn=functools.partial(
                    miou_device, num_classes=NUM_CLASSES),
-               tau_grid=(0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
+               tau_grid=(0.015, 0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
                budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
                budget=0.005, skip_frames=8, refresh_every=REFRESH,
                verbose=True)
@@ -91,7 +94,7 @@ def main():
     save_thresholds(tau_json, res.thresholds,
                     metadata={"budget": 0.005, "metric": res.metric,
                               "flop_reduction": res.flop_reduction,
-                              "calib": f"sprites seed=7 T={T} 720p",
+                              "calib": f"sprites seeds 7+11 T={T} 720p",
                               "refresh_every": REFRESH,
                               "weights": npz})
     with open(f"/root/repo/TUNE_{name}.json", "w") as f:
