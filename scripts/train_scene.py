@@ -14,11 +14,12 @@ NUM_CLASSES, WIDTH = 8, 128
 Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
 specs = get_model("scene", num_classes=NUM_CLASSES, width=WIDTH)
 t0 = time.time()
-# input_noise 0.05: train-time tau-scale perturbations widen the margins
-# the CB threshold tuner trades against (see train.py docstring)
+# input_noise stays OFF: tau-scale train noise reached train-acc 1.000 but
+# REDUCED CB-vs-dense agreement (0.9945 -> 0.978 at tau=0.05, measured r2)
+# — it sharpens edge decision boundaries, which is exactly what cache
+# drift perturbs. Kept as a train.py option for other data regimes.
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=900, batch=4, input_noise=0.05,
-                                 verbose=True)
+                                 steps=300, batch=4, verbose=True)
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/scene_w128", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})

@@ -25,8 +25,7 @@ Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
 specs = get_model("seg", num_classes=NUM_CLASSES, width=WIDTH)
 t0 = time.time()
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=900, batch=4, input_noise=0.05,
-                                 verbose=True)
+                                 steps=300, batch=4, verbose=True)
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/seg_w64", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})
