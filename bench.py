@@ -171,11 +171,28 @@ def main():
     cb_fps = CHUNKS * T / max(1e-9,
                               time.perf_counter() - t0 - sync_overhead)
 
-    # --- accuracy + FLOP pillars, same run ---
-    # `d` and `ys` are the dense/CB outputs for the LAST chunk: identical
-    # frames, CB carrying realistic accumulated sub-threshold drift.
-    m = miou(np.asarray(jax.device_get(ys)), np.asarray(jax.device_get(d)),
-             NUM_CLASSES)
+    # --- accuracy + FLOP pillars, on the FIXED benchmark video ---
+    # Accuracy must be reproducible run-to-run, so it is measured on the
+    # canonical seed-0 clip (fresh state, steady-state horizon incl. the
+    # refresh policy), separately from the unique-seed timing clips. The
+    # device-side metric avoids a 30 MB output fetch over the tunnel.
+    from cbinfer_tpu.metrics import miou_device
+    acc_clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+        noise_std=0.002, seed=0)).clip(2 * T))
+
+    @jax.jit
+    def acc_run(p, fs):
+        ys, _, stats = scan_video(net, p, fs, state=net.init_state(),
+                                  thresholds=tau_vec,
+                                  refresh_every=refresh)
+        dn, _, _ = scan_video(net, p, fs, state=net.init_state(),
+                              thresholds=jnp.full_like(tau_vec, -1.0))
+        skip = 8  # cold start is exact by construction
+        return miou_device(ys[skip:], dn[skip:], NUM_CLASSES), stats
+
+    m, stats = acc_run(params, acc_clip)
+    m = float(m)
     ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3),
                          cfg.tile.tile_h, cfg.tile.tile_w)
 
@@ -190,7 +207,8 @@ def main():
         "weights": weights_src,
         "tau_source": tau_src,
         "refresh_every": refresh,
-        "video_seed": run_seed,
+        "timing_video_seed": run_seed,
+        "accuracy_video_seed": 0,
     }))
 
 

@@ -41,6 +41,7 @@ def main():
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
     name = sys.argv[1] if len(sys.argv) > 1 else "scene"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 0.005
     width, npz, tau_json = MODELS[name]
     NUM_CLASSES = 8
 
@@ -85,14 +86,14 @@ def main():
                    miou_device, num_classes=NUM_CLASSES),
                tau_grid=(0.015, 0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
                budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
-               budget=0.005, skip_frames=8, refresh_every=REFRESH,
+               budget=budget, skip_frames=8, refresh_every=REFRESH,
                verbose=True)
 
     print(f"selected taus: {res.thresholds}")
     print(f"calib metric {res.metric:.5f}  "
           f"flop reduction {res.flop_reduction:.2f}x")
     save_thresholds(tau_json, res.thresholds,
-                    metadata={"budget": 0.005, "metric": res.metric,
+                    metadata={"budget": budget, "metric": res.metric,
                               "flop_reduction": res.flop_reduction,
                               "calib": f"sprites seeds 7+11 T={T} 720p",
                               "refresh_every": REFRESH,
