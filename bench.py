@@ -91,7 +91,7 @@ def _load_thresholds(n_cb):
 def main():
     from cbinfer_tpu.config import PipelineConfig, TileConfig
     from cbinfer_tpu.convert import convert, num_cb_layers
-    from cbinfer_tpu.metrics import effective_flops, miou
+    from cbinfer_tpu.metrics import effective_flops
     from cbinfer_tpu.models import get_model
     from cbinfer_tpu.runner import scan_video
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
@@ -120,7 +120,14 @@ def main():
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert(specs, (H, W, 3), cfg)  # layer 0 -> fused banded stem kernel (ops/pallas/stem.py)
+    # Flagship config: the cin=3 stem runs as `dense_cached` (XLA detect +
+    # dense conv from the accepted cache, emitting the dirty-hint chain) —
+    # the tuned thresholds in ckpts/*_tau.json were calibrated against
+    # exactly this network (scripts/tune_model.py), and no Pallas delta
+    # kernel can serve a 3-channel stem on this hardware (RESULTS.md,
+    # "Negative result").
+    net = convert(specs, (H, W, 3), cfg,
+                  backend_overrides={0: "dense_cached"})
     params, weights_src = _load_params(specs, (H, W, 3))
     taus, refresh, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)
@@ -174,26 +181,37 @@ def main():
     # --- accuracy + FLOP pillars, on the FIXED benchmark video ---
     # Accuracy must be reproducible run-to-run, so it is measured on the
     # canonical seed-0 clip (fresh state, steady-state horizon incl. the
-    # refresh policy), separately from the unique-seed timing clips. The
-    # device-side metric avoids a 30 MB output fetch over the tunnel.
-    from cbinfer_tpu.metrics import miou_device
-    acc_clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+    # refresh policy), separately from the unique-seed timing clips.
+    # CHUNKED: each dispatch holds ONE 720p scan — jitting the CB scan and
+    # a dense-reference scan into a single program OOM'd the 16 GB chip
+    # (BENCH_r02 rc=1). The already-compiled timing executables are reused
+    # chunk-by-chunk (CB state threads across chunks) and per-class
+    # intersection/union counts accumulate on the host (tiny fetches), so
+    # peak HBM never exceeds the timing loop's own footprint.
+    from cbinfer_tpu.metrics import merge_iu, miou_iu_device
+    acc_video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=0)).clip(2 * T))
-
-    @jax.jit
-    def acc_run(p, fs):
-        ys, _, stats = scan_video(net, p, fs, state=net.init_state(),
-                                  thresholds=tau_vec,
-                                  refresh_every=refresh)
-        dn, _, _ = scan_video(net, p, fs, state=net.init_state(),
-                              thresholds=jnp.full_like(tau_vec, -1.0))
-        skip = 8  # cold start is exact by construction
-        return miou_device(ys[skip:], dn[skip:], NUM_CLASSES), stats
-
-    m, stats = acc_run(params, acc_clip)
-    m = float(m)
-    ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3),
+        noise_std=0.002, seed=0))
+    iu = jax.jit(lambda a, b: miou_iu_device(a, b, NUM_CLASSES))
+    acc_state = net.init_state()
+    inter = np.zeros((NUM_CLASSES,), np.int64)
+    union = np.zeros((NUM_CLASSES,), np.int64)
+    acc_stats = []
+    for i in range(2):
+        ch = jnp.asarray(acc_video.clip(T))
+        dn, _eps = dense_scan(params, ch)
+        ys, acc_state, stats = cb_scan(params, ch, acc_state,
+                                       jnp.asarray(i * T, jnp.int32))
+        skip = 8 if i == 0 else 0  # cold start is exact by construction
+        a, b = iu(ys[skip:], dn[skip:])
+        inter += np.asarray(a, np.int64)
+        union += np.asarray(b, np.int64)
+        acc_stats.append(jax.device_get(stats))
+    m = merge_iu(inter, union)
+    stats = jax.tree.map(
+        lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
+                                    for x in xs]), *acc_stats)
+    ef = effective_flops(stats, net.specs, (H, W, 3),
                          cfg.tile.tile_h, cfg.tile.tile_w)
 
     print(json.dumps({

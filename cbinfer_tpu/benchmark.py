@@ -2,10 +2,19 @@
 
 The reference times with CUDA events around the per-stage kernels and
 reports fps + accuracy-vs-dense on real videos (arXiv 1808.05488 §VI).
-Here: wall-clock with jax.block_until_ready, warmup excluded, frame-0 cold
-start reported separately, per-layer change-rate histograms and
-effective-FLOP accounting attached, results JSON-serializable in the
-BASELINE.json metric convention (fps/chip; metric delta vs dense).
+
+This module is the repo's ONE timing methodology (bench.py and
+scripts/eval_headline.py build on it). The rules are hard-won on this
+box's tunneled TPU runtime (see bench.py docstring for the measurements):
+
+  * every timed dispatch sees a DISTINCT device-resident chunk, timed in a
+    single pass after an untimed warm-up chunk — the runtime memoizes
+    identical (executable, args) dispatches, even across processes;
+  * no host-side ops on large arrays inside the timed loop (a single
+    ``chunk + eps`` costs ~10 ms/frame of tunnel serialization);
+  * sync via a scalar fetch, not ``block_until_ready`` (unreliable here);
+  * the host<->device round-trip overhead is measured on a null op and
+    subtracted, so the metric is device throughput, not tunnel latency.
 """
 
 from __future__ import annotations
@@ -13,7 +22,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +33,42 @@ from .convert import CBNet
 from .metrics import change_rate_histogram, effective_flops, miou, pck
 from .runner import scan_video
 from .video import SpriteVideo, SpriteVideoConfig
+
+
+def scalar_sync(v) -> float:
+    """Block until ``v`` is computed by fetching one scalar derived from it."""
+    return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
+
+
+def measure_sync_overhead(reps: int = 3) -> float:
+    """Per-sync host<->device link overhead (dispatch + scalar-fetch RTT),
+    measured on a null op; subtract it from single-sync elapsed times."""
+    f = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
+    _ = float(f(jnp.ones((8, 128))))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _ = float(f(jnp.ones((8, 128))))
+    return (time.perf_counter() - t0) / reps
+
+
+def time_chunked(run_chunk: Callable, chunks: Sequence,
+                 frames_per_chunk: int,
+                 sync_overhead: Optional[float] = None) -> float:
+    """Time ``run_chunk(i, chunk)`` over distinct chunks in ONE pass.
+
+    ``run_chunk`` must already be warm (compiled + any cold-start state
+    populated on a chunk that is NOT in ``chunks``) and must return a
+    device value to sync on. Returns frames/sec.
+    """
+    if sync_overhead is None:
+        sync_overhead = measure_sync_overhead()
+    out = None
+    t0 = time.perf_counter()
+    for i, ch in enumerate(chunks):
+        out = run_chunk(i, ch)
+    scalar_sync(out)
+    elapsed = time.perf_counter() - t0 - sync_overhead
+    return len(chunks) * frames_per_chunk / max(1e-9, elapsed)
 
 
 @dataclasses.dataclass
@@ -52,66 +97,74 @@ class BenchResult:
         }
 
 
-def _time_loop(fn, n_iters: int, *args) -> float:
-    out = None
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iters
-
-
-def bench_network(net: CBNet, params, frames: jnp.ndarray,
+def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
                   metric: str = "miou", num_classes: int = 8,
-                  timed_reps: int = 3, run_config: Optional[RunConfig] = None
-                  ) -> BenchResult:
-    """Benchmark one model on one clip: dense baseline vs CB scan.
+                  thresholds=None, refresh_every: Optional[int] = None,
+                  run_config: Optional[RunConfig] = None) -> BenchResult:
+    """Benchmark one model: dense baseline vs CB scan, honest methodology.
 
-    frames: (T, H, W, C). The CB path is timed in steady state (caches warm,
-    scan over the clip); the dense path times the same clip densely.
+    clips: >=2 clips of identical (T, H, W, C) shape with DISTINCT frames
+    (``make_clips``). clips[0] is the untimed warm-up (compile + CB cold
+    start); clips[1:] are timed in one pass each for dense and CB. The CB
+    path chains its state across chunks, so it is timed in steady state
+    under the given refresh policy.
     """
-    T = frames.shape[0]
+    if len(clips) < 2:
+        raise ValueError("need >= 2 clips: clips[0] warms, clips[1:] time")
+    T = clips[0].shape[0]
+    for c in clips:
+        scalar_sync(c)  # force device-resident before timing
+    sync_overhead = measure_sync_overhead()
+    tau_vec = (jnp.asarray(thresholds, jnp.float32)
+               if thresholds is not None else None)
 
     # ---- dense baseline ----
     dense_scan = jax.jit(
         lambda p, fs: jax.lax.map(lambda x: net.apply_dense(p, x), fs))
-    dense_out = jax.block_until_ready(dense_scan(params, frames))
-    dense_t = _time_loop(lambda: dense_scan(params, frames), timed_reps)
-    dense_fps = T / dense_t
+    dense_outs = [dense_scan(params, c) for c in clips]
+    scalar_sync(dense_outs[-1])  # compile + warm
+    dense_fps = time_chunked(lambda i, ch: dense_scan(params, ch),
+                             clips[1:], T, sync_overhead)
 
     # ---- CB path ----
     cb_scan = jax.jit(
-        lambda p, fs, st: scan_video(net, p, fs, state=st),
+        lambda p, fs, st, off: scan_video(net, p, fs, state=st,
+                                          thresholds=tau_vec,
+                                          refresh_every=refresh_every,
+                                          frame_offset=off),
         donate_argnums=(2,))
     # cold start (compile excluded): frame 0 from fresh state
     step = jax.jit(net.apply, donate_argnums=(1,))
-    s0 = net.init_state()
-    y0, s0, _ = step(params, s0, frames[0])
-    jax.block_until_ready(y0)
+    y0, s0, _ = step(params, net.init_state(), clips[0][0])
+    scalar_sync(y0)
     t0 = time.perf_counter()
-    y0, s0, _ = step(params, net.init_state(), frames[0])
-    jax.block_until_ready(y0)
-    cold_ms = (time.perf_counter() - t0) * 1e3
+    y0, s0, _ = step(params, net.init_state(), clips[0][0])
+    scalar_sync(y0)
+    cold_ms = (time.perf_counter() - t0 - sync_overhead) * 1e3
 
-    # warm the caches with one pass, then time the scan in steady state
-    ys, state, stats = jax.block_until_ready(
-        cb_scan(params, frames, net.init_state()))
-    cb_out, state, stats = jax.block_until_ready(
-        cb_scan(params, frames, state))
-    t0 = time.perf_counter()
-    for _ in range(timed_reps):
-        _, state, _ = cb_scan(params, frames, state)
-    jax.block_until_ready(state)
-    cb_t = (time.perf_counter() - t0) / timed_reps
-    cb_fps = T / cb_t
+    carry = {"state": net.init_state(), "stats": None, "outs": []}
+    ys, carry["state"], _ = cb_scan(params, clips[0], carry["state"],
+                                    jnp.asarray(0, jnp.int32))
+    scalar_sync(ys)  # compile + cold start + cache warm
 
-    # ---- accuracy + compute accounting ----
+    def cb_chunk(i, ch):
+        ys, carry["state"], carry["stats"] = cb_scan(
+            params, ch, carry["state"], jnp.asarray((i + 1) * T, jnp.int32))
+        carry["outs"].append(ys)
+        return ys
+
+    cb_fps = time_chunked(cb_chunk, clips[1:], T, sync_overhead)
+
+    # ---- accuracy + compute accounting (untimed; reuses timed outputs) ----
+    cb_np = np.concatenate([np.asarray(y) for y in carry["outs"]])
+    dn_np = np.concatenate([np.asarray(d) for d in dense_outs[1:]])
     if metric == "miou":
-        mval = miou(np.asarray(cb_out), np.asarray(dense_out), num_classes)
+        mval = miou(cb_np, dn_np, num_classes)
     elif metric == "pck":
-        mval = pck(np.asarray(cb_out), np.asarray(dense_out))
+        mval = pck(cb_np, dn_np)
     else:
         raise ValueError(metric)
+    stats = jax.device_get(carry["stats"])
     ef = effective_flops(stats, net.specs, net.in_shape,
                          net.cfg.tile.tile_h, net.cfg.tile.tile_w)
 
@@ -125,9 +178,15 @@ def bench_network(net: CBNet, params, frames: jnp.ndarray,
     )
 
 
-def make_clip(cfg: RunConfig) -> jnp.ndarray:
+def make_clips(cfg: RunConfig, n: int = 3) -> List[jnp.ndarray]:
+    """n same-statistics clips with distinct frames (one video stream,
+    consecutive segments) — warm-up + timed chunks for bench_network."""
     video = SpriteVideo(SpriteVideoConfig(
         height=cfg.height, width=cfg.width, n_sprites=4,
         sprite_size=max(16, cfg.height // 15), speed=4.0, noise_std=0.002,
         seed=cfg.seed))
-    return jnp.asarray(video.clip(cfg.frames))
+    return [jnp.asarray(video.clip(cfg.frames)) for _ in range(n)]
+
+
+def make_clip(cfg: RunConfig) -> jnp.ndarray:
+    return make_clips(cfg, 1)[0]

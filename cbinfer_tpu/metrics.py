@@ -90,6 +90,36 @@ def miou_device(pred_logits, ref_logits, num_classes: int):
     return jnp.sum(iou) / n
 
 
+def miou_iu_device(pred_logits, ref_logits, num_classes: int):
+    """jnp per-class (intersection, union) pixel counts of argmax maps.
+
+    Partial sums for CHUNKED mIoU: accumulate across chunks on the host
+    (two num_classes-long vectors per chunk — a scalar-sized fetch), then
+    reduce with ``merge_iu``. Chunking keeps each accuracy dispatch to one
+    scan's footprint (a single 720p program holding CB + dense 64-frame
+    scans OOM'd the 16 GB chip, BENCH_r02)."""
+    import jax.numpy as jnp
+    pred = jnp.argmax(pred_logits, axis=-1).reshape(-1)
+    ref = jnp.argmax(ref_logits, axis=-1).reshape(-1)
+    c = jnp.arange(num_classes)
+    pc = (pred[None, :] == c[:, None])
+    rc = (ref[None, :] == c[:, None])
+    inter = jnp.sum(pc & rc, axis=1).astype(jnp.int32)
+    union = jnp.sum(pc | rc, axis=1).astype(jnp.int32)
+    return inter, union
+
+
+def merge_iu(inter: np.ndarray, union: np.ndarray) -> float:
+    """Combine accumulated per-class counts into mIoU (union==0 classes are
+    skipped, exactly as in `miou`)."""
+    inter = np.asarray(inter, np.float64)
+    union = np.asarray(union, np.float64)
+    present = union > 0
+    if not np.any(present):
+        return 1.0
+    return float(np.mean(inter[present] / union[present]))
+
+
 def pck_device(pred_heatmaps, ref_heatmaps, alpha: float = 0.05):
     """jnp PCK vs dense keypoints; accepts (..., H, W, K)."""
     import jax.numpy as jnp
@@ -149,7 +179,7 @@ def effective_flops(stats: List[Dict], specs: Sequence, in_shape,
 
 def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
                    tile_h: int, tile_w: int, balance: float = 500.0,
-                   cache_bytes: int = 2) -> Dict[str, float]:
+                   cache_bytes: int = 2, cfg=None) -> Dict[str, float]:
     """Roofline-aware cost model: FLOPs + detection TRAFFIC.
 
     `effective_flops` prices only MACs, which misprices the pipeline:
@@ -163,7 +193,15 @@ def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
     roofline. The result tracks wall-clock well enough to drive the
     threshold tuner's selection; the BASELINE 'flop_reduction' headline
     stays pure-FLOP (effective_flops) for comparability.
+
+    ``cfg``: the PipelineConfig the stats came from. When given, detect
+    traffic is priced at the layer's STORED channel width — the pallas
+    backend lane-pads every cache to 128 channels (layers.lane_pad), so a
+    cin=3 stem's real HBM traffic is ~43x its logical bytes. Pricing
+    logical bytes let the r2 tuner prefer a lane-padded CB stem whose
+    measured wall-clock was 0.99x dense (VERDICT r2 weak #7).
     """
+    from .layers import HINT_TILE, lane_pad
     from .network import out_shapes
     per_tile = layer_flops_per_tile(specs, in_shape, tile_h, tile_w)
     shapes = [tuple(in_shape)] + list(out_shapes(specs, in_shape))
@@ -177,11 +215,20 @@ def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
                                             np.float64)))
         dense_total += ft * n_tiles
         eff_total += computed * ft
-        # detection traffic: 2 reads + <=1 write of (8, 8, cin) per
-        # visited tile, in cache dtype
+        # detection traffic: 2 reads + <=1 write of one HINT_TILE^2 pixel
+        # tile (detect_tiles counts on the fixed 8x8 hint grid, NOT the
+        # compute tile grid) at the STORED channel width, in cache dtype
         cin = shapes[j][2]
+        if cfg is not None:
+            import dataclasses as _dc
+            eff_cfg = cfg
+            if getattr(spec, "backend", None) is not None \
+                    and spec.backend != cfg.backend:
+                eff_cfg = _dc.replace(cfg, backend=spec.backend)
+            cin = lane_pad(cin, eff_cfg)
         det = float(np.mean(np.asarray(s["detect_tiles"], np.float64)))
-        eff_total += det * 3 * 64 * cin * cache_bytes * balance
+        eff_total += (det * 3 * HINT_TILE * HINT_TILE * cin
+                      * cache_bytes * balance)
     return {
         "dense_flops_per_frame": float(dense_total),
         "effective_cost_per_frame": float(eff_total),

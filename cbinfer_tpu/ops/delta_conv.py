@@ -70,10 +70,21 @@ def gather_windows(storage: jnp.ndarray, idx: jnp.ndarray, g: TileGeometry
     return jax.vmap(one)(ti, tj)
 
 
+def use_im2col(g: TileGeometry) -> bool:
+    """Small-cin layers (3-channel stems) contract over K = cin*k^2 <= ~128:
+    k^2 separate K=cin matmuls starve the MXU AND force k^2 full passes over
+    the fp32 accumulator (measured ~5ms/refresh-frame at 720p); one im2col
+    matmul is the right shape. Large-cin layers keep the shifted form (no
+    k^2-times patch materialization). The SAME gate must apply to the tile
+    path and the dense fallback so overflow frames stay bit-aligned."""
+    return g.cin * g.kernel[0] * g.kernel[1] <= 128
+
+
 def conv_tiles(windows: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
                g: TileGeometry, activation: Optional[str],
                compute_dtype=jnp.float32) -> jnp.ndarray:
-    """C5: batched tile conv as k^2 shifted MXU matmuls.
+    """C5: batched tile conv as k^2 shifted MXU matmuls (or ONE im2col
+    matmul for small-cin layers — see use_im2col).
 
     windows: (cap, win_h, win_w, cin) -> (cap, th, tw, cout).
     Accumulates in fp32 regardless of compute dtype.
@@ -84,18 +95,30 @@ def conv_tiles(windows: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     cap = windows.shape[0]
     cout = w.shape[-1]
     wd = windows.astype(compute_dtype)
-    acc = jnp.zeros((cap * g.th * g.tw, cout), jnp.float32)
-    for dy in range(kh):
-        for dx in range(kw):
-            patch = lax.slice(
-                wd,
-                (0, dy * dh, dx * dw, 0),
-                (cap, dy * dh + (g.th - 1) * sh + 1,
-                 dx * dw + (g.tw - 1) * sw + 1, g.cin),
-                (1, sh, sw, 1),
-            ).reshape(cap * g.th * g.tw, g.cin)
-            acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
+
+    def tap(dy, dx):
+        return lax.slice(
+            wd,
+            (0, dy * dh, dx * dw, 0),
+            (cap, dy * dh + (g.th - 1) * sh + 1,
+             dx * dw + (g.tw - 1) * sw + 1, g.cin),
+            (1, sh, sw, 1),
+        )
+
+    if use_im2col(g):
+        patches = jnp.concatenate(
+            [tap(dy, dx) for dy in range(kh) for dx in range(kw)],
+            axis=-1).reshape(cap * g.th * g.tw, kh * kw * g.cin)
+        acc = jnp.dot(patches,
+                      w.astype(compute_dtype).reshape(kh * kw * g.cin, cout),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((cap * g.th * g.tw, cout), jnp.float32)
+        for dy in range(kh):
+            for dx in range(kw):
+                patch = tap(dy, dx).reshape(cap * g.th * g.tw, g.cin)
+                acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
+                               preferred_element_type=jnp.float32)
     if b is not None:
         acc += b.astype(jnp.float32)
     if activation == "relu":
@@ -111,15 +134,16 @@ def scatter_tiles(out_cache: jnp.ndarray, idx: jnp.ndarray,
     index one past the end and are dropped (mode='drop').
     """
     c = out_cache.shape[-1]
-    tiled = (out_cache
-             .reshape(g.tiles_h, g.th, g.tiles_w, g.tw, c)
-             .transpose(0, 2, 1, 3, 4)
-             .reshape(g.n_tiles, g.th, g.tw, c))
-    tiled = tiled.at[idx].set(y_tiles.astype(out_cache.dtype), mode="drop")
-    return (tiled
-            .reshape(g.tiles_h, g.tiles_w, g.th, g.tw, c)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(out_cache.shape))
+    # (out_h_pad, out_w_pad, c) -> (tiles_h, th, tiles_w, tw, c) is a pure
+    # row-major reshape (bitcast, no data movement), so the scatter can
+    # update the donated cache buffer IN PLACE — the previous tile-major
+    # form needed two full-map transposes per frame (~4x the map's bytes).
+    tiled = out_cache.reshape(g.tiles_h, g.th, g.tiles_w, g.tw, c)
+    ti = idx // g.tiles_w  # sentinel (n_tiles) -> ti == tiles_h: dropped
+    tj = idx % g.tiles_w
+    tiled = tiled.at[ti, :, tj].set(y_tiles.astype(out_cache.dtype),
+                                    mode="drop")
+    return tiled.reshape(out_cache.shape)
 
 
 def delta_conv_jnp(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
@@ -148,18 +172,33 @@ def dense_conv_shifted(storage: jnp.ndarray, w: jnp.ndarray,
     dh, dw = g.dilation
     cout = w.shape[-1]
     xd = storage.astype(compute_dtype)
-    acc = jnp.zeros((g.out_h_pad * g.out_w_pad, cout), jnp.float32)
-    for dy in range(kh):
-        for dx in range(kw):
-            patch = lax.slice(
-                xd,
-                (dy * dh, g.dx0 + dx * dw, 0),
-                (dy * dh + (g.out_h_pad - 1) * sh + 1,
-                 g.dx0 + dx * dw + (g.out_w_pad - 1) * sw + 1, g.cin),
-                (sh, sw, 1),
-            ).reshape(g.out_h_pad * g.out_w_pad, g.cin)
-            acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
+
+    def tap(dy, dx):
+        return lax.slice(
+            xd,
+            (dy * dh, g.dx0 + dx * dw, 0),
+            (dy * dh + (g.out_h_pad - 1) * sh + 1,
+             g.dx0 + dx * dw + (g.out_w_pad - 1) * sw + 1, g.cin),
+            (sh, sw, 1),
+        )
+
+    if use_im2col(g):
+        # one K=cin*k^2 matmul (same accumulation order as conv_tiles'
+        # im2col branch): k^2 separate K=cin matmuls re-walk the full-map
+        # fp32 accumulator k^2 times (~GBs at 720p) and starve the MXU
+        patches = jnp.concatenate(
+            [tap(dy, dx) for dy in range(kh) for dx in range(kw)],
+            axis=-1).reshape(g.out_h_pad * g.out_w_pad, kh * kw * g.cin)
+        acc = jnp.dot(patches,
+                      w.astype(compute_dtype).reshape(kh * kw * g.cin, cout),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((g.out_h_pad * g.out_w_pad, cout), jnp.float32)
+        for dy in range(kh):
+            for dx in range(kw):
+                patch = tap(dy, dx).reshape(g.out_h_pad * g.out_w_pad, g.cin)
+                acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
+                               preferred_element_type=jnp.float32)
     if b is not None:
         acc += b.astype(jnp.float32)
     if activation == "relu":

@@ -121,6 +121,15 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     dense_outs = [run(f, jnp.full((n_layers,), -1.0, jnp.float32))[0]
                   for f in clips]
 
+    def _skip_stats(s):
+        # drop each clip's cold-start frames BEFORE concatenation — every
+        # clip starts from a fresh state, and keeping later clips' fully-
+        # changed frames inflates the changed-tile fractions that drive
+        # candidate proposal and the cost objectives (ADVICE r2)
+        return jax.tree.map(
+            lambda a: np.asarray(a)[skip_frames:]
+            if np.ndim(a) >= 1 else a, s)
+
     def _cat_stats(stats_list):
         if len(stats_list) == 1:
             return stats_list[0]
@@ -140,7 +149,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
                 m, stats = drun(f, tv, d)
                 ms.append(float(m))
                 # one batched transfer; per-leaf fetches pay a tunnel RTT
-                sts.append(jax.device_get(stats))
+                sts.append(_skip_stats(jax.device_get(stats)))
             return float(np.mean(ms)), _cat_stats(sts)
     else:
         dense_np = [np.asarray(d)[skip_frames:] for d in dense_outs]
@@ -151,7 +160,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             for f, d in zip(clips, dense_np):
                 ys, stats = run(f, tv)
                 ms.append(float(metric_fn(np.asarray(ys)[skip_frames:], d)))
-                sts.append(jax.device_get(stats))
+                sts.append(_skip_stats(jax.device_get(stats)))
             return float(np.mean(ms)), _cat_stats(sts)
 
     # Map CB-layer index -> spec index (stats are per spec) and per-layer
@@ -180,9 +189,8 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             # dirty HINT gating all downstream detection, and for CB layers
             # the two coincide — so the mask is the right sparsity proxy
             # for the greedy's gain term everywhere.
-            # (skip the cold-start frame: it is always fully changed)
-            comp = np.asarray(s["changed_tiles"],
-                              np.float64)[skip_frames:]
+            # (cold-start frames already dropped per clip in _skip_stats)
+            comp = np.asarray(s["changed_tiles"], np.float64)
             fracs.append(float(np.mean(comp)) / max(nt, 1.0))
             curve.append((float(tau), m))
             if verbose:
@@ -247,8 +255,8 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         # — pure FLOP reduction misprices bandwidth-bound detection and
         # picks wall-clock-terrible operating points (metrics.py)
         return effective_cost(stats, net.specs, net.in_shape,
-                              net.cfg.tile.tile_h,
-                              net.cfg.tile.tile_w)["cost_reduction"]
+                              net.cfg.tile.tile_h, net.cfg.tile.tile_w,
+                              cfg=net.cfg)["cost_reduction"]
 
     def flops_of(stats) -> float:
         return effective_flops(stats, net.specs, net.in_shape,

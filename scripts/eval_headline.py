@@ -64,7 +64,10 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     for _i in range(3):
         _ = float(syncf(jnp.ones((8, 128))))
     sync_overhead = (time.perf_counter() - t0) / 3
-    net = convert(specs, (H, W, 3), cfg)  # layer 0 -> fused banded stem kernel (ops/pallas/stem.py)
+    # Flagship config: dense_cached cin=3 stem (see bench.py / RESULTS.md);
+    # the tuned tau files were calibrated against this network.
+    net = convert(specs, (H, W, 3), cfg,
+                  backend_overrides={0: "dense_cached"})
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
     weights = "random(PRNGKey 0)"
     if name in NPZ:

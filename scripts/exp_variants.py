@@ -57,10 +57,10 @@ def main():
         _ = float(sync(jnp.ones((8, 128))))
     sync_overhead = (time.perf_counter() - t0) / 3
 
-    def cfg_for(tile_h=8, tile_w=8):
+    def cfg_for(tile_h=8, tile_w=8, capacity=0.375):
         return PipelineConfig(
             tile=TileConfig(tile_h=tile_h, tile_w=tile_w,
-                            capacity_fraction=0.375),
+                            capacity_fraction=capacity),
             backend=backend,
             compute_dtype="bfloat16" if on_tpu else "float32",
             cache_dtype="bfloat16" if on_tpu else "float32")
@@ -98,6 +98,27 @@ def main():
         results["stem=cb_banded"] = run(
             "stem=cb_banded (fused sparse)",
             convert(specs, (H, W, 3), cfg_for()))
+    if which in ("sparse", "all"):
+        # XLA sparse-write stem: gather/im2col/matmul/in-place scatter at a
+        # fixed tile capacity (global capacity applies only to jnp layers =
+        # the stem; pallas layers are count-bounded). The dense_cached stem
+        # writes its full 236 MB output map every frame even when <5% of
+        # tiles changed — a sparse scatter writes only changed tiles.
+        for cap in (0.10, 0.15, 0.25):
+            results[f"stem=jnp cap={cap}"] = run(
+                f"stem=jnp_sparse cap={cap}",
+                convert(specs, (H, W, 3), cfg_for(capacity=cap),
+                        backend_overrides={0: "jnp"}))
+        results["stem=jnp cap=0.15 + dense classifier"] = run(
+            "stem=jnp_sparse + dense 1x1",
+            convert(specs, (H, W, 3), cfg_for(capacity=0.15),
+                    backend_overrides={0: "jnp"},
+                    dense_layers=[len(specs) - 1]))
+        results["stem=dense_cached + dense classifier"] = run(
+            "stem=dense_cached + dense 1x1",
+            convert(specs, (H, W, 3), cfg_for(),
+                    backend_overrides={0: "dense_cached"},
+                    dense_layers=[len(specs) - 1]))
     if which in ("tile", "all"):
         for th, tw in ((8, 8), (8, 16), (16, 8), (16, 16)):
             results[f"tile={th}x{tw}"] = run(

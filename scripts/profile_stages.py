@@ -97,13 +97,14 @@ def main(argv=None):
     frames_total = args.chunks * T
     rows = []
     prev_cb = prev_dense = 0.0
+    # flagship config (bench.py parity): dense_cached stem + tuned taus
+    taus_full, refresh, tau_src = _bench._load_thresholds(
+        num_cb_layers(specs))
     for k in range(1, len(specs) + 1):
         sub = specs[:k]
-        # convert() consumes one threshold per RAW CB-able layer (incl. the
-        # layer dense_layers then forces dense)
         net = convert(sub, (H, W, 3), cfg,
-                      thresholds=[0.04] * num_cb_layers(sub),
-                      dense_layers=[0])
+                      thresholds=taus_full[:num_cb_layers(sub)],
+                      backend_overrides={0: "dense_cached"})
         p = params[:k]
 
         # Wide-prefix outputs are huge (stem: 720x1280x128 x T frames) —
@@ -154,6 +155,8 @@ def main(argv=None):
     out = {
         "shape": [H, W], "frames": frames_total, "model": args.model,
         "weights": weights_src, "backend": backend,
+        "stem": "dense_cached", "tau_source": tau_src,
+        "thresholds": [round(float(t), 4) for t in taus_full],
         "sync_overhead_ms": 1e3 * sync_overhead,
         "rows": rows,
     }

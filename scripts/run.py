@@ -32,9 +32,12 @@ def main(argv=None):
     ap.add_argument("--backend", default=None,
                     help="pallas|jnp (default: pallas on TPU)")
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--dense-stem", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="run layer 0 dense (--no-dense-stem to disable)")
+    ap.add_argument("--stem", choices=("dense_cached", "dense", "cb"),
+                    default="dense_cached",
+                    help="layer-0 mode: dense_cached (flagship: detect + "
+                         "dense conv from the accepted cache, feeds the "
+                         "hint chain), dense (recompute every frame, no "
+                         "hint), cb (default backend delta path)")
     ap.add_argument("--tune", action="store_true",
                     help="run the threshold auto-tuner first")
     ap.add_argument("--budget", type=float, default=0.005)
@@ -44,7 +47,7 @@ def main(argv=None):
 
     from cbinfer_tpu.config import PipelineConfig, TileConfig
     from cbinfer_tpu.convert import convert, num_cb_layers
-    from cbinfer_tpu.metrics import effective_flops, miou
+    from cbinfer_tpu.metrics import effective_flops, miou, pck
     from cbinfer_tpu.models import get_model
     from cbinfer_tpu.network import init_params
     from cbinfer_tpu.profiling import summarize_stats
@@ -64,8 +67,10 @@ def main(argv=None):
                          backend=backend, compute_dtype=dtype,
                          cache_dtype=dtype)
     in_shape = (args.height, args.width, 3)
-    dense_layers = [0] if args.dense_stem else []
-    net = convert(specs, in_shape, cfg, dense_layers=dense_layers)
+    net = convert(specs, in_shape, cfg,
+                  dense_layers=[0] if args.stem == "dense" else [],
+                  backend_overrides=({0: "dense_cached"}
+                                     if args.stem == "dense_cached" else None))
     params = init_params(specs, in_shape, jax.random.PRNGKey(args.seed))
     video = SpriteVideo(SpriteVideoConfig(
         height=args.height, width=args.width, n_sprites=4,
@@ -75,10 +80,12 @@ def main(argv=None):
 
     n_cb = num_cb_layers(net.specs)
     taus = [args.tau] * n_cb
+    # pose outputs PAF+heatmap channels — keypoint PCK, not argmax mIoU
+    metric_fn = (pck if args.model == "pose"
+                 else functools.partial(miou, num_classes=args.classes))
     if args.tune:
         res = tune(net, params, video.clip(max(8, args.frames // 2)),
-                   functools.partial(miou, num_classes=args.classes),
-                   budget=args.budget)
+                   metric_fn, budget=args.budget)
         taus = res.thresholds
         if not args.json:
             print(f"tuned thresholds: {taus}")
@@ -88,7 +95,7 @@ def main(argv=None):
     ys, state, stats = scan_video(net, params, clip,
                                   thresholds=jnp.asarray(taus, jnp.float32))
     dense = jnp.stack([net.apply_dense(params, f) for f in clip])
-    m = miou(np.asarray(ys), np.asarray(dense), args.classes)
+    m = metric_fn(np.asarray(ys), np.asarray(dense))
     ef = effective_flops(jax.device_get(stats), net.specs, in_shape,
                          args.tile, args.tile)
     out = {
