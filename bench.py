@@ -4,9 +4,12 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} as
 required by the driver. Metric definition per BASELINE.json: frames/sec/chip
 on 720p video; vs_baseline = CB fps / dense fps on identical inputs (>=2x
 target). The same run also measures the other two BASELINE pillars and
-reports them as extra keys: "miou_vs_dense" (<=0.5% degradation target) and
-"flop_reduction" (>=3x target), plus provenance ("weights", "tau_source") so
-a random-weights or default-tau run is visible, never silent.
+reports them as extra keys: "miou_degradation" = miou_gt(dense) -
+miou_gt(cb) on ground-truth labels (<=0.5% target; the BASELINE "mIoU
+delta vs full-frame" — agreement mIoU is fp-noise-bound at ~0.99 and also
+reported as "miou_vs_dense") and "flop_reduction" (>=3x target), plus
+provenance ("weights", "tau_source") so a random-weights or default-tau
+run is visible, never silent.
 
 Timing notes (hard-won; see scripts/tpu_session.py):
   * frame loops live INSIDE one jitted dispatch (lax.map / lax.scan) —
@@ -90,7 +93,7 @@ def _load_thresholds(n_cb):
 
 def main():
     from cbinfer_tpu.config import PipelineConfig, TileConfig
-    from cbinfer_tpu.convert import convert, num_cb_layers
+    from cbinfer_tpu.convert import convert_flagship, num_cb_layers
     from cbinfer_tpu.metrics import effective_flops
     from cbinfer_tpu.models import get_model
     from cbinfer_tpu.runner import scan_video
@@ -120,14 +123,10 @@ def main():
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    # Flagship config: the cin=3 stem runs as `dense_cached` (XLA detect +
-    # dense conv from the accepted cache, emitting the dirty-hint chain) —
-    # the tuned thresholds in ckpts/*_tau.json were calibrated against
-    # exactly this network (scripts/tune_model.py), and no Pallas delta
-    # kernel can serve a 3-channel stem on this hardware (RESULTS.md,
-    # "Negative result").
-    net = convert(specs, (H, W, 3), cfg,
-                  backend_overrides={0: "dense_cached"})
+    # Flagship config — THE SAME construction scripts/tune_model.py
+    # calibrated the shipped thresholds against (dense_cached cin=3 stem +
+    # dense 1x1 classifier; see convert.flagship_layers for the rationale).
+    net = convert_flagship(specs, (H, W, 3), cfg)
     params, weights_src = _load_params(specs, (H, W, 3))
     taus, refresh, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)
@@ -188,26 +187,47 @@ def main():
     # chunk-by-chunk (CB state threads across chunks) and per-class
     # intersection/union counts accumulate on the host (tiny fetches), so
     # peak HBM never exceeds the timing loop's own footprint.
-    from cbinfer_tpu.metrics import merge_iu, miou_iu_device
+    # The accuracy pillar is GROUND-TRUTH degradation, miou_gt(dense) -
+    # miou_gt(cb) (BASELINE "mIoU delta vs full-frame"): agreement mIoU
+    # (cb argmax vs dense argmax) sits at an fp-noise floor of ~0.99 on
+    # this hardware — both paths flip near-boundary pixels of rare
+    # classes under bf16 rounding — so it cannot resolve a 0.5% budget
+    # (see metrics.miou_labels). Agreement is still reported.
+    from cbinfer_tpu.metrics import (merge_iu, miou_iu_device,
+                                     miou_labels_iu_device)
+    from cbinfer_tpu.network import out_shapes
     acc_video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=0))
-    iu = jax.jit(lambda a, b: miou_iu_device(a, b, NUM_CLASSES))
+    stride = H // out_shapes(net.specs, (H, W, 3))[-1][0]
+    iu_agree = jax.jit(lambda a, b: miou_iu_device(a, b, NUM_CLASSES))
+    iu_gt = jax.jit(lambda a, l: miou_labels_iu_device(a, l, NUM_CLASSES))
     acc_state = net.init_state()
-    inter = np.zeros((NUM_CLASSES,), np.int64)
-    union = np.zeros((NUM_CLASSES,), np.int64)
+    sums = {k: (np.zeros((NUM_CLASSES,), np.int64),
+                np.zeros((NUM_CLASSES,), np.int64))
+            for k in ("agree", "cb_gt", "dense_gt")}
+
+    def accum(key, a, b):
+        i0, u0 = sums[key]
+        sums[key] = (i0 + np.asarray(a, np.int64),
+                     u0 + np.asarray(b, np.int64))
+
     acc_stats = []
     for i in range(2):
-        ch = jnp.asarray(acc_video.clip(T))
+        ch, lab = acc_video.clip_with_labels(T)
+        ch = jnp.asarray(ch)
+        lab = jnp.asarray(lab[:, ::stride, ::stride])
         dn, _eps = dense_scan(params, ch)
         ys, acc_state, stats = cb_scan(params, ch, acc_state,
                                        jnp.asarray(i * T, jnp.int32))
         skip = 8 if i == 0 else 0  # cold start is exact by construction
-        a, b = iu(ys[skip:], dn[skip:])
-        inter += np.asarray(a, np.int64)
-        union += np.asarray(b, np.int64)
+        accum("agree", *iu_agree(ys[skip:], dn[skip:]))
+        accum("cb_gt", *iu_gt(ys[skip:], lab[skip:]))
+        accum("dense_gt", *iu_gt(dn[skip:], lab[skip:]))
         acc_stats.append(jax.device_get(stats))
-    m = merge_iu(inter, union)
+    m_agree = merge_iu(*sums["agree"])
+    m_cb_gt = merge_iu(*sums["cb_gt"])
+    m_dense_gt = merge_iu(*sums["dense_gt"])
     stats = jax.tree.map(
         lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
                                     for x in xs]), *acc_stats)
@@ -220,7 +240,11 @@ def main():
         "unit": "fps",
         "vs_baseline": round(cb_fps / dense_fps, 3),
         "dense_fps": round(dense_fps, 3),
-        "miou_vs_dense": round(m, 5),
+        # the <=0.5%-degradation pillar: task-metric delta vs full-frame
+        "miou_degradation": round(m_dense_gt - m_cb_gt, 5),
+        "miou_gt_dense": round(m_dense_gt, 5),
+        "miou_gt_cb": round(m_cb_gt, 5),
+        "miou_vs_dense": round(m_agree, 5),
         "flop_reduction": round(ef["flop_reduction"], 2),
         "weights": weights_src,
         "tau_source": tau_src,

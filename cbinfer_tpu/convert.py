@@ -101,6 +101,44 @@ class CBNet:
     def apply_dense(self, params: Sequence, x: jnp.ndarray) -> jnp.ndarray:
         return network.dense_apply(self.specs, params, x, self.cfg)
 
+    def apply_refresh(self, params: Sequence, state: Sequence,
+                      x: jnp.ndarray,
+                      thresholds: Optional[jnp.ndarray] = None):
+        """Full-refresh frame: accept everything, recompute everything at
+        DENSE-path speed (layers.cb_conv_refresh). Same signature/pytree
+        structure as ``apply`` so the two can sit in one lax.cond
+        (runner.scan_video refresh_every). ``thresholds`` is ignored —
+        a refresh is tau = -infinity by definition."""
+        del thresholds
+        new_state: List = []
+        stats: List[Dict[str, Any]] = []
+
+        def as_array(v):
+            return v.crop() if isinstance(v, L.Feature) else v
+
+        for spec, p, st in zip(self.specs, params, state):
+            if isinstance(spec, ConvSpec):
+                if spec.use_cb:
+                    x, st, s, _ = L.cb_conv_refresh(p, st, x, spec, self.cfg)
+                else:
+                    x = network.dense_conv(as_array(x), p[0], p[1], spec,
+                                           jnp.dtype(self.cfg.compute_dtype))
+                    s = {}
+            elif isinstance(spec, PoolSpec):
+                if spec.use_cb:
+                    x, st, s, _ = L.cb_pool_refresh(st, x, spec, self.cfg)
+                else:
+                    x = network.dense_pool(as_array(x), spec)
+                    s = {}
+            elif isinstance(spec, UpsampleSpec):
+                x = network.upsample(as_array(x), spec)
+                s = {}
+            else:
+                raise TypeError(spec)
+            new_state.append(st)
+            stats.append(s)
+        return as_array(x), new_state, stats
+
 
 def convert(specs: Sequence, in_shape: Tuple[int, int, int],
             cfg: Optional[PipelineConfig] = None,
@@ -144,6 +182,50 @@ def convert(specs: Sequence, in_shape: Tuple[int, int, int],
 def num_cb_layers(specs: Sequence) -> int:
     return sum(1 for s in specs
                if isinstance(s, (ConvSpec, PoolSpec)) and s.use_cb)
+
+
+def flagship_layers(specs: Sequence):
+    """(backend_overrides, dense_layers) of the SHIPPED configuration.
+
+    Two measured policies (RESULTS.md optimization ledger), applied to every
+    model family so bench.py / tuners / tests build the identical network:
+
+    * layer 0 (cin=3 stem) runs ``dense_cached``: detect on the cheap
+      3-channel input + dense conv from the accepted cache, emitting the
+      dirty-hint chain. No Pallas delta kernel can serve 3-channel inputs
+      on this hardware (Mosaic lane-pads small-lane buffers 43x and rejects
+      their DMA slicing), and a hint-less stem poisons every downstream
+      detect.
+    * the trailing 1x1 classifier runs plain dense: nothing downstream
+      consumes its hint, and CB bookkeeping (detect + compact + scatter)
+      on a 1x1 conv costs more than recomputing it (measured: dense 1x1
+      classifier saved ~0.1 ms/frame at 720p).
+    """
+    overrides = {0: "dense_cached"} if isinstance(specs[0], ConvSpec) else {}
+    dense = []
+    i = len(specs) - 1
+    while i > 0 and isinstance(specs[i], UpsampleSpec):
+        i -= 1
+    if i > 0 and isinstance(specs[i], ConvSpec) \
+            and specs[i].kernel == (1, 1):
+        dense.append(i)
+    return overrides, dense
+
+
+def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
+                     cfg: Optional[PipelineConfig] = None,
+                     thresholds: Optional[Sequence[float]] = None) -> CBNet:
+    """Convert with the shipped layer policy (see flagship_layers).
+
+    ``thresholds`` is sized by the CONVERTED network's CB-layer count
+    (num_cb_layers(net.specs)) — the dense classifier consumes no tau.
+    """
+    overrides, dense = flagship_layers(specs)
+    net = convert(specs, in_shape, cfg, dense_layers=dense,
+                  backend_overrides=overrides)
+    if thresholds is not None:
+        net = convert(net.specs, in_shape, cfg, thresholds=thresholds)
+    return net
 
 
 # ------------------------- torch state_dict import --------------------------

@@ -364,6 +364,101 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint
 
 
+def _full_stats(g: TileGeometry) -> Dict[str, Any]:
+    """Stats pytree for a full (refresh) recompute — same structure/dtypes
+    as _run_gated's stats so lax.cond branches match."""
+    return {
+        "changed_tiles": jnp.asarray(g.n_tiles, jnp.int32),
+        "computed_tiles": jnp.asarray(g.n_tiles, jnp.int32),
+        "n_tiles": g.n_tiles,
+        "overflow": jnp.zeros((), bool),
+        "changed_pixels": jnp.asarray(g.in_h * g.in_w, jnp.int32),
+        "detect_tiles": jnp.asarray(
+            cdiv(g.in_h, HINT_TILE) * cdiv(g.in_w, HINT_TILE), jnp.int32),
+    }
+
+
+def _full_hint(g: TileGeometry) -> DirtyHint:
+    return DirtyHint(mask=jnp.ones((cdiv(g.out_h, HINT_TILE),
+                                    cdiv(g.out_w, HINT_TILE)), bool))
+
+
+def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
+                    cfg: PipelineConfig):
+    """Full refresh of a CB conv layer: accept the whole input into the
+    cache and recompute the whole output with the DENSE XLA conv.
+
+    The periodic refresh frame (runner.scan_video refresh_every) used to
+    run as tau=-1 through the CB kernels, whose count-bounded serial
+    tile loops are built for sparse frames — a full-map frame through them
+    costs several times the dense conv (measured ~0.3 ms/frame amortized
+    at K=32). This path computes the refresh frame at dense-path speed and
+    is value-exact by the same out_cache == f(in_cache) invariant (the
+    accumulation order differs from the tile kernels by fp rounding only,
+    exactly like the overflow fallback).
+
+    Returns (y, state', stats, hint) with the same pytree structure as
+    cb_conv_apply.
+    """
+    if spec.backend is not None and spec.backend != cfg.backend:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, backend=spec.backend)
+    w, b = params
+    cout = spec.features
+    x, H, W, xc = _unwrap(x)
+    cin_pad = lane_pad(xc, cfg)
+    cout_pad = lane_pad(cout, cfg)
+    if x.shape[2] < cin_pad:
+        x = pad_lanes(x, cin_pad)
+    elif x.shape[2] > cin_pad:
+        x = x[..., :cin_pad]
+    if cin_pad != w.shape[2] or cout_pad != w.shape[3]:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
+                        (0, cout_pad - w.shape[3])))
+        if b is not None:
+            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
+    g = _geometry(spec, (H, W, cin_pad), cfg)
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    if x.shape[:2] != (H, W):
+        x = x[:H, :W]
+    storage = storage_update_interior(state.in_cache,
+                                      x.astype(state.in_cache.dtype), g)
+    from . import network as _net
+    interior = storage_interior(storage, g).astype(compute_dtype)
+    y = _net.dense_conv(interior, w, b, spec, compute_dtype)
+    y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                    (0, g.out_w_pad - g.out_w), (0, 0)))
+    out_cache = y.astype(state.out_cache.dtype)
+    yl = Feature(out_cache, g.out_h, g.out_w, cout)
+    return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+        _full_stats(g), _full_hint(g)
+
+
+def cb_pool_refresh(state: CBLayerState, x, spec: PoolSpec,
+                    cfg: PipelineConfig):
+    """Full refresh of a CB pool layer (see cb_conv_refresh)."""
+    if spec.backend is not None and spec.backend != cfg.backend:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, backend=spec.backend)
+    x, H, W, xc = _unwrap(x)
+    cout = xc
+    cpad = lane_pad(cout, cfg)
+    if x.shape[2] < cpad:
+        x = pad_lanes(x, cpad)
+    elif x.shape[2] > cpad:
+        x = x[..., :cpad]
+    g = _geometry(spec, (H, W, cpad), cfg)
+    if x.shape[:2] != (H, W):
+        x = x[:H, :W]
+    storage = storage_update_interior(state.in_cache,
+                                      x.astype(state.in_cache.dtype), g)
+    out_cache = dense_pool(storage, g).astype(state.out_cache.dtype)
+    yl = Feature(out_cache, g.out_h, g.out_w, cout)
+    return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+        _full_stats(g), _full_hint(g)
+
+
 def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
                   cfg: PipelineConfig, tau=None,
                   hint: Optional[DirtyHint] = None):

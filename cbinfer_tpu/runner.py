@@ -34,33 +34,32 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
     always-on observability channel (SURVEY.md §5.1). ``thresholds`` is the
     optional runtime tau vector (see CBNet.apply).
 
-    ``refresh_every=K`` forces a full recompute (tau = -1 on every layer)
-    whenever (frame_offset + t) % K == 0: the accepted-value rule lets each
-    cache drift up to tau from the exactly-computed value indefinitely, and
-    a periodic refresh bounds the WORST-CASE staleness of any cache entry
-    to K frames at the cost of one dense-equivalent frame per K. The
-    reference has no equivalent (its streams were evaluated over short
+    ``refresh_every=K`` forces a full recompute whenever
+    (frame_offset + t) % K == 0: the accepted-value rule lets each cache
+    drift up to tau from the exactly-computed value indefinitely, and a
+    periodic refresh bounds the WORST-CASE staleness of any cache entry to
+    K frames at the cost of one dense-equivalent frame per K. The refresh
+    frame runs net.apply_refresh (dense XLA convs writing the caches
+    directly) in a lax.cond — a full-map frame through the sparse CB
+    kernels' count-bounded tile loops costs several times the dense conv.
+    The reference has no equivalent (its streams were evaluated over short
     clips); this is the production knob for unbounded streams.
     ``frame_offset`` (static or traced scalar) keeps the refresh phase
     aligned across successive scan_video calls on one stream.
     """
     if state is None:
         state = net.init_state()
-    n_cb = sum(1 for s in net.specs
-               if getattr(s, "use_cb", False))
 
     def step(carry, xt):
         t, x = xt
-        taus = thresholds
         if refresh_every is not None:
-            base = (thresholds if thresholds is not None
-                    else jnp.asarray([s.threshold for s in net.specs
-                                      if getattr(s, "use_cb", False)],
-                                     jnp.float32))
-            refresh = (t % refresh_every) == 0
-            taus = jnp.where(refresh, jnp.full((n_cb,), -1.0, jnp.float32),
-                             base)
-        y, new_carry, stats = net.apply(params, carry, x, taus)
+            y, new_carry, stats = lax.cond(
+                (t % refresh_every) == 0,
+                lambda c, xi: net.apply_refresh(params, c, xi, thresholds),
+                lambda c, xi: net.apply(params, c, xi, thresholds),
+                carry, x)
+        else:
+            y, new_carry, stats = net.apply(params, carry, x, thresholds)
         if not collect_stats:
             stats = []
         return new_carry, (y, stats)

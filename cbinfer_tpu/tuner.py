@@ -59,8 +59,8 @@ def _make_runner(net: CBNet, params, refresh_every=None):
 
 
 def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
-                        refresh_every=None):
-    """Jitted (frames, thresholds, dense_ys) -> (metric scalar, stats).
+                        refresh_every=None, with_labels=False):
+    """Jitted (frames, thresholds, dense_ys[, labels]) -> (metric, stats).
 
     The metric is computed ON DEVICE so each tuner eval fetches one scalar
     plus the (tiny) stats counters instead of the full output stack — the
@@ -68,11 +68,15 @@ def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
     96-frame 720p clip, measured r2)."""
 
     @jax.jit
-    def run(frames, thresholds, dense_ys):
+    def run(frames, thresholds, dense_ys, labels=None):
         ys, _, stats = scan_video(net, params, frames,
                                   thresholds=thresholds,
                                   refresh_every=refresh_every)
-        m = device_metric_fn(ys[skip_frames:], dense_ys[skip_frames:])
+        if with_labels:
+            m = device_metric_fn(ys[skip_frames:], dense_ys[skip_frames:],
+                                 labels[skip_frames:])
+        else:
+            m = device_metric_fn(ys[skip_frames:], dense_ys[skip_frames:])
         return m, stats
 
     return run
@@ -84,15 +88,22 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
          budget: float = 0.005, base_tau: float = 0.0,
          skip_frames: int = 1, refresh_every: Optional[int] = None,
          device_metric_fn: Optional[Callable] = None,
-         verbose: bool = False) -> TuneResult:
+         labels=None, verbose: bool = False) -> TuneResult:
     """Tune per-layer thresholds against a calibration clip.
 
     Args:
       net, params: the converted CB network.
       calib_frames: (T, H, W, C) calibration video.
-      metric_fn: (cb_outputs, dense_outputs) -> float in [0, 1]; 1 = perfect
-        agreement with the dense network (e.g. partial(miou, num_classes=K)
-        or pck). Receives outputs with the leading frame axis.
+      metric_fn: (cb_outputs, dense_outputs[, labels]) -> float; 1 = no
+        degradation (e.g. partial(miou, num_classes=K), pck, or a
+        ground-truth degradation composite — see scripts/tune_model.py).
+        Receives outputs with the leading frame axis; gets the third
+        ``labels`` argument iff ``labels`` is passed to tune().
+      labels: optional ground-truth maps aligned with calib_frames at the
+        model's OUTPUT resolution: (T, H', W') or (S, T, H', W') matching
+        the calibration-set layout. When given, metric_fn /
+        device_metric_fn are called with the per-clip labels (sliced by
+        skip_frames like the outputs).
       tau_grid: per-layer sweep grid (ascending).
       budgets: budget values for the Pareto curve.
       budget: the operating budget (max allowed metric drop, absolute).
@@ -113,6 +124,12 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     # the budget works at (measured r2: per-seed combined drops differed
     # by >0.5 pp), and the reference tunes on video sets [CB19 §V].
     clips = calib[None] if calib.ndim == 4 else calib
+    if labels is not None:
+        labels = jnp.asarray(labels)
+        labels = labels[None] if labels.ndim == 3 else labels
+        assert labels.shape[:2] == clips.shape[:2], (labels.shape,
+                                                     clips.shape)
+    labs = labels if labels is not None else [None] * clips.shape[0]
     n_layers = num_cb_layers(net.specs)
     run = _make_runner(net, params, refresh_every)
 
@@ -140,13 +157,15 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         # fast path: metric computed on device, one scalar fetched per eval
         # (metrics.miou_device / pck_device); dense outputs never leave HBM
         drun = _make_device_runner(net, params, device_metric_fn,
-                                   skip_frames, refresh_every)
+                                   skip_frames, refresh_every,
+                                   with_labels=labels is not None)
 
         def eval_taus(taus: np.ndarray):
             tv = jnp.asarray(taus, jnp.float32)
             ms, sts = [], []
-            for f, d in zip(clips, dense_outs):
-                m, stats = drun(f, tv, d)
+            for f, d, lab in zip(clips, dense_outs, labs):
+                m, stats = drun(f, tv, d, lab) if labels is not None \
+                    else drun(f, tv, d)
                 ms.append(float(m))
                 # one batched transfer; per-leaf fetches pay a tunnel RTT
                 sts.append(_skip_stats(jax.device_get(stats)))
@@ -157,9 +176,12 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         def eval_taus(taus: np.ndarray):
             tv = jnp.asarray(taus, jnp.float32)
             ms, sts = [], []
-            for f, d in zip(clips, dense_np):
+            for f, d, lab in zip(clips, dense_np, labs):
                 ys, stats = run(f, tv)
-                ms.append(float(metric_fn(np.asarray(ys)[skip_frames:], d)))
+                cb = np.asarray(ys)[skip_frames:]
+                ms.append(float(
+                    metric_fn(cb, d, np.asarray(lab)[skip_frames:])
+                    if labels is not None else metric_fn(cb, d)))
                 sts.append(_skip_stats(jax.device_get(stats)))
             return float(np.mean(ms)), _cat_stats(sts)
 

@@ -59,6 +59,23 @@ class SpriteVideoConfig:
         return min(1.0, self.n_sprites * per_sprite / (self.height * self.width))
 
 
+# Fixed class palette: sprite CLASS is determined by APPEARANCE, the same
+# mapping in every video. (Originally colors were uniform-random per video
+# while the label was the sprite INDEX — an unlearnable task across videos:
+# a model that reached train-accuracy 1.0 by memorizing its training
+# videos' color->index mapping scored 0.28 ground-truth mIoU on unseen
+# seeds, making accuracy-degradation measurements meaningless.)
+CLASS_PALETTE = np.array([
+    [0.90, 0.10, 0.10],   # class 1: red
+    [0.10, 0.85, 0.10],   # class 2: green
+    [0.15, 0.20, 0.95],   # class 3: blue
+    [0.92, 0.88, 0.12],   # class 4: yellow
+    [0.88, 0.12, 0.88],   # class 5: magenta
+    [0.10, 0.88, 0.88],   # class 6: cyan
+    [0.95, 0.55, 0.10],   # class 7: orange
+], dtype=np.float32)
+
+
 class SpriteVideo:
     """Static background + moving square sprites. O(1) memory per frame."""
 
@@ -66,7 +83,16 @@ class SpriteVideo:
         self.cfg = cfg
         rng = np.random.default_rng(cfg.seed)
         self.background = _smooth_noise(rng, cfg.height, cfg.width, cfg.channels)
-        self.colors = rng.uniform(0.0, 1.0, (cfg.n_sprites, cfg.channels)).astype(np.float32)
+        # each sprite draws a class (1..7); its color is the class palette
+        # entry plus a small per-sprite jitter (class stays learnable, color
+        # is not bit-constant across videos)
+        self.classes = 1 + rng.integers(0, len(CLASS_PALETTE),
+                                        cfg.n_sprites).astype(np.int32)
+        base = np.stack([np.resize(CLASS_PALETTE[c - 1], cfg.channels)
+                         for c in self.classes])
+        jitter = rng.uniform(-0.04, 0.04,
+                             (cfg.n_sprites, cfg.channels)).astype(np.float32)
+        self.colors = np.clip(base + jitter, 0.0, 1.0).astype(np.float32)
         self.pos = rng.uniform(0, [cfg.height - cfg.sprite_size,
                                    cfg.width - cfg.sprite_size],
                                (cfg.n_sprites, 2)).astype(np.float32)
@@ -98,15 +124,17 @@ class SpriteVideo:
             self.pos[high, d] = 2 * lim - self.pos[high, d]
 
     def label(self) -> np.ndarray:
-        """(H, W) int32 ground-truth segmentation: 0 = background,
-        1 + (sprite index % 7) = sprite class. The generator knows sprite
-        positions, so synthetic videos come with free supervision — used to
-        train in-repo weights (no datasets on this box)."""
+        """(H, W) int32 ground-truth segmentation: 0 = background, sprite
+        pixels carry the sprite's palette class (CLASS_PALETTE). The
+        generator knows sprite positions, so synthetic videos come with
+        free supervision — used to train in-repo weights (no datasets on
+        this box) and to measure the accuracy-degradation pillar."""
         cfg = self.cfg
         lab = np.zeros((cfg.height, cfg.width), np.int32)
         for i in range(cfg.n_sprites):
             y, x = int(self.pos[i, 0]), int(self.pos[i, 1])
-            lab[y:y + cfg.sprite_size, x:x + cfg.sprite_size] = 1 + (i % 7)
+            lab[y:y + cfg.sprite_size, x:x + cfg.sprite_size] = \
+                int(self.classes[i])
         return lab
 
     def frames(self, n: int) -> Iterator[np.ndarray]:

@@ -1,0 +1,133 @@
+"""Multi-stream throughput on one chip (SURVEY.md C14 / configs[4]).
+
+Measures whether batching S independent camera streams through ONE jitted
+program (MultiStreamRunner: scan of vmapped steps) beats running the same
+S clips sequentially through the single-stream scan — frames/sec/chip is
+the unit either way. Batching helps when per-layer kernels are launch- or
+overhead-bound at small shapes (vmap amortizes them); it can hurt when a
+single stream already saturates HBM bandwidth.
+
+Writes a "multistream" row into RESULTS.json. Honest-methodology rules
+from cbinfer_tpu/benchmark.py apply (distinct chunks, scalar-fetch sync,
+measured sync overhead subtracted, no host ops on big arrays while timed).
+
+Usage: python scripts/bench_multistream.py [--streams 4] [--height 360]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--chunks", type=int, default=2)
+    args = ap.parse_args(argv)
+
+    from cbinfer_tpu.benchmark import measure_sync_overhead, scalar_sync
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert_flagship, num_cb_layers
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.parallel.streams import MultiStreamRunner
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    import bench as _bench
+
+    H, W, T, S = args.height, args.width, args.frames, args.streams
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    specs = get_model("scene", num_classes=8, width=128)
+    cfg = PipelineConfig(
+        tile=TileConfig(8, 8, capacity_fraction=0.375),
+        backend="pallas" if on_tpu else "jnp",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        cache_dtype="bfloat16" if on_tpu else "float32")
+    net = convert_flagship(specs, (H, W, 3), cfg)
+    params, weights_src = _bench._load_params(specs, (H, W, 3))
+    taus, _refresh, tau_src = _bench._load_thresholds(
+        num_cb_layers(net.specs))
+    tau_vec = jnp.asarray(taus, jnp.float32)
+    net = convert_flagship(specs, (H, W, 3), cfg,
+                           thresholds=[float(t) for t in taus])
+
+    # one clip generator per stream (disjoint seeds), per-run unique base
+    # seed (dispatch memoization, see bench.py)
+    base = int(time.time() * 1e3) % 100000
+    videos = [SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=3, sprite_size=32, speed=4.0,
+        noise_std=0.002, seed=base + s)) for s in range(S)]
+
+    def stream_chunk():
+        return np.stack([v.clip(T) for v in videos])  # (S, T, H, W, C)
+
+    warm = jnp.asarray(stream_chunk())
+    chunks = [jnp.asarray(stream_chunk()) for _ in range(args.chunks)]
+    for c in chunks + [warm]:
+        scalar_sync(c)
+    sync_overhead = measure_sync_overhead()
+
+    # --- sequential baseline: same frames, one stream at a time ---
+    cb = jax.jit(lambda p, fs, st: scan_video(net, p, fs, state=st,
+                                              thresholds=tau_vec)[:2],
+                 donate_argnums=(2,))
+    states = [None] * S
+    for s in range(S):  # warm pass = compile + cold start per stream
+        ys, states[s] = cb(params, warm[s], net.init_state())
+    scalar_sync(ys)
+    t0 = time.perf_counter()
+    for ch in chunks:
+        for s in range(S):
+            ys, states[s] = cb(params, ch[s], states[s])
+    scalar_sync(ys)
+    seq_fps = (args.chunks * S * T
+               / max(1e-9, time.perf_counter() - t0 - sync_overhead))
+
+    # --- batched: one program, S streams ---
+    runner = MultiStreamRunner(net, params, n_streams=S)
+    ys, _ = runner.run_clip(warm)  # compile + cold start
+    scalar_sync(ys)
+    t0 = time.perf_counter()
+    for ch in chunks:
+        ys, _ = runner.run_clip(ch)
+    scalar_sync(ys)
+    batched_fps = (args.chunks * S * T
+                   / max(1e-9, time.perf_counter() - t0 - sync_overhead))
+
+    row = {
+        "model": "scene", "mode": "multistream",
+        "resolution": f"{H}x{W}", "streams": S,
+        "weights": weights_src, "tau_source": tau_src,
+        "sequential_fps_per_chip": round(seq_fps, 1),
+        "batched_fps_per_chip": round(batched_fps, 1),
+        "batched_vs_sequential": round(batched_fps / seq_fps, 3),
+        "devices": len(jax.devices()),
+    }
+    print(json.dumps(row), flush=True)
+    out = "/root/repo/RESULTS.json"
+    results = {"rows": []}
+    if os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    results["rows"] = [r for r in results.get("rows", [])
+                       if r.get("mode") != "multistream"] + [row]
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("updated RESULTS.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

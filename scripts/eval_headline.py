@@ -29,9 +29,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from cbinfer_tpu.config import PipelineConfig, TileConfig
-from cbinfer_tpu.convert import convert, num_cb_layers
+from cbinfer_tpu.convert import convert_flagship, num_cb_layers
 from cbinfer_tpu.checkpoint import load_npz_params, load_thresholds
-from cbinfer_tpu.metrics import effective_flops, miou, pck
+from cbinfer_tpu.metrics import effective_flops, miou, miou_labels, pck
+from cbinfer_tpu.network import out_shapes
 from cbinfer_tpu.models import get_model
 from cbinfer_tpu.network import init_params
 from cbinfer_tpu.runner import scan_video
@@ -64,10 +65,9 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     for _i in range(3):
         _ = float(syncf(jnp.ones((8, 128))))
     sync_overhead = (time.perf_counter() - t0) / 3
-    # Flagship config: dense_cached cin=3 stem (see bench.py / RESULTS.md);
-    # the tuned tau files were calibrated against this network.
-    net = convert(specs, (H, W, 3), cfg,
-                  backend_overrides={0: "dense_cached"})
+    # Flagship config (bench.py parity); the tuned tau files were
+    # calibrated against this construction.
+    net = convert_flagship(specs, (H, W, 3), cfg)
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
     weights = "random(PRNGKey 0)"
     if name in NPZ:
@@ -81,7 +81,11 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=0))
     warm_clip = jnp.asarray(video.clip(T))  # warm-up only (memoization)
-    clips = [jnp.asarray(video.clip(T)) for _ in range(chunks)]
+    clips, labels = [], []
+    for _ in range(chunks):
+        f, l = video.clip_with_labels(T)
+        clips.append(jnp.asarray(f))
+        labels.append(l)
     for c in clips + [warm_clip]:
         _ = float(jnp.sum(c))
 
@@ -140,6 +144,18 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         else pck
     mval = float(np.mean([mfn(np.asarray(a), np.asarray(b))
                           for a, b in zip(cb_outs, dense_outs)]))
+    gt = {}
+    if metric == "miou":
+        # ground-truth degradation (the BASELINE accuracy pillar; pose has
+        # no synthetic keypoint ground truth, so PCK stays agreement-based)
+        stride = H // out_shapes(net.specs, (H, W, 3))[-1][0]
+        labs = np.concatenate(labels)[:, ::stride, ::stride]
+        cb_np = np.concatenate([np.asarray(a) for a in cb_outs])
+        dn_np = np.concatenate([np.asarray(b) for b in dense_outs])
+        m_cb = miou_labels(cb_np, labs, classes)
+        m_dn = miou_labels(dn_np, labs, classes)
+        gt = {"miou_gt_dense": round(m_dn, 4), "miou_gt_cb": round(m_cb, 4),
+              "miou_degradation": round(m_dn - m_cb, 5)}
     ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3), 8, 8)
     row = {
         "model": name, "resolution": f"{H}x{W}",
@@ -152,6 +168,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         "speedup": round(cb_fps / dense_fps, 2),
         "flop_reduction": round(ef["flop_reduction"], 2),
         metric + "_vs_dense": round(mval, 4),
+        **gt,
     }
     print(json.dumps(row), flush=True)
     return row

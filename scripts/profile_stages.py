@@ -97,14 +97,19 @@ def main(argv=None):
     frames_total = args.chunks * T
     rows = []
     prev_cb = prev_dense = 0.0
-    # flagship config (bench.py parity): dense_cached stem + tuned taus
+    # flagship config (bench.py parity): dense_cached stem + dense 1x1
+    # classifier + tuned taus. Prefixes apply only the layer policies whose
+    # index falls inside the prefix.
+    from cbinfer_tpu.convert import flagship_layers
+    overrides_full, dense_full = flagship_layers(specs)
+    flag_net = convert(specs, (H, W, 3), cfg, dense_layers=dense_full,
+                       backend_overrides=overrides_full)
     taus_full, refresh, tau_src = _bench._load_thresholds(
-        num_cb_layers(specs))
+        num_cb_layers(flag_net.specs))
     for k in range(1, len(specs) + 1):
-        sub = specs[:k]
+        sub = flag_net.specs[:k]
         net = convert(sub, (H, W, 3), cfg,
-                      thresholds=taus_full[:num_cb_layers(sub)],
-                      backend_overrides={0: "dense_cached"})
+                      thresholds=taus_full[:num_cb_layers(sub)])
         p = params[:k]
 
         # Wide-prefix outputs are huge (stem: 720x1280x128 x T frames) —

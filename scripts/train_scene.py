@@ -18,8 +18,11 @@ t0 = time.time()
 # REDUCED CB-vs-dense agreement (0.9945 -> 0.978 at tau=0.05, measured r2)
 # — it sharpens edge decision boundaries, which is exactly what cache
 # drift perturbs. Kept as a train.py option for other data regimes.
+# 16 videos cover all 7 palette classes (3-5 sprites each, random class
+# draws); 600 steps converge comfortably on the palette task
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=300, batch=4, verbose=True)
+                                 steps=600, batch=4, n_videos=16,
+                                 verbose=True)
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/scene_w128", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})
@@ -36,7 +39,8 @@ np.savez("/root/repo/ckpts/scene_w128.npz", **flat)
 H, W, T = 720, 1280, 24
 cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
                      compute_dtype="bfloat16", cache_dtype="bfloat16")
-net = convert(specs, (H, W, 3), cfg, dense_layers=[0])
+from cbinfer_tpu.convert import convert_flagship
+net = convert_flagship(specs, (H, W, 3), cfg)
 video = SpriteVideo(SpriteVideoConfig(height=H, width=W, n_sprites=4,
                                       sprite_size=72, speed=4.0,
                                       noise_std=0.002, seed=123))

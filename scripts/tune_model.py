@@ -9,7 +9,6 @@ the full Pareto curve to TUNE_<model>.json.
 Usage: python scripts/tune_model.py [scene|seg]
 """
 
-import functools
 import os
 import sys
 
@@ -32,11 +31,11 @@ MODELS = {
 
 def main():
     from cbinfer_tpu.config import PipelineConfig, TileConfig
-    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.convert import convert_flagship
     from cbinfer_tpu.checkpoint import load_npz_params, save_thresholds
-    from cbinfer_tpu.metrics import miou, miou_device
+    from cbinfer_tpu.metrics import miou_labels, miou_labels_device
     from cbinfer_tpu.models import get_model
-    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.network import init_params, out_shapes
     from cbinfer_tpu.tuner import tune
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
@@ -60,18 +59,34 @@ def main():
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert(specs, (H, W, 3), cfg,
-                  backend_overrides={0: "dense_cached"})
+    net = convert_flagship(specs, (H, W, 3), cfg)
     params = load_npz_params(npz, init_params(specs, (H, W, 3),
                                               jax.random.PRNGKey(0)))
 
     # calibration SET: two clips, seeds disjoint from the bench video
-    # (single-clip calibration is noisy at the 0.5% budget scale)
-    calib = jnp.stack([
-        jnp.asarray(SpriteVideo(SpriteVideoConfig(
-            height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-            noise_std=0.002, seed=s)).clip(T))
-        for s in (7, 11)])
+    # (single-clip calibration is noisy at the 0.5% budget scale), WITH
+    # ground-truth labels at the model's output stride
+    pairs = [SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+        noise_std=0.002, seed=s)).clip_with_labels(T) for s in (7, 11)]
+    calib = jnp.stack([jnp.asarray(f) for f, _ in pairs])
+    oh = out_shapes(specs, (H, W, 3))[-1][0]
+    stride = H // oh
+    labels = jnp.stack([jnp.asarray(l[:, ::stride, ::stride])
+                        for _, l in pairs])
+
+    # The budget is GROUND-TRUTH degradation: 1 - metric = mIoU_gt(dense)
+    # - mIoU_gt(cb), the BASELINE "mIoU delta vs full-frame". Agreement
+    # mIoU (cb argmax vs dense argmax) is fp-noise-bound at ~0.99 on this
+    # hardware (see metrics.miou_labels) and would burn the whole budget
+    # on implementation rounding, not on CBinfer's approximation.
+    def gt_metric(cb, dn, lab):
+        return 1.0 - (miou_labels(dn, lab, NUM_CLASSES)
+                      - miou_labels(cb, lab, NUM_CLASSES))
+
+    def gt_metric_device(cb, dn, lab):
+        return 1.0 - (miou_labels_device(dn, lab, NUM_CLASSES)
+                      - miou_labels_device(cb, lab, NUM_CLASSES))
 
     # Deployment runs with a periodic full refresh (runner.scan_video
     # refresh_every): it bounds worst-case cache staleness to K frames for
@@ -80,10 +95,8 @@ def main():
     # Grid note: 0.01 sits below the bf16-cache-quantization + sensor-noise
     # floor (full-map changes, no gain) — measured r2.
     REFRESH = 32
-    res = tune(net, params, calib,
-               functools.partial(miou, num_classes=NUM_CLASSES),
-               device_metric_fn=functools.partial(
-                   miou_device, num_classes=NUM_CLASSES),
+    res = tune(net, params, calib, gt_metric,
+               device_metric_fn=gt_metric_device, labels=labels,
                tau_grid=(0.015, 0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
                budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
                budget=budget, skip_frames=8, refresh_every=REFRESH,
@@ -94,6 +107,9 @@ def main():
           f"flop reduction {res.flop_reduction:.2f}x")
     save_thresholds(tau_json, res.thresholds,
                     metadata={"budget": budget, "metric": res.metric,
+                              "metric_def": "1 - (miou_gt(dense) - "
+                                            "miou_gt(cb)); gt = sprite "
+                                            "labels at output stride",
                               "flop_reduction": res.flop_reduction,
                               "calib": f"sprites seeds 7+11 T={T} 720p",
                               "refresh_every": REFRESH,

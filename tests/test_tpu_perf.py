@@ -33,7 +33,7 @@ def on_tpu():
 
 def test_flagship_config_beats_dense_360p(on_tpu):
     from cbinfer_tpu.config import PipelineConfig, TileConfig
-    from cbinfer_tpu.convert import convert, num_cb_layers
+    from cbinfer_tpu.convert import convert_flagship, num_cb_layers
     from cbinfer_tpu.models import get_model
     from cbinfer_tpu.network import init_params
     from cbinfer_tpu.runner import scan_video
@@ -44,9 +44,8 @@ def test_flagship_config_beats_dense_360p(on_tpu):
     cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.375),
                          backend="pallas", compute_dtype="bfloat16",
                          cache_dtype="bfloat16")
-    # the SAME construction as bench.py: dense_cached stem override
-    net = convert(specs, (H, W, 3), cfg,
-                  backend_overrides={0: "dense_cached"})
+    # the SAME construction as bench.py
+    net = convert_flagship(specs, (H, W, 3), cfg)
     n_cb = num_cb_layers(net.specs)
     taus, refresh = [0.04] * n_cb, 32
     if os.path.exists(TAU_JSON):
