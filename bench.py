@@ -101,20 +101,25 @@ def main():
 
     H, W = 720, 1280
     T = 32          # frames per timed dispatch
-    CHUNKS = 3      # timed dispatches (distinct frames each)
+    CHUNKS = 5      # timed dispatches (distinct frames each): the window
+    # must be large vs the tunnel RTT jitter (~±15 ms on a ~30 ms RTT,
+    # measured r3) or per-frame numbers swing ±20%
     NUM_CLASSES = 8
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     backend = "pallas" if on_tpu else "jnp"
 
     # Per-sync overhead of this host<->device link (dispatch + scalar-fetch
-    # round trip), measured on a null op and subtracted from elapsed times:
-    # the metric is device throughput, not tunnel latency.
+    # round trip), MEDIAN of 5 null-op samples (RTT jitter), subtracted
+    # from elapsed times: the metric is device throughput, not tunnel
+    # latency.
     sync = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
     _ = float(sync(jnp.ones((8, 128))))
-    t0 = time.perf_counter()
-    for _ in range(3):
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         _ = float(sync(jnp.ones((8, 128))))
-    sync_overhead = (time.perf_counter() - t0) / 3
+        samples.append(time.perf_counter() - t0)
+    sync_overhead = float(np.median(samples))
 
     # scene-labeling CNN at MXU-friendly width (BASELINE configs[1] family)
     specs = get_model("scene", num_classes=NUM_CLASSES, width=128)
@@ -160,19 +165,19 @@ def main():
                                  time.perf_counter() - t0 - sync_overhead)
 
     # --- CB path (timed WITH the production refresh policy) ---
+    # Chunked deployment refreshes at every chunk start (interval = T = 32
+    # frames, the policy the tuner calibrates under) via the cond-free
+    # refresh_start prolog — see runner.scan_video.
     cb_scan = jax.jit(
-        lambda p, fs, st, off: scan_video(net, p, fs, state=st,
-                                          thresholds=tau_vec,
-                                          refresh_every=refresh,
-                                          frame_offset=off),
+        lambda p, fs, st: scan_video(net, p, fs, state=st,
+                                     thresholds=tau_vec,
+                                     refresh_start=True),
         donate_argnums=(2,))
-    off = jnp.asarray(0, jnp.int32)
-    ys, state, stats = cb_scan(params, warm_chunk, net.init_state(), off)
+    ys, state, stats = cb_scan(params, warm_chunk, net.init_state())
     _ = float(jnp.sum(ys[-1]))  # compile + cold start + cache warm
     t0 = time.perf_counter()
-    for i, ch in enumerate(chunks):
-        ys, state, stats = cb_scan(params, ch, state,
-                                   jnp.asarray((i + 1) * T, jnp.int32))
+    for ch in chunks:
+        ys, state, stats = cb_scan(params, ch, state)
     _ = float(jnp.sum(ys[-1]))
     cb_fps = CHUNKS * T / max(1e-9,
                               time.perf_counter() - t0 - sync_overhead)
@@ -218,8 +223,7 @@ def main():
         ch = jnp.asarray(ch)
         lab = jnp.asarray(lab[:, ::stride, ::stride])
         dn, _eps = dense_scan(params, ch)
-        ys, acc_state, stats = cb_scan(params, ch, acc_state,
-                                       jnp.asarray(i * T, jnp.int32))
+        ys, acc_state, stats = cb_scan(params, ch, acc_state)
         skip = 8 if i == 0 else 0  # cold start is exact by construction
         accum("agree", *iu_agree(ys[skip:], dn[skip:]))
         accum("cb_gt", *iu_gt(ys[skip:], lab[skip:]))
@@ -248,7 +252,8 @@ def main():
         "flop_reduction": round(ef["flop_reduction"], 2),
         "weights": weights_src,
         "tau_source": tau_src,
-        "refresh_every": refresh,
+        "refresh": f"chunk-start prolog, interval {T} "
+                   f"(tuned under refresh_every={refresh})",
         "timing_video_seed": run_seed,
         "accuracy_video_seed": 0,
     }))

@@ -422,11 +422,17 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
 
     if x.shape[:2] != (H, W):
         x = x[:H, :W]
-    storage = storage_update_interior(state.in_cache,
-                                      x.astype(state.in_cache.dtype), g)
+    # Rebuild the padded storage from scratch (margins are CONSTANT zeros
+    # by make_storage's contract) instead of dynamic-update-slicing the
+    # carried buffer: a full-interior DUS into a donated scan carry is
+    # catastrophically slow on this backend (a 236 MB aligned DUS
+    # microbenchmark never completed; measured +8.4 ms/frame inside
+    # apply_refresh), while a fresh pad writes at memory speed.
+    storage = jnp.pad(x.astype(state.in_cache.dtype),
+                      ((g.store_lo_h, g.store_hi_h),
+                       (g.store_lo_w, g.store_hi_w), (0, 0)))
     from . import network as _net
-    interior = storage_interior(storage, g).astype(compute_dtype)
-    y = _net.dense_conv(interior, w, b, spec, compute_dtype)
+    y = _net.dense_conv(x.astype(compute_dtype), w, b, spec, compute_dtype)
     y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
                     (0, g.out_w_pad - g.out_w), (0, 0)))
     out_cache = y.astype(state.out_cache.dtype)
@@ -451,8 +457,11 @@ def cb_pool_refresh(state: CBLayerState, x, spec: PoolSpec,
     g = _geometry(spec, (H, W, cpad), cfg)
     if x.shape[:2] != (H, W):
         x = x[:H, :W]
-    storage = storage_update_interior(state.in_cache,
-                                      x.astype(state.in_cache.dtype), g)
+    # fresh pad, not DUS-into-carry — see cb_conv_refresh
+    storage = jnp.pad(x.astype(state.in_cache.dtype),
+                      ((g.store_lo_h, g.store_hi_h),
+                       (g.store_lo_w, g.store_hi_w), (0, 0)),
+                      constant_values=NEG_FILL)
     out_cache = dense_pool(storage, g).astype(state.out_cache.dtype)
     yl = Feature(out_cache, g.out_h, g.out_w, cout)
     return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \

@@ -26,7 +26,8 @@ from .convert import CBNet
 def scan_video(net: CBNet, params, frames: jnp.ndarray,
                state: Optional[List] = None, collect_stats: bool = True,
                thresholds: Optional[jnp.ndarray] = None, unroll: int = 1,
-               refresh_every: Optional[int] = None, frame_offset=0):
+               refresh_every: Optional[int] = None, frame_offset=0,
+               refresh_start: bool = False):
     """Run a (T, H, W, C) clip through the CB net as one scan.
 
     Returns (outputs (T, ...), final_state, stats) where stats is a per-layer
@@ -46,6 +47,15 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
     clips); this is the production knob for unbounded streams.
     ``frame_offset`` (static or traced scalar) keeps the refresh phase
     aligned across successive scan_video calls on one stream.
+
+    ``refresh_start=True`` is the COND-FREE refresh mode for chunked
+    streaming: frame 0 of THIS scan runs apply_refresh as a static prolog
+    and the remaining frames scan without any per-frame branch. Calling it
+    once per K-frame chunk is semantically identical to
+    ``refresh_every=K`` with chunk-aligned offsets, but avoids the
+    per-refresh-frame cost of lax.cond on a multi-GB carry (XLA cannot
+    alias the donated caches into both branches; measured ~6-11 ms per
+    refresh frame via cond vs ~4 ms as a prolog).
     """
     if state is None:
         state = net.init_state()
@@ -64,9 +74,25 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
             stats = []
         return new_carry, (y, stats)
 
-    ts = frame_offset + jnp.arange(frames.shape[0], dtype=jnp.int32)
+    t0 = frames.shape[0] - frames.shape[0]  # 0, shape-polymorphism-safe
+    if refresh_start:
+        assert refresh_every is None, \
+            "refresh_start replaces refresh_every; use one"
+        y0, state, stats0 = net.apply_refresh(params, state, frames[0],
+                                              thresholds)
+        if not collect_stats:
+            stats0 = []
+        frames = frames[1:]
+        t0 = 1
+
+    ts = frame_offset + t0 + jnp.arange(frames.shape[0], dtype=jnp.int32)
     final_state, (ys, stats) = lax.scan(step, state, (ts, frames),
                                         unroll=unroll)
+    if refresh_start:
+        ys = jnp.concatenate([y0[None], ys])
+        stats = jax.tree.map(
+            lambda a, b: jnp.concatenate([jnp.asarray(a)[None],
+                                          jnp.asarray(b)]), stats0, stats)
     return ys, final_state, stats
 
 

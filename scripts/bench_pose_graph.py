@@ -1,0 +1,143 @@
+"""Pose DAG (OpenPose topology) on the real chip (configs[3] / C17).
+
+Compiles and runs the faithful concat-DAG pose network
+(models/pose.pose_graph -> graph.convert_graph) on the TPU with the pallas
+backend: backbone -> stage1 {PAF, heatmap} -> stage2 over
+concat(backbone, paf1, heat1). Measures CB vs dense throughput and PCK
+agreement, and writes a "pose_graph" row into RESULTS.json.
+
+Weights are fixed-seed random (training an OpenPose-style net is out of
+scope on this box — provenance is recorded); PCK is CB-vs-dense agreement
+of the same net, the well-defined part of the reference's pose evaluation
+(arXiv 1808.05488 §VI).
+
+Usage: python scripts/bench_pose_graph.py [--height 360] [--width 640]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--chunks", type=int, default=2)
+    ap.add_argument("--width-mult", type=int, default=64)
+    ap.add_argument("--tau", type=float, default=0.04)
+    args = ap.parse_args(argv)
+
+    from cbinfer_tpu.benchmark import measure_sync_overhead, scalar_sync
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.graph import convert_graph, init_graph_params
+    from cbinfer_tpu.metrics import pck
+    from cbinfer_tpu.models.pose import pose_graph
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    H, W, T = args.height, args.width, args.frames
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    cfg = PipelineConfig(
+        tile=TileConfig(8, 8, capacity_fraction=0.375),
+        backend="pallas" if on_tpu else "jnp",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        cache_dtype="bfloat16" if on_tpu else "float32")
+    nodes, out_name = pose_graph(width=args.width_mult)
+    # layer policy parity with convert_flagship: the cin=3 backbone stem
+    # runs dense_cached (no Pallas kernel serves 3-channel inputs; the
+    # stem feeds the hint chain)
+    import dataclasses
+    nodes = [dataclasses.replace(
+        n, spec=dataclasses.replace(n.spec, backend="dense_cached"))
+        if i == 0 else n for i, n in enumerate(nodes)]
+    net = convert_graph(nodes, (H, W, 3), cfg, output=out_name,
+                        thresholds=[args.tau] * convert_graph(
+                            nodes, (H, W, 3), cfg).num_cb_layers())
+    params = init_graph_params(nodes, (H, W, 3), jax.random.PRNGKey(0))
+
+    base = int(time.time() * 1e3) % 100000
+    video = SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=3, sprite_size=32, speed=4.0,
+        noise_std=0.002, seed=base))
+    warm = jnp.asarray(video.clip(T))
+    chunks = [jnp.asarray(video.clip(T)) for _ in range(args.chunks)]
+    for c in chunks + [warm]:
+        scalar_sync(c)
+    sync_overhead = measure_sync_overhead()
+
+    # dense baseline
+    dense = jax.jit(lambda p, fs: jax.lax.map(
+        lambda x: net.apply_dense(p, x), fs))
+    dense_outs = [dense(params, c) for c in [warm] + chunks]
+    scalar_sync(dense_outs[-1])
+    t0 = time.perf_counter()
+    for c in chunks:
+        d = dense(params, c)
+    scalar_sync(d)
+    dense_fps = (args.chunks * T
+                 / max(1e-9, time.perf_counter() - t0 - sync_overhead))
+
+    # CB scan over the DAG (manual scan: graph state is a dict carry)
+    from jax import lax
+
+    def cb_body(p, fs, st):
+        def step(carry, x):
+            y, carry2, stats = net.apply(p, carry, x)
+            return carry2, (y, stats)
+        st2, (ys, stats) = lax.scan(step, st, fs)
+        return ys, st2, stats
+
+    cb = jax.jit(cb_body, donate_argnums=(2,))
+    ys, st, stats = cb(params, warm, net.init_state())
+    scalar_sync(ys)
+    cb_outs = []
+    t0 = time.perf_counter()
+    for c in chunks:
+        ys, st, stats = cb(params, c, st)
+        cb_outs.append(ys)
+    scalar_sync(ys)
+    cb_fps = (args.chunks * T
+              / max(1e-9, time.perf_counter() - t0 - sync_overhead))
+
+    pck_val = float(np.mean([pck(np.asarray(a), np.asarray(b))
+                             for a, b in zip(cb_outs, dense_outs[1:])]))
+    overflows = sum(int(np.asarray(s["overflow"]).sum())
+                    for s in jax.device_get(stats).values() if s)
+
+    row = {
+        "model": "pose_graph", "resolution": f"{H}x{W}",
+        "topology": "backbone -> 2 stages x {PAF, heatmap}, concat DAG",
+        "weights": "random(PRNGKey 0)", "tau": args.tau,
+        "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
+        "speedup": round(cb_fps / dense_fps, 2),
+        "pck_vs_dense": round(pck_val, 4),
+        "overflow_frames": overflows,
+        "backend": cfg.backend,
+    }
+    print(json.dumps(row), flush=True)
+    out = "/root/repo/RESULTS.json"
+    results = {"rows": []}
+    if os.path.exists(out):
+        with open(out) as f:
+            results = json.load(f)
+    results["rows"] = [r for r in results.get("rows", [])
+                       if r.get("model") != "pose_graph"] + [row]
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("updated RESULTS.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

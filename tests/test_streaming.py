@@ -118,3 +118,22 @@ def test_refresh_every_bounds_drift():
     d2 = net.apply_dense(params, clip2[0])
     np.testing.assert_allclose(np.asarray(ys2[0]), np.asarray(d2),
                                atol=2e-5)
+
+
+def test_refresh_start_matches_refresh_every():
+    """refresh_start chunks (cond-free prolog) == refresh_every=K with
+    chunk-aligned offsets, bit-for-bit; stats keep (T,) leaves."""
+    net, params, _ = _net(tau=0.3)
+    T = 4
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, n_sprites=2, noise_std=0.01, seed=9)).clip(2 * T))
+    state = None
+    outs = []
+    for i in range(2):
+        ys, state, stats = scan_video(net, params, clip[i * T:(i + 1) * T],
+                                      state=state, refresh_start=True)
+        outs.append(np.asarray(ys))
+    ys_cond, _, _ = scan_video(net, params, clip, refresh_every=T)
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(ys_cond))
+    s0 = [s for s in stats if s][0]
+    assert np.asarray(s0["computed_tiles"]).shape == (T,)

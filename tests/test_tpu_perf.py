@@ -72,18 +72,17 @@ def test_flagship_config_beats_dense_360p(on_tpu):
     _ = float(jnp.sum(d[-1]))
     t_dense = time.perf_counter() - t0
 
+    del refresh  # chunked deployment: refresh at every chunk start
     cb = jax.jit(
-        lambda p, fs, st, off: scan_video(net, p, fs, state=st,
-                                          thresholds=tau_vec,
-                                          refresh_every=refresh,
-                                          frame_offset=off),
+        lambda p, fs, st: scan_video(net, p, fs, state=st,
+                                     thresholds=tau_vec,
+                                     refresh_start=True),
         donate_argnums=(2,))
-    ys, st, stats = cb(params, clips[0], net.init_state(),
-                       jnp.asarray(0, jnp.int32))
+    ys, st, stats = cb(params, clips[0], net.init_state())
     _ = float(jnp.sum(ys[-1]))
     t0 = time.perf_counter()
-    for i, c in enumerate(clips[1:]):
-        ys, st, stats = cb(params, c, st, jnp.asarray((i + 1) * T, jnp.int32))
+    for c in clips[1:]:
+        ys, st, stats = cb(params, c, st)
     _ = float(jnp.sum(ys[-1]))
     t_cb = time.perf_counter() - t0
 
