@@ -89,7 +89,8 @@ class SpriteVideo:
         self.classes = 1 + rng.integers(0, len(CLASS_PALETTE),
                                         cfg.n_sprites).astype(np.int32)
         base = np.stack([np.resize(CLASS_PALETTE[c - 1], cfg.channels)
-                         for c in self.classes])
+                         for c in self.classes]) if cfg.n_sprites \
+            else np.zeros((0, cfg.channels), np.float32)
         jitter = rng.uniform(-0.04, 0.04,
                              (cfg.n_sprites, cfg.channels)).astype(np.float32)
         self.colors = np.clip(base + jitter, 0.0, 1.0).astype(np.float32)

@@ -53,6 +53,12 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     specs = get_model(name, num_classes=classes, width=width) \
         if name != "pose" else get_model(name, width=width)
+    # Benchmark at the pre-upsample grid (see scripts/tune_model.py): a
+    # trailing nearest upsample is argmax-transparent and its full-res
+    # logits stack is lane-padded 16x by XLA (OOM at 720p x 96 frames).
+    from cbinfer_tpu.config import UpsampleSpec
+    if isinstance(specs[-1], UpsampleSpec):
+        specs = specs[:-1]
     cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas" if on_tpu
                          else "jnp",
                          compute_dtype="bfloat16" if on_tpu else "float32",

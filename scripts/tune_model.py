@@ -54,6 +54,14 @@ def main():
     backend = "pallas" if on_tpu else "jnp"
 
     specs = get_model(name, num_classes=NUM_CLASSES, width=width)
+    # Calibrate at the PRE-upsample grid: a trailing nearest-neighbor
+    # upsample is argmax-transparent (the stride-s class map determines
+    # the upsampled one) and has no threshold, but its full-res 8-channel
+    # logits stack is lane-padded 16x by XLA (22.6 GB for 96 frames at
+    # 720p — OOM'd the chip). Thresholds transfer to the full chain.
+    from cbinfer_tpu.config import UpsampleSpec
+    if isinstance(specs[-1], UpsampleSpec):
+        specs = specs[:-1]
     cfg = PipelineConfig(
         tile=TileConfig(tile_h=8, tile_w=8, capacity_fraction=0.375),
         backend=backend,

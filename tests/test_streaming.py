@@ -137,3 +137,31 @@ def test_refresh_start_matches_refresh_every():
     np.testing.assert_array_equal(np.concatenate(outs), np.asarray(ys_cond))
     s0 = [s for s in stats if s][0]
     assert np.asarray(s0["computed_tiles"]).shape == (T,)
+
+
+def test_gt_metrics_match_host_and_chunked():
+    """miou_labels == device twin == chunk-accumulated iu/merge_iu; and the
+    degradation composite is 0 when CB == dense."""
+    from cbinfer_tpu.metrics import (merge_iu, miou_labels,
+                                     miou_labels_device,
+                                     miou_labels_iu_device, miou_iu_device,
+                                     miou)
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((6, 16, 24, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, (6, 16, 24)).astype(np.int32)
+    host = miou_labels(logits, labels, 5)
+    dev = float(miou_labels_device(jnp.asarray(logits),
+                                   jnp.asarray(labels), 5))
+    assert abs(host - dev) < 1e-6
+    # chunked accumulation reproduces the single-shot value
+    i1, u1 = miou_labels_iu_device(jnp.asarray(logits[:3]),
+                                   jnp.asarray(labels[:3]), 5)
+    i2, u2 = miou_labels_iu_device(jnp.asarray(logits[3:]),
+                                   jnp.asarray(labels[3:]), 5)
+    merged = merge_iu(np.asarray(i1) + np.asarray(i2),
+                      np.asarray(u1) + np.asarray(u2))
+    assert abs(merged - host) < 1e-9
+    # agreement iu twin matches `miou`
+    a, b = miou_iu_device(jnp.asarray(logits), jnp.asarray(logits), 5)
+    assert merge_iu(np.asarray(a), np.asarray(b)) == 1.0
+    assert miou(logits, logits, 5) == 1.0
