@@ -66,7 +66,7 @@ def main():
             cache_dtype="bfloat16" if on_tpu else "float32")
 
     def run(name, net):
-        taus = [0.04] * num_cb_layers(net.specs)
+        taus = [0.15] * num_cb_layers(net.specs)  # the tuned operating point
         tv = jnp.asarray(taus, jnp.float32)
         cb = jax.jit(lambda p, fs, st: scan_video(net, p, fs, state=st,
                                                   thresholds=tv,
@@ -120,11 +120,14 @@ def main():
                     backend_overrides={0: "dense_cached"},
                     dense_layers=[len(specs) - 1]))
     if which in ("tile", "all"):
-        for th, tw in ((8, 8), (8, 16), (16, 8), (16, 16)):
+        # flagship construction at each compute-tile size; wider tiles cut
+        # the sparse kernels' serial iteration counts (tiny 8x8x128 DMAs
+        # are launch-bound) at the cost of coarser recompute masks
+        from cbinfer_tpu.convert import convert_flagship
+        for th, tw in ((8, 8), (8, 16), (8, 32), (16, 16), (16, 32)):
             results[f"tile={th}x{tw}"] = run(
-                f"tile={th}x{tw}",
-                convert(specs, (H, W, 3), cfg_for(th, tw),
-                        dense_layers=[0]))
+                f"tile={th}x{tw} (flagship)",
+                convert_flagship(specs, (H, W, 3), cfg_for(th, tw)))
     with open("/root/repo/EXP_variants.json", "w") as f:
         json.dump({"weights": wsrc, "ms_per_frame": results}, f, indent=2)
     print("wrote EXP_variants.json")
