@@ -40,7 +40,7 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
             out_ref,                   # output (HBM/ANY, aliased to out_in)
             win_buf, y_buf, in_sems, out_sems,  # scratch
             *, g: TileGeometry, cout: int, activation: Optional[str],
-            compute_dtype, rowstack: bool = False):
+            compute_dtype, rowstack: bool = False, nbuf: int = 4):
     del out_in_ref  # same memory as out_ref; all access goes through out_ref
     kh, kw = g.kernel
     sh, sw = g.stride
@@ -83,17 +83,19 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
             out_ref.at[pl.ds(ti * g.th, g.th), pl.ds(tj * g.tw, g.tw), :],
             out_sems.at[slot])
 
-    @pl.when(m > 0)
-    def _():
-        in_copy(0, 0).start()
+    for k in range(nbuf - 1):  # prolog: fill the DMA pipeline
+        @pl.when(k < m)
+        def _(k=k):
+            in_copy(k, k).start()
 
     def body(i, _):
-        slot = lax.rem(i, 2)
+        slot = lax.rem(i, nbuf)
 
-        # prefetch next tile's window while computing this one
-        @pl.when(i + 1 < m)
+        # keep nbuf-1 input DMAs in flight ahead of compute (the per-tile
+        # work is small enough that 2 slots leave the loop latency-bound)
+        @pl.when(i + nbuf - 1 < m)
         def _():
-            in_copy(1 - slot, i + 1).start()
+            in_copy(lax.rem(i + nbuf - 1, nbuf), i + nbuf - 1).start()
 
         in_copy(slot, i).wait()
 
@@ -110,25 +112,22 @@ def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
         if activation == "relu":
             acc = jnp.maximum(acc, 0.0)
 
-        # the out DMA issued 2 iterations ago used this slot; drain it
+        # the out DMA issued nbuf iterations ago used this slot; drain it
         # before overwriting y_buf[slot]
-        @pl.when(i >= 2)
+        @pl.when(i >= nbuf)
         def _():
-            out_copy(slot, i - 2).wait()
+            out_copy(slot, i - nbuf).wait()
 
         y_buf[slot] = acc.reshape(g.th, g.tw, cout).astype(y_buf.dtype)
         out_copy(slot, i).start()
 
     lax.fori_loop(0, m, body, None)
 
-    # drain outstanding output DMAs
-    @pl.when(m >= 2)
-    def _():
-        out_copy(lax.rem(m, 2), m - 2).wait()
-
-    @pl.when(m >= 1)
-    def _():
-        out_copy(lax.rem(m - 1, 2), m - 1).wait()
+    for k in range(nbuf):  # drain the last <=nbuf output DMAs
+        @pl.when(m - nbuf + k >= 0)
+        def _(k=k):
+            j = m - nbuf + k
+            out_copy(lax.rem(j, nbuf), j).wait()
 
 
 def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
@@ -154,17 +153,18 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
     # lane-unaligned cin (3-channel stems, narrow test nets) => row-stacked
     # input double buffer (see _kernel.win_at)
     rowstack = g.cin % 128 != 0
+    NBUF = 4  # DMA pipeline depth (see ops/pallas/detect.NBUF)
     kern = functools.partial(
         _kernel, g=g, cout=cout, activation=activation,
-        compute_dtype=compute_dtype, rowstack=rowstack)
+        compute_dtype=compute_dtype, rowstack=rowstack, nbuf=NBUF)
 
     flops_per_tile = 2 * g.th * g.tw * kh * kw * g.cin * cout
     cache_dtype = out_cache.dtype
 
     win_scratch = (
-        pltpu.VMEM((2 * g.win_h_dma, g.win_w_dma, g.cin), xp.dtype)
+        pltpu.VMEM((NBUF * g.win_h_dma, g.win_w_dma, g.cin), xp.dtype)
         if rowstack else
-        pltpu.VMEM((2, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype))
+        pltpu.VMEM((NBUF, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
@@ -177,9 +177,9 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
             win_scratch,
-            pltpu.VMEM((2, g.th, g.tw, cout), cache_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, g.th, g.tw, cout), cache_dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 

@@ -19,6 +19,9 @@ from ..geometry import TileGeometry
 from .common import phase_slice
 
 
+NBUF = 4  # DMA pipeline depth (see ops/pallas/detect.NBUF)
+
+
 def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
             win_buf, y_buf, in_sems, out_sems, *, g: TileGeometry):
     del out_in_ref  # aliased with out_ref
@@ -45,16 +48,17 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
             out_ref.at[pl.ds(ti * g.th, g.th), pl.ds(tj * g.tw, g.tw), :],
             out_sems.at[slot])
 
-    @pl.when(m > 0)
-    def _():
-        in_copy(0, 0).start()
+    for k in range(NBUF - 1):  # prolog: fill the DMA pipeline
+        @pl.when(k < m)
+        def _(k=k):
+            in_copy(k, k).start()
 
     def body(i, _):
-        slot = lax.rem(i, 2)
+        slot = lax.rem(i, NBUF)
 
-        @pl.when(i + 1 < m)
+        @pl.when(i + NBUF - 1 < m)
         def _():
-            in_copy(1 - slot, i + 1).start()
+            in_copy(lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
 
         in_copy(slot, i).wait()
 
@@ -65,9 +69,9 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
                 patch = phase_slice(win, dy, g.dx0 + dx, g.th, g.tw, sh, sw)
                 y = patch if y is None else jnp.maximum(y, patch)
 
-        @pl.when(i >= 2)
+        @pl.when(i >= NBUF)
         def _():
-            out_copy(slot, i - 2).wait()
+            out_copy(slot, i - NBUF).wait()
 
         y_buf[slot] = y
 
@@ -75,13 +79,11 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
 
     lax.fori_loop(0, m, body, None)
 
-    @pl.when(m >= 2)
-    def _():
-        out_copy(lax.rem(m, 2), m - 2).wait()
-
-    @pl.when(m >= 1)
-    def _():
-        out_copy(lax.rem(m - 1, 2), m - 1).wait()
+    for k in range(NBUF):  # drain the last <=NBUF output DMAs
+        @pl.when(m - NBUF + k >= 0)
+        def _(k=k):
+            j = m - NBUF + k
+            out_copy(lax.rem(j, NBUF), j).wait()
 
 
 def delta_pool_pallas(xp: jnp.ndarray, idx: jnp.ndarray,
@@ -104,10 +106,10 @@ def delta_pool_pallas(xp: jnp.ndarray, idx: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype),
-            pltpu.VMEM((2, g.th, g.tw, g.cin), out_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, g.win_h_dma, g.win_w_dma, g.cin), xp.dtype),
+            pltpu.VMEM((NBUF, g.th, g.tw, g.cin), out_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 

@@ -186,6 +186,11 @@ def detect_full_pallas(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     return new_cache, mask, npix
 
 
+NBUF = 4  # DMA pipeline depth of the sparse kernels: the per-tile work is
+# tiny (a 16 KB tile DMA + sub-us vector work), so with 2 slots the loop
+# is DMA-LATENCY-bound; 4 slots keep more copies in flight
+
+
 def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
                    x_ref, cache_in_ref, tau_ref,      # tensors
                    cache_ref, mask_ref, npix_ref,     # outputs
@@ -229,18 +234,20 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
     mask_ref[:] = jnp.zeros_like(mask_ref)
     npix_ref[0] = 0
 
-    @pl.when(m > 0)
-    def _():
-        copy_in(0, 0, 0).start()
-        copy_in(0, 0, 1).start()
+    for k in range(NBUF - 1):  # prolog: fill the pipeline
+        @pl.when(k < m)
+        def _(k=k):
+            copy_in(k, k, 0).start()
+            copy_in(k, k, 1).start()
 
     def body(i, _):
-        slot = lax.rem(i, 2)
+        slot = lax.rem(i, NBUF)
 
-        @pl.when(i + 1 < m)
+        @pl.when(i + NBUF - 1 < m)
         def _():
-            copy_in(1 - slot, i + 1, 0).start()
-            copy_in(1 - slot, i + 1, 1).start()
+            nslot = lax.rem(i + NBUF - 1, NBUF)
+            copy_in(nslot, i + NBUF - 1, 0).start()
+            copy_in(nslot, i + NBUF - 1, 1).start()
 
         copy_in(slot, i, 0).wait()
         copy_in(slot, i, 1).wait()
@@ -253,9 +260,9 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
         npix_ref[0] += jnp.sum(changed.astype(jnp.int32))
 
         # ---- cache update (write-back through a separate buffer) ----
-        @pl.when(i >= 2)
+        @pl.when(i >= NBUF)
         def _():
-            copy_out(slot, i - 2).wait()
+            copy_out(slot, i - NBUF).wait()
 
         wbuf[slot] = jnp.where(changed[..., None], x8, c8)
         copy_out(slot, i).start()
@@ -286,13 +293,11 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
 
     lax.fori_loop(0, m, body, None)
 
-    @pl.when(m >= 2)
-    def _():
-        copy_out(lax.rem(m, 2), m - 2).wait()
-
-    @pl.when(m >= 1)
-    def _():
-        copy_out(lax.rem(m - 1, 2), m - 1).wait()
+    for k in range(NBUF):  # epilog: drain the last <=NBUF output copies
+        @pl.when(m - NBUF + k >= 0)
+        def _(k=k):
+            j = m - NBUF + k
+            copy_out(lax.rem(j, NBUF), j).wait()
 
 
 def detect_sparse(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
@@ -335,11 +340,11 @@ def detect_sparse(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
             pl.BlockSpec(memory_space=pltpu.SMEM),             # changed px
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, HINT, HINT, C), x.dtype),
-            pltpu.VMEM((2, HINT, HINT, C), in_cache.dtype),
-            pltpu.VMEM((2, HINT, HINT, C), in_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, HINT, HINT, C), x.dtype),
+            pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),
+            pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     new_cache, mask, npix = pl.pallas_call(

@@ -127,20 +127,27 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     dense_fps = chunks * T / max(1e-9, time.perf_counter() - t0
                                  - sync_overhead)
 
-    cb_scan = jax.jit(
-        lambda p, fs, st, tv, off: scan_video(net, p, fs, state=st,
-                                              thresholds=tv,
-                                              refresh_every=refresh,
-                                              frame_offset=off),
+    # deployment refresh policy (bench.py parity): cond-free refresh_start
+    # prolog on every other chunk (interval 2T; a per-frame lax.cond on the
+    # multi-GB carry costs 6-11 ms per refresh frame)
+    del refresh
+    cb_refresh = jax.jit(
+        lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
+                                         thresholds=tv, refresh_start=True),
         donate_argnums=(2,))
-    ys, state, stats = cb_scan(params, warm_clip, net.init_state(), taus,
-                               jnp.asarray(0, jnp.int32))
+    cb_plain = jax.jit(
+        lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
+                                         thresholds=tv),
+        donate_argnums=(2,))
+    ys, state, stats = cb_refresh(params, warm_clip, net.init_state(), taus)
+    _ = sync(ys)
+    ys, state, stats = cb_plain(params, warm_clip, state, taus)
     _ = sync(ys)
     t0 = time.perf_counter()
     cb_outs = []
     for i, c in enumerate(clips):
-        ys, state, stats = cb_scan(params, c, state, taus,
-                                   jnp.asarray((i + 1) * T, jnp.int32))
+        f = cb_refresh if i % 2 == 0 else cb_plain
+        ys, state, stats = f(params, c, state, taus)
         cb_outs.append(ys)
     _ = sync(ys)
     cb_fps = chunks * T / max(1e-9, time.perf_counter() - t0
@@ -169,7 +176,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         "thresholds": [round(float(t), 4) for t in tau_list],
         "weights": weights,
         "cache_dtype": cfg.cache_dtype,
-        "refresh_every": refresh,
+        "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T}",
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
         "flop_reduction": round(ef["flop_reduction"], 2),
