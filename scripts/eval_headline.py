@@ -41,7 +41,8 @@ from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
        "seg": "/root/repo/ckpts/seg_w64.npz"}
 TAU_JSON = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
-            "seg": "/root/repo/ckpts/seg_w64_tau.json"}
+            "seg": "/root/repo/ckpts/seg_w64_tau.json",
+            "pose": "/root/repo/ckpts/pose_w64_tau.json"}
 
 
 def sync(v):
@@ -204,10 +205,12 @@ def main():
         results["rows"].append(bench_model("seg", tau=None, classes=8,
                                            width=64))
     if which in ("pose", "all"):
-        results["rows"].append(bench_model("pose", tau=0.04, metric="pck",
+        results["rows"].append(bench_model("pose", tau=None, metric="pck",
                                            width=64, T=12))
     out = "/root/repo/RESULTS.json"
-    if which != "all" and os.path.exists(out):
+    # merge: replace same-model rows, keep everything else (incl. the
+    # multistream / pose_graph rows other scripts contribute)
+    if os.path.exists(out):
         # partial run: merge over same-model rows, keep others
         with open(out) as f:
             prev = json.load(f)
