@@ -24,8 +24,12 @@ NUM_CLASSES, WIDTH = 8, 64
 Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
 specs = get_model("seg", num_classes=NUM_CLASSES, width=WIDTH)
 t0 = time.time()
+# 16 videos cover all 7 palette classes; 600 steps for generalization
+# (300 steps / 8 videos left ground-truth mIoU at 0.88 on unseen seeds
+# while scene's 600/16 recipe reaches 0.9995)
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=300, batch=4, verbose=True)
+                                 steps=600, batch=4, n_videos=16,
+                                 verbose=True)
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/seg_w64", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})

@@ -156,3 +156,31 @@ def test_config4_multistream_scan_pipeline():
     # every stream stayed sparse after its cold start
     ct = np.asarray(stats[0]["computed_tiles"])  # (T, S)
     assert (ct[1:] < int(np.max(np.asarray(stats[0]["n_tiles"])))).all()
+
+
+def test_convert_flagship_layer_policy():
+    """The shipped construction (bench/tuner/eval parity): dense_cached
+    cin=3 stem, dense trailing 1x1 classifier, thresholds sized by the
+    CONVERTED chain."""
+    from cbinfer_tpu.convert import (convert_flagship, flagship_layers,
+                                     num_cb_layers)
+
+    for name, kw in (("scene", dict(num_classes=8, width=16)),
+                     ("seg", dict(num_classes=8, width=16)),
+                     ("pose", dict(width=16))):
+        specs = get_model(name, **kw)
+        overrides, dense = flagship_layers(specs)
+        assert overrides == {0: "dense_cached"}, (name, overrides)
+        assert len(dense) == 1, (name, dense)
+        cls = specs[dense[0]]
+        assert isinstance(cls, ConvSpec) and cls.kernel == (1, 1)
+        cfg = PipelineConfig(tile=TileConfig(4, 4), backend="jnp")
+        net = convert_flagship(specs, (32, 32, 3), cfg)
+        assert net.specs[0].backend == "dense_cached"
+        assert not net.specs[dense[0]].use_cb
+        n_cb = num_cb_layers(net.specs)
+        net2 = convert_flagship(specs, (32, 32, 3), cfg,
+                                thresholds=[0.05] * n_cb)
+        got = [s.threshold for s in net2.specs
+               if getattr(s, "use_cb", False)]
+        assert got == [0.05] * n_cb
