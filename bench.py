@@ -109,17 +109,11 @@ def main():
     backend = "pallas" if on_tpu else "jnp"
 
     # Per-sync overhead of this host<->device link (dispatch + scalar-fetch
-    # round trip), MEDIAN of 5 null-op samples (RTT jitter), subtracted
-    # from elapsed times: the metric is device throughput, not tunnel
-    # latency.
-    sync = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
-    _ = float(sync(jnp.ones((8, 128))))
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _ = float(sync(jnp.ones((8, 128))))
-        samples.append(time.perf_counter() - t0)
-    sync_overhead = float(np.median(samples))
+    # round trip; median of 5 null-op samples — shared methodology helper),
+    # subtracted from elapsed times: the metric is device throughput, not
+    # tunnel latency.
+    from cbinfer_tpu.benchmark import measure_sync_overhead
+    sync_overhead = measure_sync_overhead()
 
     # scene-labeling CNN at MXU-friendly width (BASELINE configs[1] family)
     specs = get_model("scene", num_classes=NUM_CLASSES, width=128)

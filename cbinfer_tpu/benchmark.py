@@ -40,15 +40,19 @@ def scalar_sync(v) -> float:
     return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
 
 
-def measure_sync_overhead(reps: int = 3) -> float:
-    """Per-sync host<->device link overhead (dispatch + scalar-fetch RTT),
-    measured on a null op; subtract it from single-sync elapsed times."""
+def measure_sync_overhead(reps: int = 5) -> float:
+    """Per-sync host<->device link overhead (dispatch + scalar-fetch RTT):
+    the MEDIAN of ``reps`` null-op samples — the tunnel RTT jitters ~±15 ms
+    on a ~30 ms round trip, so a small-sample mean skews short timing
+    windows. Subtract from single-sync elapsed times."""
     f = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
     _ = float(f(jnp.ones((8, 128))))  # compile
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         _ = float(f(jnp.ones((8, 128))))
-    return (time.perf_counter() - t0) / reps
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
 
 
 def time_chunked(run_chunk: Callable, chunks: Sequence,
@@ -119,12 +123,21 @@ def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
                if thresholds is not None else None)
 
     # ---- dense baseline ----
+    # outputs are collected DURING the timed pass: dispatching the timed
+    # clips beforehand would let the runtime's (executable, args)
+    # memoization serve the timed dispatches from cache and inflate
+    # dense_fps (the r2 bug this module's docstring documents)
     dense_scan = jax.jit(
         lambda p, fs: jax.lax.map(lambda x: net.apply_dense(p, x), fs))
-    dense_outs = [dense_scan(params, c) for c in clips]
-    scalar_sync(dense_outs[-1])  # compile + warm
-    dense_fps = time_chunked(lambda i, ch: dense_scan(params, ch),
-                             clips[1:], T, sync_overhead)
+    scalar_sync(dense_scan(params, clips[0]))  # compile + warm (untimed clip)
+    dense_outs = []
+
+    def dense_chunk(i, ch):
+        d = dense_scan(params, ch)
+        dense_outs.append(d)
+        return d
+
+    dense_fps = time_chunked(dense_chunk, clips[1:], T, sync_overhead)
 
     # ---- CB path ----
     cb_scan = jax.jit(
@@ -157,7 +170,7 @@ def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
 
     # ---- accuracy + compute accounting (untimed; reuses timed outputs) ----
     cb_np = np.concatenate([np.asarray(y) for y in carry["outs"]])
-    dn_np = np.concatenate([np.asarray(d) for d in dense_outs[1:]])
+    dn_np = np.concatenate([np.asarray(d) for d in dense_outs])
     if metric == "miou":
         mval = miou(cb_np, dn_np, num_classes)
     elif metric == "pck":

@@ -129,10 +129,7 @@ def pad_lanes(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
 def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
                   ) -> CBLayerState:
     """Allocate per-layer caches (HBM-resident across frames)."""
-    if getattr(spec, "backend", None) is not None \
-            and spec.backend != cfg.backend:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, backend=spec.backend)
+    cfg = _layer_cfg(spec, cfg)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
     cin_pad = lane_pad(in_shape[2], cfg)
@@ -288,24 +285,9 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     """One frame through a change-based conv layer.
 
     Returns (y, state', stats, out_hint)."""
-    if spec.backend is not None and spec.backend != cfg.backend:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, backend=spec.backend)
-    w, b = params
+    cfg = _layer_cfg(spec, cfg)
     cout = spec.features
-    x, H, W, xc = _unwrap(x)
-    cin_pad = lane_pad(xc, cfg)
-    cout_pad = lane_pad(cout, cfg)
-    if x.shape[2] < cin_pad:
-        x = pad_lanes(x, cin_pad)
-    elif x.shape[2] > cin_pad:
-        x = x[..., :cin_pad]
-    if cin_pad != w.shape[2] or cout_pad != w.shape[3]:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
-                        (0, cout_pad - w.shape[3])))
-        if b is not None:
-            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
-    g = _geometry(spec, (H, W, cin_pad), cfg)
+    x, w, b, g = _conv_prep(params, x, spec, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     if cfg.backend == "dense_cached":
@@ -364,6 +346,62 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint
 
 
+def _layer_cfg(spec, cfg: PipelineConfig) -> PipelineConfig:
+    """Apply the spec's per-layer backend override to the pipeline cfg."""
+    if spec.backend is not None and spec.backend != cfg.backend:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, backend=spec.backend)
+    return cfg
+
+
+def _conv_prep(params, x, spec: ConvSpec, cfg: PipelineConfig,
+               crop: bool = False):
+    """Shared conv-layer input preamble: unwrap the (possibly padded)
+    Feature, lane-pad/crop input and weights to the storage widths, build
+    the tile geometry.
+
+    ``crop=True`` additionally slices x to its logical spatial dims — used
+    by the refresh path; the apply path keeps the padded array so the
+    zero-copy Feature handoff never materializes a crop (the Pallas detect
+    reads logical coordinates out of the padded buffer).
+
+    Returns (x, w, b, g). Used by BOTH cb_conv_apply and cb_conv_refresh
+    so the two branches of the refresh lax.cond cannot diverge in
+    shape/padding semantics.
+    """
+    w, b = params
+    x, H, W, xc = _unwrap(x)
+    cin_pad = lane_pad(xc, cfg)
+    cout_pad = lane_pad(spec.features, cfg)
+    if x.shape[2] < cin_pad:
+        x = pad_lanes(x, cin_pad)
+    elif x.shape[2] > cin_pad:
+        x = x[..., :cin_pad]
+    if cin_pad != w.shape[2] or cout_pad != w.shape[3]:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
+                        (0, cout_pad - w.shape[3])))
+        if b is not None:
+            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
+    g = _geometry(spec, (H, W, cin_pad), cfg)
+    if crop and x.shape[:2] != (H, W):
+        x = x[:H, :W]
+    return x, w, b, g
+
+
+def _pool_prep(x, spec: PoolSpec, cfg: PipelineConfig, crop: bool = False):
+    """Pool-layer twin of _conv_prep: returns (x, g, cout)."""
+    x, H, W, xc = _unwrap(x)
+    cpad = lane_pad(xc, cfg)
+    if x.shape[2] < cpad:
+        x = pad_lanes(x, cpad)
+    elif x.shape[2] > cpad:
+        x = x[..., :cpad]
+    g = _geometry(spec, (H, W, cpad), cfg)
+    if crop and x.shape[:2] != (H, W):
+        x = x[:H, :W]
+    return x, g, xc
+
+
 def _full_stats(g: TileGeometry) -> Dict[str, Any]:
     """Stats pytree for a full (refresh) recompute — same structure/dtypes
     as _run_gated's stats so lax.cond branches match."""
@@ -400,28 +438,11 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
     Returns (y, state', stats, hint) with the same pytree structure as
     cb_conv_apply.
     """
-    if spec.backend is not None and spec.backend != cfg.backend:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, backend=spec.backend)
-    w, b = params
+    cfg = _layer_cfg(spec, cfg)
     cout = spec.features
-    x, H, W, xc = _unwrap(x)
-    cin_pad = lane_pad(xc, cfg)
-    cout_pad = lane_pad(cout, cfg)
-    if x.shape[2] < cin_pad:
-        x = pad_lanes(x, cin_pad)
-    elif x.shape[2] > cin_pad:
-        x = x[..., :cin_pad]
-    if cin_pad != w.shape[2] or cout_pad != w.shape[3]:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
-                        (0, cout_pad - w.shape[3])))
-        if b is not None:
-            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
-    g = _geometry(spec, (H, W, cin_pad), cfg)
+    x, w, b, g = _conv_prep(params, x, spec, cfg, crop=True)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    if x.shape[:2] != (H, W):
-        x = x[:H, :W]
     # Rebuild the padded storage from scratch (margins are CONSTANT zeros
     # by make_storage's contract) instead of dynamic-update-slicing the
     # carried buffer: a full-interior DUS into a donated scan carry is
@@ -444,19 +465,8 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
 def cb_pool_refresh(state: CBLayerState, x, spec: PoolSpec,
                     cfg: PipelineConfig):
     """Full refresh of a CB pool layer (see cb_conv_refresh)."""
-    if spec.backend is not None and spec.backend != cfg.backend:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, backend=spec.backend)
-    x, H, W, xc = _unwrap(x)
-    cout = xc
-    cpad = lane_pad(cout, cfg)
-    if x.shape[2] < cpad:
-        x = pad_lanes(x, cpad)
-    elif x.shape[2] > cpad:
-        x = x[..., :cpad]
-    g = _geometry(spec, (H, W, cpad), cfg)
-    if x.shape[:2] != (H, W):
-        x = x[:H, :W]
+    cfg = _layer_cfg(spec, cfg)
+    x, g, cout = _pool_prep(x, spec, cfg, crop=True)
     # fresh pad, not DUS-into-carry — see cb_conv_refresh
     storage = jnp.pad(x.astype(state.in_cache.dtype),
                       ((g.store_lo_h, g.store_hi_h),
@@ -474,17 +484,8 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
     """One frame through a change-based max-pool layer.
 
     Returns (y: Feature, state', stats, out_hint)."""
-    if spec.backend is not None and spec.backend != cfg.backend:
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, backend=spec.backend)
-    x, H, W, xc = _unwrap(x)
-    cout = xc
-    cpad = lane_pad(cout, cfg)
-    if x.shape[2] < cpad:
-        x = pad_lanes(x, cpad)
-    elif x.shape[2] > cpad:
-        x = x[..., :cpad]
-    g = _geometry(spec, (H, W, cpad), cfg)
+    cfg = _layer_cfg(spec, cfg)
+    x, g, cout = _pool_prep(x, spec, cfg)
 
     if cfg.backend == "pallas":
         from .ops.pallas.delta_pool import delta_pool_pallas

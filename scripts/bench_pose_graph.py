@@ -77,14 +77,17 @@ def main(argv=None):
         scalar_sync(c)
     sync_overhead = measure_sync_overhead()
 
-    # dense baseline
+    # dense baseline — outputs collected DURING the timed pass: dispatching
+    # the timed chunks beforehand would let the runtime's dispatch
+    # memoization serve the timed dispatches from cache (inflated dense_fps)
     dense = jax.jit(lambda p, fs: jax.lax.map(
         lambda x: net.apply_dense(p, x), fs))
-    dense_outs = [dense(params, c) for c in [warm] + chunks]
-    scalar_sync(dense_outs[-1])
+    scalar_sync(dense(params, warm))  # compile + warm (untimed chunk)
+    dense_outs = []
     t0 = time.perf_counter()
     for c in chunks:
         d = dense(params, c)
+        dense_outs.append(d)
     scalar_sync(d)
     dense_fps = (args.chunks * T
                  / max(1e-9, time.perf_counter() - t0 - sync_overhead))
@@ -112,7 +115,7 @@ def main(argv=None):
               / max(1e-9, time.perf_counter() - t0 - sync_overhead))
 
     pck_val = float(np.mean([pck(np.asarray(a), np.asarray(b))
-                             for a, b in zip(cb_outs, dense_outs[1:])]))
+                             for a, b in zip(cb_outs, dense_outs)]))
     overflows = sum(int(np.asarray(s["overflow"]).sum())
                     for s in jax.device_get(stats).values() if s)
 

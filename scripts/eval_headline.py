@@ -65,13 +65,10 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
                          compute_dtype="bfloat16" if on_tpu else "float32",
                          cache_dtype=cache_dtype or (
                              "bfloat16" if on_tpu else "float32"))
-    # per-sync host-link overhead, subtracted from elapsed (see bench.py)
-    syncf = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
-    _ = float(syncf(jnp.ones((8, 128))))
-    t0 = time.perf_counter()
-    for _i in range(3):
-        _ = float(syncf(jnp.ones((8, 128))))
-    sync_overhead = (time.perf_counter() - t0) / 3
+    # per-sync host-link overhead, subtracted from elapsed (shared
+    # methodology helper — median of 5, see cbinfer_tpu/benchmark.py)
+    from cbinfer_tpu.benchmark import measure_sync_overhead
+    sync_overhead = measure_sync_overhead()
     # Flagship config (bench.py parity); the tuned tau files were
     # calibrated against this construction.
     net = convert_flagship(specs, (H, W, 3), cfg)
@@ -84,9 +81,13 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         except Exception as e:
             print(f"eval: WARNING no trained weights for {name} ({e}); "
                   "using random init", file=sys.stderr)
+    # per-RUN unique seed: the runtime memoizes identical dispatches across
+    # processes (bench.py), so a fixed clip inflates fps on re-runs. The
+    # metric therefore varies slightly run-to-run (same sprite statistics).
+    run_seed = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=0))
+        noise_std=0.002, seed=run_seed))
     warm_clip = jnp.asarray(video.clip(T))  # warm-up only (memoization)
     clips, labels = [], []
     for _ in range(chunks):
@@ -145,14 +146,22 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     ys, state, stats = cb_plain(params, warm_clip, state, taus)
     _ = sync(ys)
     t0 = time.perf_counter()
-    cb_outs = []
+    cb_outs, cb_stats = [], []
     for i, c in enumerate(clips):
         f = cb_refresh if i % 2 == 0 else cb_plain
         ys, state, stats = f(params, c, state, taus)
         cb_outs.append(ys)
+        cb_stats.append(stats)
     _ = sync(ys)
     cb_fps = chunks * T / max(1e-9, time.perf_counter() - t0
                               - sync_overhead)
+    # FLOP accounting over ALL timed chunks: the last chunk alone is
+    # refresh-free under the every-other-chunk policy and would overstate
+    # the reduction by excluding the full-recompute refresh frames
+    stats = jax.tree.map(
+        lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
+                                    for x in xs]),
+        *[jax.device_get(s) for s in cb_stats])
 
     mfn = functools.partial(miou, num_classes=classes) if metric == "miou" \
         else pck
@@ -170,7 +179,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         m_dn = miou_labels(dn_np, labs, classes)
         gt = {"miou_gt_dense": round(m_dn, 4), "miou_gt_cb": round(m_cb, 4),
               "miou_degradation": round(m_dn - m_cb, 5)}
-    ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3), 8, 8)
+    ef = effective_flops(stats, net.specs, (H, W, 3), 8, 8)
     row = {
         "model": name, "resolution": f"{H}x{W}",
         "tau": tau_src if tau is None else tau,

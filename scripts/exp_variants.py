@@ -50,12 +50,8 @@ def main():
     for ch in chunks:
         _ = float(jnp.sum(ch))
 
-    sync = jax.jit(lambda a: jnp.sum(a) * 0 + 1.0)
-    _ = float(sync(jnp.ones((8, 128))))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        _ = float(sync(jnp.ones((8, 128))))
-    sync_overhead = (time.perf_counter() - t0) / 3
+    from cbinfer_tpu.benchmark import measure_sync_overhead
+    sync_overhead = measure_sync_overhead()
 
     def cfg_for(tile_h=8, tile_w=8, capacity=0.375):
         return PipelineConfig(
