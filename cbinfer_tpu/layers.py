@@ -17,6 +17,17 @@ full dense recompute branch (lax.cond). By the out_cache == f(in_cache)
 invariant (golden.py doc) this is VALUE-EXACT, not an approximation — it
 only spends more compute.
 
+Change-mask modes (SURVEY.md §1): the DEFAULT per-layer semantics is
+RE-DETECTION — each layer compares its own input against its own cache
+with its own tau, resetting the mask at every layer so recompute regions
+do not grow with depth (arXiv 1808.05488 §IV-B, the reference behavior).
+The CB17-style MASK-FORWARDING mode (an output pixel recomputes whenever
+the producer recomputed anything in its receptive field, no tau reset)
+needs no separate code path: set that layer's tau to -1 — every pixel the
+producer's dilated mask (the dirty hint) visits is then accepted and
+marked changed, which IS the forwarded mask. tests/test_streaming.py
+::test_tau_minus_one_is_mask_forwarding pins this equivalence.
+
 Dirty-hint chaining (TPU-native refinement, no reference equivalent): a pixel
 whose diff exceeded tau last frame was ACCEPTED then (diff now 0), and a
 pixel the producer layer did not recompute is bit-identical to last frame —

@@ -165,3 +165,46 @@ def test_gt_metrics_match_host_and_chunked():
     a, b = miou_iu_device(jnp.asarray(logits), jnp.asarray(logits), 5)
     assert merge_iu(np.asarray(a), np.asarray(b)) == 1.0
     assert miou(logits, logits, 5) == 1.0
+
+
+def test_tau_minus_one_is_mask_forwarding():
+    """CB17-style mask forwarding == per-layer tau=-1: the layer accepts
+    and recomputes EXACTLY the producer's dilated (hinted) region — its
+    changed-tile mask equals the hint superset, never less — while the
+    re-detection default (finite tau) recomputes a subset. Outputs agree
+    with dense either way (forwarding is a conservative superset)."""
+    from cbinfer_tpu.convert import convert_flagship
+    from cbinfer_tpu.models import get_model
+
+    H, W, T = 32, 48, 6
+    specs = get_model("scene_tiny", num_classes=5, width=8)
+    cfg = PipelineConfig(tile=TileConfig(4, 4, capacity_fraction=1.0))
+    net = convert_flagship(specs, (H, W, 3), cfg)
+    n_cb = sum(1 for s in net.specs if getattr(s, "use_cb", False))
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=1, sprite_size=8, noise_std=0.0,
+        seed=6)).clip(T))
+
+    def run(layer1_tau):
+        taus = np.full((n_cb,), 0.02, np.float32)
+        taus[1] = layer1_tau  # the pool after the dense_cached stem
+        return scan_video(net, params, clip,
+                          thresholds=jnp.asarray(taus))
+
+    ys_f, _, st_f = run(-1.0)    # forwarding
+    ys_r, _, st_r = run(0.02)    # re-detection
+    cb_stats_f = [s for s in st_f if s]
+    cb_stats_r = [s for s in st_r if s]
+    # forwarding recomputes at least as much at that layer...
+    comp_f = np.asarray(cb_stats_f[1]["computed_tiles"])
+    comp_r = np.asarray(cb_stats_r[1]["computed_tiles"])
+    assert np.all(comp_f >= comp_r)
+    # ...equal to its detect visit count (every hinted tile recomputed)
+    det_f = np.asarray(cb_stats_f[1]["changed_tiles"])
+    assert np.all(comp_f == det_f)
+    # both modes agree with dense at the task level (raw logits differ by
+    # conv-algorithm fp rounding between the tile and dense paths)
+    dense = jnp.stack([net.apply_dense(params, f) for f in clip])
+    assert miou(np.asarray(ys_f), np.asarray(dense), 5) == 1.0
+    assert miou(np.asarray(ys_r), np.asarray(dense), 5) == 1.0
