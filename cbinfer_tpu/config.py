@@ -91,7 +91,17 @@ class ConvSpec:
 
 @dataclass(frozen=True)
 class PoolSpec:
-    """Layer IR node for change-based max pooling (SURVEY.md C7)."""
+    """Layer IR node for change-based max pooling (SURVEY.md C7).
+
+    ``forward_hint=True`` (set by convert_flagship on aligned pools) runs
+    the pool in CB17 mask-forwarding mode on the pallas backend: it
+    recomputes exactly the producer's dirty-hinted blocks in ONE fused
+    kernel (no per-pixel detection, no input cache reads, ``threshold``
+    unused) — value-exact w.r.t. the producer's accepted values, a
+    conservative superset of what re-detection would recompute. Requires
+    window == stride and a producer hint; falls back to re-detection
+    otherwise.
+    """
 
     window: Tuple[int, int] = (2, 2)
     stride: Tuple[int, int] = (2, 2)
@@ -99,6 +109,7 @@ class PoolSpec:
     threshold: float = 0.0
     use_cb: bool = True
     backend: Optional[str] = None  # see ConvSpec.backend
+    forward_hint: bool = False
     kind: str = "pool"
 
     def __post_init__(self):

@@ -223,6 +223,15 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     overrides, dense = flagship_layers(specs)
     net = convert(specs, in_shape, cfg, dense_layers=dense,
                   backend_overrides=overrides)
+    # aligned pools run hint-forwarded (one fused kernel, no detection /
+    # input-cache traffic; see PoolSpec.forward_hint) — they keep their
+    # tau slot for tau-vector compatibility, but the tau is unused
+    new_specs = tuple(
+        dataclasses.replace(s, forward_hint=True)
+        if isinstance(s, PoolSpec) and s.use_cb
+        and s.window == s.stride else s
+        for s in net.specs)
+    net = dataclasses.replace(net, specs=new_specs)
     if thresholds is not None:
         net = convert(net.specs, in_shape, cfg, thresholds=thresholds)
     return net

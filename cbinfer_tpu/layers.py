@@ -498,6 +498,48 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
     cfg = _layer_cfg(spec, cfg)
     x, g, cout = _pool_prep(x, spec, cfg)
 
+    p = spec.stride[0]
+    if (spec.forward_hint and hint is not None and cfg.backend == "pallas"
+            and spec.window == spec.stride == (p, p)
+            and HINT_TILE % p == 0
+            # pooled block width (2 paired hint tiles) must be 8-sublane
+            # aligned for the HBM output slice (Mosaic rule)
+            and (2 * HINT_TILE // p) % 8 == 0
+            and g.th == HINT_TILE and g.tw == HINT_TILE
+            and x.shape[-1] % 128 == 0
+            # exact block-grid divisibility: a clamped edge block's pooled
+            # region would span TWO out tiles and break the one-cell mask
+            and g.in_w % (2 * HINT_TILE) == 0 and g.in_h % HINT_TILE == 0):
+        # CB17 mask-forwarding pool: ONE fused kernel over the producer's
+        # dirty list — no detection, no input-cache traffic, tau unused
+        # (PoolSpec.forward_hint doc; value-exact superset recompute).
+        # Hint tiles pair up in W (8x16 blocks) for the alignment rule.
+        from .ops.pallas.delta_pool import detect_pool_fused
+        hm = hint.mask
+        if hm.shape[1] % 2:  # defensive; in_w divisibility implies even
+            hm = jnp.pad(hm, ((0, 0), (0, 1)))
+        pair = jnp.logical_or(hm[:, 0::2], hm[:, 1::2])
+        dcomp = compact.compact_mask(pair, pair.size)
+        out_cache, maskf = detect_pool_fused(
+            x, state.out_cache, dcomp.idx, dcomp.count, g,
+            hint_h=HINT_TILE, hint_w=2 * HINT_TILE, interpret=cfg.interpret)
+        mask = maskf > 0.5
+        touched = jnp.sum(mask, dtype=jnp.int32)
+        stats = {
+            "changed_tiles": touched,
+            "computed_tiles": touched,
+            "n_tiles": g.n_tiles,
+            "overflow": jnp.zeros((), bool),
+            # forwarding never inspects pixels; visited = hinted area
+            # (counts in 8x8 hint-tile units: each block is 2 tiles)
+            "changed_pixels": dcomp.count * (2 * HINT_TILE * HINT_TILE),
+            "detect_tiles": dcomp.count * 2,
+        }
+        out_hint = _out_hint(mask, jnp.zeros((), bool), g)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
+        return yl, CBLayerState(in_cache=state.in_cache,
+                                out_cache=out_cache), stats, out_hint
+
     if cfg.backend == "pallas":
         from .ops.pallas.delta_pool import delta_pool_pallas
 

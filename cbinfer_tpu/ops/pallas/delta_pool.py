@@ -86,6 +86,166 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
             out_copy(lax.rem(j, NBUF), j).wait()
 
 
+def _fused_kernel(idx_ref, m_ref,              # scalar prefetch
+                  x_ref, out_in_ref,           # tensors (HBM, HBM aliased)
+                  out_ref, mask_ref,           # outputs (HBM alias, VMEM)
+                  xbuf, ybuf, in_sems, out_sems,  # scratch
+                  *, H: int, W: int, hint_h: int, hint_w: int,
+                  blocks_w: int, tiles_h: int, tiles_w: int, pool: int):
+    """Hint-forwarded pool (CB17 mask-forwarding at the pool layer): per
+    producer-dirty input BLOCK (hint_h x hint_w — two adjacent 8x8 hint
+    tiles paired in W so the pooled output slice stays 8-sublane-aligned,
+    Mosaic's HBM slicing rule), pool it and scatter the pooled block — no
+    per-pixel detection, no input cache, ONE loop instead of
+    detect+compact+pool. Valid only for aligned pools (k == s == pool,
+    hint_h % pool == 0, (hint_w/pool) % 8 == 0), where a block maps to
+    exactly one output region inside one out tile (windows never cross
+    block edges).
+
+    Exact by construction: the producer's hint is a conservative superset
+    of its changed pixels, and every recomputed pooled block is computed
+    from the producer's CURRENT accepted values.
+    """
+    del out_in_ref  # aliased with out_ref
+    m = m_ref[0]
+    out_h = hint_h // pool
+    out_w = hint_w // pool
+
+    def block_ij(i):
+        t = idx_ref[i]
+        hi = t // blocks_w
+        return hi, t - hi * blocks_w
+
+    def in_copy(slot, i):
+        hi, hj = block_ij(i)
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(hi * hint_h, hint_h),
+                     pl.ds(hj * hint_w, hint_w), :],
+            xbuf.at[slot], in_sems.at[slot])
+
+    def out_copy(slot, i):
+        hi, hj = block_ij(i)
+        # offsets as direct multiples of the (8-aligned) block extents so
+        # Mosaic can PROVE sublane divisibility (hj*out_w, not ox//pool)
+        return pltpu.make_async_copy(
+            ybuf.at[slot],
+            out_ref.at[pl.ds(hi * out_h, out_h),
+                       pl.ds(hj * out_w, out_w), :],
+            out_sems.at[slot])
+
+    mask_ref[:] = jnp.zeros_like(mask_ref)
+
+    for k in range(NBUF - 1):
+        @pl.when(k < m)
+        def _(k=k):
+            in_copy(k, k).start()
+
+    def body(i, _):
+        slot = lax.rem(i, NBUF)
+
+        @pl.when(i + NBUF - 1 < m)
+        def _():
+            in_copy(lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
+
+        in_copy(slot, i).wait()
+        # aligned pool: windows never cross the block, so the max reduces
+        # over reshape-split axes (leading-dim and sublane splits only —
+        # no strided slices, no phase extraction slack needed)
+        win = xbuf[slot]                                  # (hint_h, hint_w, C)
+        C = win.shape[-1]
+        r = jnp.max(win.reshape(out_h, pool, hint_w, C), axis=1)
+        y = jnp.max(r.reshape(out_h, out_w, pool, C), axis=2)
+
+        @pl.when(i >= NBUF)
+        def _():
+            out_copy(slot, i - NBUF).wait()
+
+        ybuf[slot] = y
+        out_copy(slot, i).start()
+
+        # mark the touched out tile of THIS layer's (tiles_h, tiles_w)
+        # grid: one cell per block (aligned pools; block pooled extents
+        # divide the 8x8 out tile) — an outer product of one-hot row/col
+        # indicators (pure vector ops)
+        hi, hj = block_ij(i)
+        ti = (hi * out_h) // 8  # out-tile grid is 8x8 on the pooled map
+        tj = (hj * out_w) // 8
+        row = (jax.lax.broadcasted_iota(jnp.int32, (tiles_h, 1), 0)
+               == ti).astype(jnp.float32)
+        col = (jax.lax.broadcasted_iota(jnp.int32, (1, tiles_w), 1)
+               == tj).astype(jnp.float32)
+        mask_ref[:] = jnp.maximum(mask_ref[:], row * col)
+
+    lax.fori_loop(0, m, body, None)
+
+    for k in range(NBUF):
+        @pl.when(m - NBUF + k >= 0)
+        def _(k=k):
+            j = m - NBUF + k
+            out_copy(lax.rem(j, NBUF), j).wait()
+
+
+def detect_pool_fused(x: jnp.ndarray, out_cache: jnp.ndarray,
+                      dirty_idx: jnp.ndarray, dirty_count: jnp.ndarray,
+                      g: TileGeometry, *, hint_h: int = 8, hint_w: int = 16,
+                      interpret: bool = False):
+    """Hint-forwarded pool over the producer's dirty-BLOCK list.
+
+    x: (>=H, >=W, C) producer output (padded Feature data; logical dims
+    from g). out_cache: (out_h_pad, out_w_pad, C), donated/aliased.
+    dirty_idx: flat ids on the (H/hint_h, W/hint_w) BLOCK grid (the
+    caller pairs the 8x8 hint mask in W — hint_w/pool must be a multiple
+    of 8 for Mosaic's HBM sublane-slicing rule).
+    Returns (new_out_cache, out_tile_mask f32 (tiles_h, tiles_w)).
+    Requires an aligned pool: k == s (caller asserts divisibility).
+    """
+    H, W = g.in_h, g.in_w
+    C = x.shape[-1]
+    pool = g.stride[0]
+    assert g.kernel == (pool, pool) and g.stride == (pool, pool)
+    assert hint_h % pool == 0 and hint_w % pool == 0
+    assert (hint_w // pool) % 8 == 0, hint_w
+    assert W % hint_w == 0 and H % hint_h == 0
+    blocks_w = W // hint_w
+
+    kern = functools.partial(_fused_kernel, H=H, W=W, hint_h=hint_h,
+                             hint_w=hint_w, blocks_w=blocks_w,
+                             tiles_h=g.tiles_h, tiles_w=g.tiles_w, pool=pool)
+    out_h = hint_h // pool
+    out_w = hint_w // pool
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # x
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # out_cache
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, hint_h, hint_w, C), out_cache.dtype),
+            pltpu.VMEM((NBUF, out_h, out_w, C), out_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    new_cache, mask = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(out_cache.shape, out_cache.dtype),
+            jax.ShapeDtypeStruct((g.tiles_h, g.tiles_w), jnp.float32),
+        ],
+        input_output_aliases={3: 0},  # out_cache (after 2 scalar args + x)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(dirty_idx, dirty_count.reshape(1), x.astype(out_cache.dtype),
+      out_cache)
+    return new_cache, mask
+
+
 def delta_pool_pallas(xp: jnp.ndarray, idx: jnp.ndarray,
                       out_cache: jnp.ndarray, g: TileGeometry, *,
                       count: jnp.ndarray = None,

@@ -214,3 +214,77 @@ def test_detect_full_pallas_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(storage_interior(st2, g)), np.asarray(ref_cache))
     assert int(npix[0]) == int(np.asarray(changed).sum()) > 0
+
+
+def test_detect_pool_fused_matches_dense_pool():
+    """Hint-forwarded pool (detect_pool_fused): hinted blocks equal the
+    dense pool of the current input; unhinted blocks keep the old cache
+    bit-identically; the emitted mask marks exactly the touched out
+    tiles."""
+    from cbinfer_tpu.ops.pallas.delta_pool import detect_pool_fused
+
+    rng = np.random.default_rng(3)
+    H, W, C, BH, BW, P = 32, 64, 128, 8, 16, 2
+    g = conv_tile_geometry((H, W, C), (P, P), (P, P), (1, 1), "VALID", 8, 8)
+    x = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
+    old = jnp.asarray(rng.standard_normal(
+        (g.out_h_pad, g.out_w_pad, C)).astype(np.float32))
+
+    # dirty blocks on the paired (H/8, W/16) grid
+    block_mask = np.zeros((H // BH, W // BW), bool)
+    block_mask[0, 0] = block_mask[2, 2] = block_mask[3, 3] = True
+    comp = compact_mask(jnp.asarray(block_mask), block_mask.size)
+    new, maskf = detect_pool_fused(x, old, comp.idx, comp.count, g,
+                                   hint_h=BH, hint_w=BW, interpret=True)
+
+    # dense pool oracle
+    ref = np.asarray(x).reshape(H // P, P, W // P, P, C).max((1, 3))
+    new_np = np.asarray(new)
+    touched = np.zeros((g.out_h_pad, g.out_w_pad), bool)
+    for hi in range(H // BH):
+        for hj in range(W // BW):
+            oy, ox = hi * BH // P, hj * BW // P
+            blk = (slice(oy, oy + BH // P), slice(ox, ox + BW // P))
+            if block_mask[hi, hj]:
+                np.testing.assert_allclose(new_np[blk], ref[blk], atol=1e-6)
+                touched[blk] = True
+            else:
+                np.testing.assert_array_equal(new_np[blk],
+                                              np.asarray(old)[blk])
+    # mask == out tiles overlapping any touched block
+    want = touched.reshape(g.tiles_h, g.th, g.tiles_w, g.tw).any((1, 3))
+    np.testing.assert_array_equal(np.asarray(maskf) > 0.5, want)
+
+
+def test_forward_hint_pool_layer_matches_redetect():
+    """A forward_hint pool inside the layer chain produces the same values
+    as the re-detection pool at tau=0 (superset recompute, same math)."""
+    import dataclasses as dc
+    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.runner import scan_video
+
+    H, W = 32, 64
+    specs = get_model("scene_tiny", num_classes=5, width=16)
+    cfg = _pallas_cfg(th=8, tw=8)
+    base = convert(specs, (H, W, 3), cfg,
+                   backend_overrides={0: "dense_cached"},
+                   thresholds=[0.02, 0.0, 0.02, 0.02])
+    fwd_specs = tuple(
+        dc.replace(s, forward_hint=True) if isinstance(s, PoolSpec) else s
+        for s in base.specs)
+    fwd = dc.replace(base, specs=fwd_specs)
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=1, sprite_size=8, noise_std=0.002,
+        seed=7)).clip(5))
+    ys_f, _, st_f = scan_video(fwd, params, clip)
+    ys_r, _, st_r = scan_video(base, params, clip)
+    # pool at tau=0 re-detects every hinted change -> same values
+    np.testing.assert_allclose(np.asarray(ys_f), np.asarray(ys_r),
+                               atol=1e-5)
+    # the forwarded pool never inspects pixels outside the hint
+    pf = [s for s in st_f if s][1]
+    assert np.all(np.asarray(pf["detect_tiles"])[1:]
+                  < np.max(np.asarray(pf["n_tiles"])))
