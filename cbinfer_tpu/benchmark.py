@@ -146,24 +146,31 @@ def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
                                           refresh_every=refresh_every,
                                           frame_offset=off),
         donate_argnums=(2,))
-    # cold start (compile excluded): frame 0 from fresh state
+    # cold start (compile excluded): frame 0 from fresh state. Median of
+    # several samples, clamped at 0 — a single RTT-scale window minus the
+    # median null-op RTT is jitter-dominated (±15 ms on a ~30 ms tunnel
+    # RTT) and can even come out negative (ADVICE r2).
     step = jax.jit(net.apply, donate_argnums=(1,))
     y0, s0, _ = step(params, net.init_state(), clips[0][0])
     scalar_sync(y0)
-    t0 = time.perf_counter()
-    y0, s0, _ = step(params, net.init_state(), clips[0][0])
-    scalar_sync(y0)
-    cold_ms = (time.perf_counter() - t0 - sync_overhead) * 1e3
+    cold_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y0, s0, _ = step(params, net.init_state(), clips[0][0])
+        scalar_sync(y0)
+        cold_samples.append(time.perf_counter() - t0 - sync_overhead)
+    cold_ms = max(0.0, float(np.median(cold_samples))) * 1e3
 
-    carry = {"state": net.init_state(), "stats": None, "outs": []}
+    carry = {"state": net.init_state(), "stats": [], "outs": []}
     ys, carry["state"], _ = cb_scan(params, clips[0], carry["state"],
                                     jnp.asarray(0, jnp.int32))
     scalar_sync(ys)  # compile + cold start + cache warm
 
     def cb_chunk(i, ch):
-        ys, carry["state"], carry["stats"] = cb_scan(
+        ys, carry["state"], stats = cb_scan(
             params, ch, carry["state"], jnp.asarray((i + 1) * T, jnp.int32))
         carry["outs"].append(ys)
+        carry["stats"].append(stats)
         return ys
 
     cb_fps = time_chunked(cb_chunk, clips[1:], T, sync_overhead)
@@ -177,7 +184,14 @@ def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
         mval = pck(cb_np, dn_np)
     else:
         raise ValueError(metric)
-    stats = jax.device_get(carry["stats"])
+    # FLOP accounting over ALL timed chunks, not just the last one: under
+    # a refresh policy whose refresh frames land unevenly across chunks,
+    # the last chunk alone over- or under-states the reduction (ADVICE r2;
+    # scripts/eval_headline.py fixed the same bias independently).
+    all_stats = [jax.device_get(s) for s in carry["stats"]]
+    stats = (all_stats[0] if len(all_stats) == 1 else jax.tree.map(
+        lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
+                                    for x in xs]), *all_stats))
     ef = effective_flops(stats, net.specs, net.in_shape,
                          net.cfg.tile.tile_h, net.cfg.tile.tile_w)
 

@@ -184,24 +184,31 @@ def num_cb_layers(specs: Sequence) -> int:
                if isinstance(s, (ConvSpec, PoolSpec)) and s.use_cb)
 
 
-def flagship_layers(specs: Sequence):
+def flagship_layers(specs: Sequence,
+                    in_shape: Optional[Tuple[int, int, int]] = None):
     """(backend_overrides, dense_layers) of the SHIPPED configuration.
 
     Two measured policies (RESULTS.md optimization ledger), applied to every
     model family so bench.py / tuners / tests build the identical network:
 
-    * layer 0 (cin=3 stem) runs ``dense_cached``: detect on the cheap
-      3-channel input + dense conv from the accepted cache, emitting the
-      dirty-hint chain. No Pallas delta kernel can serve 3-channel inputs
-      on this hardware (Mosaic lane-pads small-lane buffers 43x and rejects
-      their DMA slicing), and a hint-less stem poisons every downstream
-      detect.
+    * a SMALL-cin stem (cin < 128, i.e. below one TPU lane) runs
+      ``dense_cached``: detect on the cheap few-channel input + dense conv
+      from the accepted cache, emitting the dirty-hint chain. No Pallas
+      delta kernel can serve small-lane inputs on this hardware (Mosaic
+      lane-pads small-lane buffers 43x and rejects their DMA slicing), and
+      a hint-less stem poisons every downstream detect. The override is
+      gated on the actual stem cin when ``in_shape`` is given (a wide
+      imported-feature input keeps the sparse stem path; ADVICE r2);
+      without ``in_shape`` the historical cin=3 assumption applies.
     * the trailing 1x1 classifier runs plain dense: nothing downstream
       consumes its hint, and CB bookkeeping (detect + compact + scatter)
       on a 1x1 conv costs more than recomputing it (measured: dense 1x1
       classifier saved ~0.1 ms/frame at 720p).
     """
-    overrides = {0: "dense_cached"} if isinstance(specs[0], ConvSpec) else {}
+    from .layers import LANE
+    small_stem = in_shape is None or in_shape[2] < LANE
+    overrides = ({0: "dense_cached"}
+                 if isinstance(specs[0], ConvSpec) and small_stem else {})
     dense = []
     i = len(specs) - 1
     while i > 0 and isinstance(specs[i], UpsampleSpec):
@@ -220,7 +227,7 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     ``thresholds`` is sized by the CONVERTED network's CB-layer count
     (num_cb_layers(net.specs)) — the dense classifier consumes no tau.
     """
-    overrides, dense = flagship_layers(specs)
+    overrides, dense = flagship_layers(specs, in_shape)
     net = convert(specs, in_shape, cfg, dense_layers=dense,
                   backend_overrides=overrides)
     # aligned pools run hint-forwarded (one fused kernel, no detection /

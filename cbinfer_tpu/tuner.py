@@ -82,6 +82,41 @@ def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
     return run
 
 
+def _tau_is_dead(net: CBNet, l: int, cb_spec_idx: List[int]) -> bool:
+    """True iff CB layer ``l``'s tau is unused at deployment: a
+    forward-hint pool whose fused-kernel gate (layers.cb_pool_apply) will
+    hold on this net — pallas backend, aligned window==stride>=2 pool on
+    the 8x8 tile grid, hint-producing predecessor. Judged conservatively:
+    any unmet condition means the pool falls back to re-detection, where
+    tau is live."""
+    from .layers import HINT_TILE
+    from .network import out_shapes
+    si = cb_spec_idx[l]
+    spec = net.specs[si]
+    if not (isinstance(spec, PoolSpec) and spec.forward_hint):
+        return False
+    backend = spec.backend or net.cfg.backend
+    if backend != "pallas":
+        return False
+    p = spec.stride[0]
+    if not (spec.window == spec.stride == (p, p) and p >= 2
+            and HINT_TILE % p == 0 and (2 * HINT_TILE // p) % 8 == 0):
+        return False
+    if not (net.cfg.tile.tile_h == HINT_TILE
+            and net.cfg.tile.tile_w == HINT_TILE):
+        return False
+    shapes = [tuple(net.in_shape)] + list(out_shapes(net.specs,
+                                                     net.in_shape))
+    in_h, in_w, _ = shapes[si]
+    if in_h % HINT_TILE or in_w % (2 * HINT_TILE):
+        return False
+    # the producer must emit a hint: the previous layer is CB (incl.
+    # dense_cached) — a plain-dense/upsample predecessor clears the hint
+    prev = net.specs[si - 1] if si > 0 else None
+    return (prev is not None and isinstance(prev, (ConvSpec, PoolSpec))
+            and prev.use_cb)
+
+
 def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
          tau_grid: Sequence[float] = (0.01, 0.02, 0.04, 0.08, 0.16, 0.32),
          budgets: Sequence[float] = (0.001, 0.002, 0.005, 0.01, 0.02),
@@ -189,6 +224,14 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     # dense-FLOP totals, the greedy objective's "gain" units.
     cb_spec_idx = [i for i, s in enumerate(net.specs)
                    if isinstance(s, (ConvSpec, PoolSpec)) and s.use_cb]
+    # Layers whose tau is DEAD at deployment: forward-hint pools on the
+    # pallas backend run the fused mask-forwarding kernel, which never
+    # reads tau (PoolSpec.forward_hint). Sweeping them wastes |grid|
+    # calibration evals per layer and the greedy can "spend" budget on a
+    # knob that does nothing (ADVICE r2). NOTE the backend asymmetry: on
+    # the jnp backend (and on any fused-gate alignment fallback) the same
+    # tau IS live — deadness is judged against the net's own backend.
+    tau_dead = [_tau_is_dead(net, l, cb_spec_idx) for l in range(n_layers)]
     per_tile = layer_flops_per_tile(net.specs, net.in_shape,
                                     net.cfg.tile.tile_h, net.cfg.tile.tile_w)
 
@@ -196,7 +239,23 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     sensitivity: Dict[int, List] = {}
     flop_frac: Dict[int, List] = {}
     n_tiles_l: Dict[int, float] = {}
+    base_eval = eval_taus(np.full((n_layers,), base_tau, np.float32))
     for l in range(n_layers):
+        if tau_dead[l]:
+            # flat curve at the base point: no eval spent, no projected
+            # gain, so the greedy never proposes this knob
+            m0 = base_eval[0]
+            s0 = base_eval[1][cb_spec_idx[l]]
+            nt = float(np.max(np.asarray(s0["n_tiles"])))
+            n_tiles_l[l] = nt
+            fr = float(np.mean(np.asarray(s0["changed_tiles"],
+                                          np.float64))) / max(nt, 1.0)
+            sensitivity[l] = [(float(t), m0) for t in tau_grid]
+            flop_frac[l] = [fr] * len(tau_grid)
+            if verbose:
+                print(f"layer {l}: tau DEAD (fused forward-hint pool), "
+                      "sweep skipped")
+            continue
         curve = []
         fracs = []
         for tau in tau_grid:

@@ -101,7 +101,7 @@ def main(argv=None):
     # classifier + tuned taus. Prefixes apply only the layer policies whose
     # index falls inside the prefix.
     from cbinfer_tpu.convert import flagship_layers
-    overrides_full, dense_full = flagship_layers(specs)
+    overrides_full, dense_full = flagship_layers(specs, (H, W, 3))
     flag_net = convert(specs, (H, W, 3), cfg, dense_layers=dense_full,
                        backend_overrides=overrides_full)
     taus_full, refresh, tau_src = _bench._load_thresholds(
