@@ -82,8 +82,7 @@ def init_graph_params(nodes: Sequence[GraphNode],
     params: Dict[str, Any] = {}
     for n in nodes:
         if isinstance(n.spec, ConvSpec):
-            cin = shapes[n.inputs[0]][2] if not isinstance(n.spec, ConcatSpec) \
-                else None
+            cin = shapes[n.inputs[0]][2]
             kh, kw = n.spec.kernel
             rng, k = jax.random.split(rng)
             fan_in = kh * kw * cin

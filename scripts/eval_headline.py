@@ -58,8 +58,14 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     # trailing nearest upsample is argmax-transparent and its full-res
     # logits stack is lane-padded 16x by XLA (OOM at 720p x 96 frames).
     from cbinfer_tpu.config import UpsampleSpec
+    eval_grid_note = None
     if isinstance(specs[-1], UpsampleSpec):
         specs = specs[:-1]
+        eval_grid_note = ("evaluated at the pre-upsample grid: the trailing "
+                          "nearest upsample is argmax-transparent but its "
+                          "full-res logits stack lane-pads 16x and OOMs; "
+                          "the advertised network's last layer is NOT "
+                          "executed in this row")
     cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas" if on_tpu
                          else "jnp",
                          compute_dtype="bfloat16" if on_tpu else "float32",
@@ -193,6 +199,8 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
         metric + "_vs_dense": round(mval, 4),
         **gt,
     }
+    if eval_grid_note:
+        row["grid_caveat"] = eval_grid_note
     print(json.dumps(row), flush=True)
     return row
 
