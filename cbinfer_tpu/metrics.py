@@ -90,6 +90,30 @@ def pck(pred_heatmaps: np.ndarray, ref_heatmaps: np.ndarray,
     return float(np.mean(dist <= thresh))
 
 
+def pck_gt(pred: np.ndarray, kps: np.ndarray, valid: np.ndarray,
+           stride: int, alpha: float = 0.05,
+           num_keypoints: int = 18) -> float:
+    """PCK against GROUND-TRUTH keypoints (the BASELINE accuracy pillar
+    for pose, mirroring miou_labels for seg).
+
+    pred: (..., H, W, C) model output with layout [paf | heat] — the heat
+    channels are the LAST ``num_keypoints`` (video.pose_targets). kps:
+    (..., num_keypoints, 2) full-resolution [y, x]; valid: (...,
+    num_keypoints) bool. A keypoint is correct iff the channel argmax on
+    the stride-s output grid is within alpha * max(H, W) grid pixels of
+    the ground-truth location. Mean over valid keypoints."""
+    pred = np.asarray(pred)
+    *lead, H, W, C = pred.shape
+    heat = pred[..., C - num_keypoints:].reshape((-1, H * W, num_keypoints))
+    flat = heat.argmax(axis=1)
+    py, px = flat // W, flat % W
+    gt = np.asarray(kps, np.float64).reshape((-1, num_keypoints, 2)) / stride
+    dist = np.hypot(py - gt[..., 0], px - gt[..., 1])
+    ok = (dist <= alpha * max(H, W))
+    v = np.asarray(valid, bool).reshape((-1, num_keypoints))
+    return float(ok[v].mean()) if v.any() else 1.0
+
+
 # ------------------------ device-side (jnp) metrics --------------------------
 # The host metrics above are the oracles; these jnp twins run INSIDE a jit
 # so evaluation loops (the threshold tuner) fetch one scalar instead of the
@@ -183,6 +207,27 @@ def pck_device(pred_heatmaps, ref_heatmaps, alpha: float = 0.05):
     ry, rx = r // W, r % W
     dist = jnp.sqrt(((py - ry) ** 2 + (px - rx) ** 2).astype(jnp.float32))
     return jnp.mean((dist <= alpha * max(H, W)).astype(jnp.float32))
+
+
+def pck_gt_device(pred, packed_kps, stride: int, alpha: float = 0.05,
+                  num_keypoints: int = 18):
+    """jnp twin of pck_gt, one device scalar (tuner fast path).
+
+    ``packed_kps``: (..., num_keypoints, 3) — [y, x, valid] rows, the
+    tuner's single-array labels channel (kps and the valid mask packed
+    together; see scripts/tune_model.py pose branch)."""
+    import jax.numpy as jnp
+    *lead, H, W, C = pred.shape
+    heat = pred[..., C - num_keypoints:].reshape((-1, H * W, num_keypoints))
+    flat = heat.argmax(axis=1)
+    py, px = flat // W, flat % W
+    pk = packed_kps.reshape((-1, num_keypoints, 3))
+    gt = pk[..., :2] / stride
+    v = pk[..., 2] > 0.5
+    dist = jnp.sqrt((py - gt[..., 0]) ** 2 + (px - gt[..., 1]) ** 2)
+    ok = (dist <= alpha * max(H, W)).astype(jnp.float32)
+    nv = jnp.maximum(jnp.sum(v), 1)
+    return jnp.sum(jnp.where(v, ok, 0.0)) / nv
 
 
 # --------------------------- compute accounting ------------------------------

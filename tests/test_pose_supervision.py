@@ -1,0 +1,138 @@
+"""Pose supervision: synthetic keypoints, targets, and ground-truth PCK.
+
+The reference's pose workload (arXiv 1808.05488 §VI) evaluates OpenPose
+keypoints; here the sprite generator supplies free keypoint ground truth
+(video.pose_keypoints / pose_targets) so an in-repo-trained pose net has a
+measurable PCK degradation pillar (VERDICT r2 missing #1).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from cbinfer_tpu.video import (NUM_KEYPOINTS, NUM_PAFS, POSE_CLASSES,
+                               POSE_PARTS, SpriteVideo, SpriteVideoConfig,
+                               pose_targets)
+from cbinfer_tpu.metrics import pck_gt, pck_gt_device
+
+
+def _video(**kw):
+    cfg = dict(height=96, width=128, n_sprites=3, sprite_size=16,
+               speed=3.0, distinct_classes=True, seed=5)
+    cfg.update(kw)
+    return SpriteVideo(SpriteVideoConfig(**cfg))
+
+
+def test_keypoints_match_sprite_positions():
+    v = _video()
+    kps, valid = v.pose_keypoints()
+    assert kps.shape == (NUM_KEYPOINTS, 2) and valid.shape == (NUM_KEYPOINTS,)
+    # one sprite per class (distinct_classes): 3 sprites -> 9 valid keypoints
+    assert valid.sum() == 3 * POSE_PARTS
+    s = v.cfg.sprite_size
+    for i in range(v.cfg.n_sprites):
+        c = int(v.classes[i])
+        y, x = float(int(v.pos[i, 0])), float(int(v.pos[i, 1]))
+        k0 = (c - 1) * POSE_PARTS
+        np.testing.assert_allclose(kps[k0], (y + s / 2, x + s / 2))   # center
+        np.testing.assert_allclose(kps[k0 + 1], (y, x))               # tl
+        np.testing.assert_allclose(kps[k0 + 2], (y + s - 1, x + s - 1))
+
+
+def test_distinct_classes_unique():
+    v = _video(n_sprites=POSE_CLASSES)
+    assert len(set(v.classes.tolist())) == POSE_CLASSES
+
+
+def test_clip_with_keypoints_tracks_motion():
+    v = _video()
+    frames, kps, valid = v.clip_with_keypoints(6)
+    assert frames.shape[0] == kps.shape[0] == valid.shape[0] == 6
+    # sprites move: keypoints differ across frames
+    assert not np.allclose(kps[0][valid[0]], kps[-1][valid[-1]])
+    # validity mask is constant (classes don't change within a video)
+    np.testing.assert_array_equal(valid[0], valid[-1])
+
+
+def test_pose_targets_heat_peak_at_keypoint():
+    v = _video()
+    kps, valid = v.pose_keypoints()
+    stride = 8
+    oh, ow = v.cfg.height // stride, v.cfg.width // stride
+    t = pose_targets(kps, valid, oh, ow, stride, sigma=1.5)
+    assert t.shape == (oh, ow, NUM_PAFS + NUM_KEYPOINTS)
+    heat = t[:, :, NUM_PAFS:]
+    for k in range(NUM_KEYPOINTS):
+        if not valid[k]:
+            assert np.all(heat[:, :, k] == 0)
+            continue
+        py, px = np.unravel_index(heat[:, :, k].argmax(), (oh, ow))
+        gy, gx = kps[k] / stride
+        assert abs(py - gy) <= 1.0 and abs(px - gx) <= 1.0
+        assert heat[:, :, k].max() > 0.9          # unit-height Gaussian
+
+
+def test_pose_targets_paf_direction():
+    # single class-1 sprite: limbs live in channels 0..5
+    v = _video(n_sprites=1)
+    v.classes[:] = 1
+    kps, valid = v.pose_keypoints()
+    stride = 8
+    oh, ow = v.cfg.height // stride, v.cfg.width // stride
+    t = pose_targets(kps, valid, oh, ow, stride, sigma=1.5, limb_width=1.5)
+    paf = t[:, :, :NUM_PAFS]
+    # limb 0 is tl->center: direction (dy, dx) both positive (down-right)
+    on = np.abs(paf[:, :, 0]) > 0
+    assert on.any()
+    assert np.all(paf[:, :, 0][on] > 0) and np.all(paf[:, :, 1][on] > 0)
+    # unit-norm on the limb
+    norms = np.hypot(paf[:, :, 0][on], paf[:, :, 1][on])
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # channels of absent classes are zero
+    assert np.all(paf[:, :, 6:] == 0)
+
+
+def test_pck_gt_perfect_and_offset():
+    rng = np.random.default_rng(0)
+    H, W, stride = 24, 32, 8
+    kps = np.stack([rng.uniform(0, H * stride - 1, NUM_KEYPOINTS),
+                    rng.uniform(0, W * stride - 1, NUM_KEYPOINTS)], -1)
+    valid = np.ones((NUM_KEYPOINTS,), bool)
+    pred = np.zeros((1, H, W, NUM_PAFS + NUM_KEYPOINTS), np.float32)
+    for k in range(NUM_KEYPOINTS):
+        gy, gx = (kps[k] / stride).astype(int)
+        pred[0, min(gy, H - 1), min(gx, W - 1), NUM_PAFS + k] = 1.0
+    assert pck_gt(pred, kps[None], valid[None], stride) == 1.0
+    # shift all peaks far away -> 0
+    bad = np.roll(pred, W // 2, axis=2)
+    assert pck_gt(bad, kps[None], valid[None], stride) < 0.5
+
+
+def test_pck_gt_device_matches_host():
+    rng = np.random.default_rng(1)
+    H, W, stride = 12, 16, 8
+    pred = rng.normal(size=(3, H, W, NUM_PAFS + NUM_KEYPOINTS)) \
+        .astype(np.float32)
+    kps = np.stack([rng.uniform(0, H * stride, (3, NUM_KEYPOINTS)),
+                    rng.uniform(0, W * stride, (3, NUM_KEYPOINTS))], -1)
+    valid = rng.random((3, NUM_KEYPOINTS)) > 0.3
+    host = pck_gt(pred, kps, valid, stride)
+    packed = np.concatenate([kps, valid[..., None].astype(np.float32)], -1)
+    dev = float(pck_gt_device(jnp.asarray(pred), jnp.asarray(packed), stride))
+    assert abs(host - dev) < 1e-6
+
+
+def test_train_pose_smoke():
+    # tiny net + tiny res: the loss machinery runs end-to-end on CPU
+    from cbinfer_tpu.config import ConvSpec, PoolSpec
+    from cbinfer_tpu.train import train_pose
+    specs = [ConvSpec(features=8, kernel=(3, 3)),
+             PoolSpec(window=(2, 2), stride=(2, 2)),
+             ConvSpec(features=8, kernel=(3, 3)),
+             PoolSpec(window=(2, 2), stride=(2, 2)),
+             ConvSpec(features=8, kernel=(3, 3)),
+             PoolSpec(window=(2, 2), stride=(2, 2)),
+             ConvSpec(features=NUM_PAFS + NUM_KEYPOINTS, kernel=(1, 1),
+                      activation=None)]
+    params, train_pck = train_pose(specs, (48, 64, 3), steps=4, batch=2,
+                                   n_videos=2, frames_per_video=2)
+    assert 0.0 <= train_pck <= 1.0
+    assert any(p is not None for p in params)
