@@ -233,33 +233,36 @@ def pck_gt_device(pred, packed_kps, stride: int, alpha: float = 0.05,
 # --------------------------- compute accounting ------------------------------
 
 
+def _row_flops_per_tile(row, tile_h: int, tile_w: int) -> int:
+    if not isinstance(row.spec, ConvSpec):
+        return 0
+    kh, kw = row.spec.kernel
+    return 2 * tile_h * tile_w * kh * kw * row.in_shape[2] \
+        * row.spec.features
+
+
 def layer_flops_per_tile(specs: Sequence, in_shape, tile_h: int, tile_w: int
                          ) -> List[int]:
     """MAC*2 per recomputed tile for each layer (0 for non-conv layers)."""
-    flops = []
-    shapes = [in_shape] + list(out_shapes(specs, in_shape))
-    for spec, ish in zip(specs, shapes[:-1]):
-        if isinstance(spec, ConvSpec):
-            kh, kw = spec.kernel
-            flops.append(2 * tile_h * tile_w * kh * kw * ish[2] * spec.features)
-        else:
-            flops.append(0)
-    return flops
+    from .netview import NetView
+    return [_row_flops_per_tile(r, tile_h, tile_w)
+            for r in NetView.from_specs(specs, in_shape).rows]
 
 
-def effective_flops(stats: List[Dict], specs: Sequence, in_shape,
-                    tile_h: int, tile_w: int) -> Dict[str, float]:
-    """Aggregate per-frame effective FLOPs from scan stats.
+def effective_flops_view(view, stats, tile_h: int, tile_w: int
+                         ) -> Dict[str, float]:
+    """Aggregate per-frame effective FLOPs from scan stats — topology-
+    agnostic (NetView over CBNet or CBGraphNet; stats list or dict).
 
-    stats: per-layer dicts with (T,) 'computed_tiles' arrays (runner.py).
     Returns dense flops, mean effective flops, and the reduction factor —
     the BASELINE.json ">=3x effective FLOP reduction" headline number.
     """
-    per_tile = layer_flops_per_tile(specs, in_shape, tile_h, tile_w)
     dense_total = 0
     eff_total = 0.0
     frames = None
-    for spec, s, ft in zip(specs, stats, per_tile):
+    for row in view.rows:
+        s = view.stats_of(stats, row)
+        ft = _row_flops_per_tile(row, tile_h, tile_w)
         if not s or ft == 0:
             continue
         computed = np.asarray(s["computed_tiles"], dtype=np.float64)
@@ -275,10 +278,26 @@ def effective_flops(stats: List[Dict], specs: Sequence, in_shape,
     }
 
 
-def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
-                   tile_h: int, tile_w: int, balance: float = 500.0,
-                   cache_bytes: int = 2, cfg=None) -> Dict[str, float]:
-    """Roofline-aware cost model: FLOPs + detection TRAFFIC.
+def effective_flops(stats: List[Dict], specs: Sequence, in_shape,
+                    tile_h: int, tile_w: int) -> Dict[str, float]:
+    """Sequential-specs wrapper of effective_flops_view."""
+    from .netview import NetView
+    return effective_flops_view(NetView.from_specs(specs, in_shape), stats,
+                                tile_h, tile_w)
+
+
+# Machine balance (peak bf16 FLOP/s over peak HBM byte/s) used to price
+# detection traffic in FLOP-equivalents. v5e: ~197 TFLOP/s / 0.82 TB/s
+# ~= 240 flop/byte. (r2 shipped 500 — the 2x overpricing of detect traffic
+# still tracked wall-clock but skewed the tuner's Pareto; VERDICT r2.)
+MACHINE_BALANCE = 240.0
+
+
+def effective_cost_view(view, stats, tile_h: int, tile_w: int,
+                        balance: float = MACHINE_BALANCE,
+                        cache_bytes: int = 2) -> Dict[str, float]:
+    """Roofline-aware cost model: FLOPs + detection TRAFFIC
+    (topology-agnostic over a NetView).
 
     `effective_flops` prices only MACs, which misprices the pipeline:
     detection is bandwidth-bound (it reads x + cache and writes the cache
@@ -286,26 +305,26 @@ def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
     but forces wide detection looks great in FLOPs and terrible on the
     clock (measured r2: a tau=0 stem scored 12x FLOP reduction and 0.44x
     wall-clock). Here every visited detect tile is charged its bytes times
-    the machine balance (peak bf16 FLOPs / peak HBM bandwidth; ~500
-    flop/byte on v5e), converting traffic into FLOP-equivalents at the
-    roofline. The result tracks wall-clock well enough to drive the
-    threshold tuner's selection; the BASELINE 'flop_reduction' headline
-    stays pure-FLOP (effective_flops) for comparability.
+    the machine balance (peak bf16 FLOPs / peak HBM bandwidth;
+    MACHINE_BALANCE ~240 flop/byte on v5e), converting traffic into
+    FLOP-equivalents at the roofline. The result tracks wall-clock well
+    enough to drive the threshold tuner's selection; the BASELINE
+    'flop_reduction' headline stays pure-FLOP (effective_flops) for
+    comparability.
 
-    ``cfg``: the PipelineConfig the stats came from. When given, detect
-    traffic is priced at the layer's STORED channel width — the pallas
-    backend lane-pads every cache to 128 channels (layers.lane_pad), so a
-    cin=3 stem's real HBM traffic is ~43x its logical bytes. Pricing
-    logical bytes let the r2 tuner prefer a lane-padded CB stem whose
-    measured wall-clock was 0.99x dense (VERDICT r2 weak #7).
+    When ``view.cfg`` is set, detect traffic is priced at the layer's
+    STORED channel width — the pallas backend lane-pads every cache to 128
+    channels (layers.lane_pad), so a cin=3 stem's real HBM traffic is ~43x
+    its logical bytes. Pricing logical bytes let the r2 tuner prefer a
+    lane-padded CB stem whose measured wall-clock was 0.99x dense.
     """
     from .layers import HINT_TILE, lane_pad
-    from .network import out_shapes
-    per_tile = layer_flops_per_tile(specs, in_shape, tile_h, tile_w)
-    shapes = [tuple(in_shape)] + list(out_shapes(specs, in_shape))
+    cfg = view.cfg
     dense_total = 0.0
     eff_total = 0.0
-    for j, (spec, s, ft) in enumerate(zip(specs, stats, per_tile)):
+    for row in view.rows:
+        s = view.stats_of(stats, row)
+        ft = _row_flops_per_tile(row, tile_h, tile_w)
         if not s:
             continue
         n_tiles = float(np.max(np.asarray(s["n_tiles"])))
@@ -316,13 +335,13 @@ def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
         # detection traffic: 2 reads + <=1 write of one HINT_TILE^2 pixel
         # tile (detect_tiles counts on the fixed 8x8 hint grid, NOT the
         # compute tile grid) at the STORED channel width, in cache dtype
-        cin = shapes[j][2]
+        cin = row.in_shape[2]
         if cfg is not None:
             import dataclasses as _dc
             eff_cfg = cfg
-            if getattr(spec, "backend", None) is not None \
-                    and spec.backend != cfg.backend:
-                eff_cfg = _dc.replace(cfg, backend=spec.backend)
+            if getattr(row.spec, "backend", None) is not None \
+                    and row.spec.backend != cfg.backend:
+                eff_cfg = _dc.replace(cfg, backend=row.spec.backend)
             cin = lane_pad(cin, eff_cfg)
         det = float(np.mean(np.asarray(s["detect_tiles"], np.float64)))
         eff_total += (det * 3 * HINT_TILE * HINT_TILE * cin
@@ -332,6 +351,15 @@ def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
         "effective_cost_per_frame": float(eff_total),
         "cost_reduction": float(dense_total / max(eff_total, 1.0)),
     }
+
+
+def effective_cost(stats: List[Dict], specs: Sequence, in_shape,
+                   tile_h: int, tile_w: int, balance: float = MACHINE_BALANCE,
+                   cache_bytes: int = 2, cfg=None) -> Dict[str, float]:
+    """Sequential-specs wrapper of effective_cost_view."""
+    from .netview import NetView
+    return effective_cost_view(NetView.from_specs(specs, in_shape, cfg),
+                               stats, tile_h, tile_w, balance, cache_bytes)
 
 
 def change_rate_histogram(stats: List[Dict]) -> List[Dict[str, float]]:

@@ -24,8 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ConvSpec, PoolSpec
-from .convert import CBNet, num_cb_layers
-from .metrics import effective_cost, effective_flops, layer_flops_per_tile
+from .convert import CBNet
+from .metrics import effective_cost_view, effective_flops_view
+from .netview import NetView
 from .runner import scan_video
 
 
@@ -82,39 +83,37 @@ def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
     return run
 
 
-def _tau_is_dead(net: CBNet, l: int, cb_spec_idx: List[int]) -> bool:
-    """True iff CB layer ``l``'s tau is unused at deployment: a
-    forward-hint pool whose fused-kernel gate (layers.cb_pool_apply) will
-    hold on this net — pallas backend, aligned window==stride>=2 pool on
-    the 8x8 tile grid, hint-producing predecessor. Judged conservatively:
-    any unmet condition means the pool falls back to re-detection, where
-    tau is live."""
+def _tau_is_dead(view: NetView, ri: int) -> bool:
+    """True iff row ``ri``'s tau is unused at deployment: a forward-hint
+    pool whose fused-kernel gate (layers.cb_pool_apply) will hold on this
+    net — pallas backend, aligned window==stride>=2 pool on the 8x8 tile
+    grid, hint-producing predecessor. Judged conservatively: any unmet
+    condition means the pool falls back to re-detection, where tau is
+    live."""
     from .layers import HINT_TILE
-    from .network import out_shapes
-    si = cb_spec_idx[l]
-    spec = net.specs[si]
+    spec = view.rows[ri].spec
     if not (isinstance(spec, PoolSpec) and spec.forward_hint):
         return False
-    backend = spec.backend or net.cfg.backend
+    backend = spec.backend or view.cfg.backend
     if backend != "pallas":
         return False
     p = spec.stride[0]
     if not (spec.window == spec.stride == (p, p) and p >= 2
             and HINT_TILE % p == 0 and (2 * HINT_TILE // p) % 8 == 0):
         return False
-    if not (net.cfg.tile.tile_h == HINT_TILE
-            and net.cfg.tile.tile_w == HINT_TILE):
+    if not (view.cfg.tile.tile_h == HINT_TILE
+            and view.cfg.tile.tile_w == HINT_TILE):
         return False
-    shapes = [tuple(net.in_shape)] + list(out_shapes(net.specs,
-                                                     net.in_shape))
-    in_h, in_w, _ = shapes[si]
+    in_h, in_w, _ = view.rows[ri].in_shape
     if in_h % HINT_TILE or in_w % (2 * HINT_TILE):
         return False
     # the producer must emit a hint: the previous layer is CB (incl.
-    # dense_cached) — a plain-dense/upsample predecessor clears the hint
-    prev = net.specs[si - 1] if si > 0 else None
-    return (prev is not None and isinstance(prev, (ConvSpec, PoolSpec))
-            and prev.use_cb)
+    # dense_cached) — a plain-dense/upsample/concat predecessor clears
+    # (or merges away) the hint only if itself hint-less; concat forwards
+    # the OR of its input hints, so require every transitive producer
+    # through concats to be CB
+    prev = view.producer_row(ri)
+    return prev is not None and prev.is_cb
 
 
 def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
@@ -165,7 +164,9 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         assert labels.shape[:2] == clips.shape[:2], (labels.shape,
                                                      clips.shape)
     labs = labels if labels is not None else [None] * clips.shape[0]
-    n_layers = num_cb_layers(net.specs)
+    view = NetView.of(net)  # sequential CBNet or DAG CBGraphNet
+    cb_rows = [i for i, r in enumerate(view.rows) if r.is_cb]
+    n_layers = len(cb_rows)
     run = _make_runner(net, params, refresh_every)
 
     # dense reference outputs = CB with tau < 0 (every pixel recomputed each
@@ -220,10 +221,6 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
                 sts.append(_skip_stats(jax.device_get(stats)))
             return float(np.mean(ms)), _cat_stats(sts)
 
-    # Map CB-layer index -> spec index (stats are per spec) and per-layer
-    # dense-FLOP totals, the greedy objective's "gain" units.
-    cb_spec_idx = [i for i, s in enumerate(net.specs)
-                   if isinstance(s, (ConvSpec, PoolSpec)) and s.use_cb]
     # Layers whose tau is DEAD at deployment: forward-hint pools on the
     # pallas backend run the fused mask-forwarding kernel, which never
     # reads tau (PoolSpec.forward_hint). Sweeping them wastes |grid|
@@ -231,9 +228,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     # knob that does nothing (ADVICE r2). NOTE the backend asymmetry: on
     # the jnp backend (and on any fused-gate alignment fallback) the same
     # tau IS live — deadness is judged against the net's own backend.
-    tau_dead = [_tau_is_dead(net, l, cb_spec_idx) for l in range(n_layers)]
-    per_tile = layer_flops_per_tile(net.specs, net.in_shape,
-                                    net.cfg.tile.tile_h, net.cfg.tile.tile_w)
+    tau_dead = [_tau_is_dead(view, ri) for ri in cb_rows]
 
     # ---- per-layer sensitivity (metric + computed-tile fraction) ----
     sensitivity: Dict[int, List] = {}
@@ -245,7 +240,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             # flat curve at the base point: no eval spent, no projected
             # gain, so the greedy never proposes this knob
             m0 = base_eval[0]
-            s0 = base_eval[1][cb_spec_idx[l]]
+            s0 = view.stats_of(base_eval[1], view.rows[cb_rows[l]])
             nt = float(np.max(np.asarray(s0["n_tiles"])))
             n_tiles_l[l] = nt
             fr = float(np.mean(np.asarray(s0["changed_tiles"],
@@ -262,7 +257,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
             taus = np.full((n_layers,), base_tau, np.float32)
             taus[l] = tau
             m, stats = eval_taus(taus)
-            s = stats[cb_spec_idx[l]]
+            s = view.stats_of(stats, view.rows[cb_rows[l]])
             nt = float(np.max(np.asarray(s["n_tiles"])))
             n_tiles_l[l] = nt
             # changed_tiles (the mask size), not computed_tiles: for
@@ -282,37 +277,26 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
 
     # Dense FLOPs gated by layer l's tau — the greedy's gain units.
     # * regular CB conv: its own dense total.
-    # * pool: no MACs itself; its tau gates the next conv's sparsity — half
-    #   the next conv's total (independence approximation of [CB19 §V]).
+    # * pool: no MACs itself; its tau gates its consumer convs' sparsity —
+    #   half their total (independence approximation of [CB19 §V]).
     # * dense_cached: computes its full conv every frame regardless of tau,
     #   but its tau sizes the dirty HINT that gates detection and recompute
     #   of EVERYTHING downstream — gain = the total downstream dense FLOPs.
     #   (A tau=0 stem on noisy video emits a full-map hint and poisons the
     #   whole chain's wall-clock; measured r2, bench at 0.44x vs 2.5x.)
-    from .network import out_shapes
-    shapes = [tuple(net.in_shape)] + list(out_shapes(net.specs,
-                                                     net.in_shape))
-    layer_total = []
-    for j, spec in enumerate(net.specs):
-        if isinstance(spec, ConvSpec):
-            kh_, kw_ = spec.kernel
-            oh, ow, _ = shapes[j + 1]
-            layer_total.append(2 * oh * ow * kh_ * kw_
-                               * shapes[j][2] * spec.features)
-        else:
-            layer_total.append(0)
+    # Topology-agnostic: "downstream"/"consumer" follow the NetView edges,
+    # which on a DAG include every branch (the reference tunes the real
+    # OpenPose DAG the same way, CB19 §V).
     layer_gain_flops = []
     for l in range(n_layers):
-        si = cb_spec_idx[l]
-        spec = net.specs[si]
-        if getattr(spec, "backend", None) == "dense_cached":
-            own = float(sum(layer_total[si + 1:]))
-        elif layer_total[si] > 0:
-            own = float(layer_total[si])
+        ri = cb_rows[l]
+        row = view.rows[ri]
+        if getattr(row.spec, "backend", None) == "dense_cached":
+            own = view.downstream_conv_flops(ri)
+        elif row.dense_flops > 0:
+            own = float(row.dense_flops)
         else:  # pool
-            nxt = next((j for j in range(si + 1, len(net.specs))
-                        if layer_total[j] > 0), None)
-            own = 0.5 * layer_total[nxt] if nxt is not None else 0.0
+            own = 0.5 * view.next_conv_flops(ri)
         layer_gain_flops.append(own)
 
     # ---- budgeted selection: MEASURED ratio-greedy over the TOTAL budget ----
@@ -335,14 +319,12 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
         # selection objective: roofline-aware cost (FLOPs + detect traffic)
         # — pure FLOP reduction misprices bandwidth-bound detection and
         # picks wall-clock-terrible operating points (metrics.py)
-        return effective_cost(stats, net.specs, net.in_shape,
-                              net.cfg.tile.tile_h, net.cfg.tile.tile_w,
-                              cfg=net.cfg)["cost_reduction"]
+        return effective_cost_view(view, stats, net.cfg.tile.tile_h,
+                                   net.cfg.tile.tile_w)["cost_reduction"]
 
     def flops_of(stats) -> float:
-        return effective_flops(stats, net.specs, net.in_shape,
-                               net.cfg.tile.tile_h,
-                               net.cfg.tile.tile_w)["flop_reduction"]
+        return effective_flops_view(view, stats, net.cfg.tile.tile_h,
+                                    net.cfg.tile.tile_w)["flop_reduction"]
 
     def candidates_for(pos):
         # Per layer, the grid tau with the best projected mask-fraction

@@ -72,6 +72,83 @@ def test_graph_cb_sparse_after_cold_start():
                     s["n_tiles"]))), name
 
 
+def test_graph_refresh_equals_dense():
+    """apply_refresh on a DAG: output equals dense, caches fully accepted,
+    and scan_video's refresh policies work on graph nets (VERDICT r2 #3)."""
+    from cbinfer_tpu.runner import scan_video
+    nodes = _branchy_nodes()
+    net = convert_graph(nodes, (32, 48, 3), _cfg())
+    params = init_graph_params(nodes, (32, 48, 3), jax.random.PRNGKey(4))
+    video = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                          sprite_size=6, speed=3.0, seed=12))
+    clip = jnp.asarray(video.clip(6))
+    # refresh frame output == dense output, bit-for-bit cache acceptance
+    state = net.init_state()
+    y, state, stats = jax.jit(net.apply_refresh)(params, state, clip[0])
+    yd = net.apply_dense(params, clip[0])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=3e-4)
+    for name in ("c1", "p1", "a", "b", "head"):
+        assert int(stats[name]["computed_tiles"]) == int(np.max(np.asarray(
+            stats[name]["n_tiles"]))), name
+    # periodic refresh via scan_video: equals per-frame dense within drift
+    ys, _, st = scan_video(net, params, clip, refresh_every=3)
+    dn = np.stack([np.asarray(net.apply_dense(params, f)) for f in clip])
+    np.testing.assert_allclose(np.asarray(ys), dn, atol=0.1)
+    # refresh frames (t=0,3) computed everything
+    ct = np.asarray(st["head"]["computed_tiles"])
+    nt = int(np.max(np.asarray(st["head"]["n_tiles"])))
+    assert ct[0] == nt and ct[3] == nt
+    # refresh_start prolog mode
+    ys2, _, _ = scan_video(net, params, clip, state=net.init_state(),
+                           refresh_start=True)
+    np.testing.assert_allclose(np.asarray(ys2), dn, atol=0.1)
+
+
+def test_graph_flagship_policy():
+    from cbinfer_tpu.graph import convert_graph_flagship
+    nodes, out = pose_graph(num_keypoints=4, num_pafs=6, width=8, stages=2)
+    net = convert_graph_flagship(nodes, (64, 64, 3), _cfg(), output=out)
+    byname = {n.name: n.spec for n in net.nodes}
+    # stem reads the 3-channel input -> dense_cached
+    assert byname["bb0"].backend == "dense_cached"
+    # final-stage head 1x1s have no CB descendants -> plain dense (cascade)
+    assert not byname["s2_paf_out"].use_cb
+    assert not byname["s2_heat_out"].use_cb
+    assert not byname["s2_paf_1x1"].use_cb
+    # stage-1 head 1x1s feed stage 2 (CB) -> stay CB
+    assert byname["s1_paf_out"].use_cb
+    # aligned pools forward their hint
+    assert byname["bb2"].forward_hint
+    # converted net still matches its dense twin at cold start
+    params = init_graph_params(net.nodes, (64, 64, 3), jax.random.PRNGKey(5))
+    y, _, _ = jax.jit(net.apply)(params, net.init_state(),
+                                 jnp.zeros((64, 64, 3)))
+    yd = net.apply_dense(params, jnp.zeros((64, 64, 3)))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=3e-4)
+
+
+def test_tune_on_graph_net():
+    """The threshold tuner accepts a CBGraphNet (VERDICT r2 #3)."""
+    import functools
+    from cbinfer_tpu.metrics import miou
+    from cbinfer_tpu.tuner import tune
+    nodes = _branchy_nodes()
+    net = convert_graph(nodes, (32, 48, 3), _cfg())
+    params = init_graph_params(nodes, (32, 48, 3), jax.random.PRNGKey(6))
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                         sprite_size=8, noise_std=0.01,
+                                         seed=13)).clip(6)
+    res = tune(net, params, clip, functools.partial(miou, num_classes=5),
+               tau_grid=(0.02, 0.05, 0.1), budgets=(0.0, 0.05), budget=0.05)
+    assert len(res.thresholds) == net.num_cb_layers()
+    assert 1.0 - res.metric <= 0.05 + 1e-9
+    assert res.flop_reduction >= 1.0
+    # tuned taus round-trip through convert_graph
+    net2 = convert_graph(nodes, (32, 48, 3), _cfg(),
+                         thresholds=res.thresholds)
+    assert net2.num_cb_layers() == len(res.thresholds)
+
+
 def test_pose_graph_builds_and_runs():
     nodes, out = pose_graph(num_keypoints=4, num_pafs=6, width=8, stages=2)
     net = convert_graph(nodes, (64, 64, 3), _cfg(), output=out)
