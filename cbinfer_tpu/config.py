@@ -31,6 +31,19 @@ def _as_pair(v) -> Tuple[int, int]:
     return (int(a), int(b))
 
 
+def _as_padding(v):
+    """'SAME' | 'VALID' | int | (ph, pw): explicit values are SYMMETRIC
+    per-dim zero padding with torch output semantics
+    (floor((n + 2p - keff)/s) + 1) — what specs_from_torch emits for
+    strided torch convs, whose symmetric padding placement differs from
+    XLA SAME (ops/geometry.conv_pads)."""
+    if isinstance(v, str):
+        if v not in ("SAME", "VALID"):
+            raise ValueError(f"padding must be SAME/VALID/int pair, got {v}")
+        return v
+    return _as_pair(v)
+
+
 @dataclass(frozen=True)
 class TileConfig:
     """Tile-level block-sparsity parameters (SURVEY.md §7 design stance).
@@ -83,8 +96,7 @@ class ConvSpec:
         object.__setattr__(self, "kernel", _as_pair(self.kernel))
         object.__setattr__(self, "stride", _as_pair(self.stride))
         object.__setattr__(self, "dilation", _as_pair(self.dilation))
-        if self.padding not in ("SAME", "VALID"):
-            raise ValueError(f"padding must be SAME or VALID, got {self.padding}")
+        object.__setattr__(self, "padding", _as_padding(self.padding))
         if self.activation not in (None, "relu"):
             raise ValueError(f"unsupported activation {self.activation}")
 
@@ -115,8 +127,7 @@ class PoolSpec:
     def __post_init__(self):
         object.__setattr__(self, "window", _as_pair(self.window))
         object.__setattr__(self, "stride", _as_pair(self.stride))
-        if self.padding not in ("SAME", "VALID"):
-            raise ValueError(f"padding must be SAME or VALID, got {self.padding}")
+        object.__setattr__(self, "padding", _as_padding(self.padding))
 
 
 @dataclass(frozen=True)

@@ -45,20 +45,14 @@ from .config import ConvSpec, PoolSpec, UpsampleSpec
 # --------------------------- dense reference ops ----------------------------
 
 
-def conv_out_size(n: int, k: int, s: int, d: int, padding: str) -> int:
-    keff = (k - 1) * d + 1
-    if padding == "SAME":
-        return -(-n // s)  # ceil(n / s)
-    return (n - keff) // s + 1
+# shared with the pipeline geometry (ops/geometry.py): SAME/VALID plus
+# explicit symmetric int padding (torch semantics, config._as_padding)
+from .ops.geometry import conv_out_size, conv_pads, pad_dim
 
 
-def same_pads(n: int, k: int, s: int, d: int) -> Tuple[int, int]:
-    """TF/XLA 'SAME' padding amounts (lo, hi) for one spatial dim."""
-    keff = (k - 1) * d + 1
-    out = -(-n // s)
-    total = max(0, (out - 1) * s + keff - n)
-    lo = total // 2
-    return lo, total - lo
+def _pads2(H, W, kh, kw, sh, sw, dh, dw, padding):
+    return (conv_pads(H, kh, sh, dh, pad_dim(padding, 0)),
+            conv_pads(W, kw, sw, dw, pad_dim(padding, 1)))
 
 
 def dense_conv2d(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
@@ -70,13 +64,11 @@ def dense_conv2d(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
     dh, dw = dilation
     H, W, C = x.shape
     assert C == cin, (C, cin)
-    if padding == "SAME":
-        (plo_h, phi_h), (plo_w, phi_w) = same_pads(H, kh, sh, dh), same_pads(W, kw, sw, dw)
-    else:
-        plo_h = phi_h = plo_w = phi_w = 0
+    (plo_h, phi_h), (plo_w, phi_w) = _pads2(H, W, kh, kw, sh, sw, dh, dw,
+                                            padding)
     xp = np.pad(x, ((plo_h, phi_h), (plo_w, phi_w), (0, 0)))
-    Ho = conv_out_size(H, kh, sh, dh, padding)
-    Wo = conv_out_size(W, kw, sw, dw, padding)
+    Ho = conv_out_size(H, kh, sh, dh, pad_dim(padding, 0))
+    Wo = conv_out_size(W, kw, sw, dw, pad_dim(padding, 1))
     y = np.zeros((Ho, Wo, cout), dtype=np.float64)
     for dy in range(kh):
         for dx in range(kw):
@@ -95,14 +87,12 @@ def dense_maxpool2d(x: np.ndarray, window=(2, 2), stride=(2, 2),
     kh, kw = window
     sh, sw = stride
     H, W, C = x.shape
-    if padding == "SAME":
-        (plo_h, phi_h), (plo_w, phi_w) = same_pads(H, kh, sh, 1), same_pads(W, kw, sw, 1)
-        xp = np.pad(x, ((plo_h, phi_h), (plo_w, phi_w), (0, 0)),
-                    constant_values=-np.inf)
-    else:
-        xp = x
-    Ho = conv_out_size(H, kh, sh, 1, padding)
-    Wo = conv_out_size(W, kw, sw, 1, padding)
+    (plo_h, phi_h), (plo_w, phi_w) = _pads2(H, W, kh, kw, sh, sw, 1, 1,
+                                            padding)
+    xp = np.pad(x, ((plo_h, phi_h), (plo_w, phi_w), (0, 0)),
+                constant_values=-np.inf)
+    Ho = conv_out_size(H, kh, sh, 1, pad_dim(padding, 0))
+    Wo = conv_out_size(W, kw, sw, 1, pad_dim(padding, 1))
     y = np.full((Ho, Wo, C), -np.inf, dtype=x.dtype)
     for dy in range(kh):
         for dx in range(kw):
@@ -132,13 +122,11 @@ def propagate_mask(changed_in: np.ndarray, k: Tuple[int, int], s: Tuple[int, int
     sh, sw = s
     dh, dw = d
     H, W = changed_in.shape
-    if padding == "SAME":
-        (plo_h, phi_h), (plo_w, phi_w) = same_pads(H, kh, sh, dh), same_pads(W, kw, sw, dw)
-    else:
-        plo_h = phi_h = plo_w = phi_w = 0
+    (plo_h, phi_h), (plo_w, phi_w) = _pads2(H, W, kh, kw, sh, sw, dh, dw,
+                                            padding)
     cp = np.pad(changed_in, ((plo_h, phi_h), (plo_w, phi_w)))
-    Ho = conv_out_size(H, kh, sh, dh, padding)
-    Wo = conv_out_size(W, kw, sw, dw, padding)
+    Ho = conv_out_size(H, kh, sh, dh, pad_dim(padding, 0))
+    Wo = conv_out_size(W, kw, sw, dw, pad_dim(padding, 1))
     out = np.zeros((Ho, Wo), dtype=bool)
     for dy in range(kh):
         for dx in range(kw):

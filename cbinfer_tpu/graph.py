@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from . import layers as L
 from . import network
 from .config import ConvSpec, PipelineConfig, PoolSpec, UpsampleSpec
-from .ops.geometry import conv_out_size
+from .ops.geometry import conv_out_size, pad_dim
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,17 +54,17 @@ def node_out_shapes(nodes: Sequence[GraphNode],
             h, w, _ = ins[0]
             shapes[n.name] = (
                 conv_out_size(h, n.spec.kernel[0], n.spec.stride[0],
-                              n.spec.dilation[0], n.spec.padding),
+                              n.spec.dilation[0], pad_dim(n.spec.padding, 0)),
                 conv_out_size(w, n.spec.kernel[1], n.spec.stride[1],
-                              n.spec.dilation[1], n.spec.padding),
+                              n.spec.dilation[1], pad_dim(n.spec.padding, 1)),
                 n.spec.features)
         elif isinstance(n.spec, PoolSpec):
             h, w, c = ins[0]
             shapes[n.name] = (
                 conv_out_size(h, n.spec.window[0], n.spec.stride[0], 1,
-                              n.spec.padding),
+                              pad_dim(n.spec.padding, 0)),
                 conv_out_size(w, n.spec.window[1], n.spec.stride[1], 1,
-                              n.spec.padding), c)
+                              pad_dim(n.spec.padding, 1)), c)
         elif isinstance(n.spec, UpsampleSpec):
             h, w, c = ins[0]
             shapes[n.name] = (h * n.spec.scale[0], w * n.spec.scale[1], c)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .config import ConvSpec, PipelineConfig, PoolSpec, UpsampleSpec
-from .ops.geometry import conv_out_size
+from .ops.geometry import conv_out_size, pad_dim
 
 
 def init_params(specs: Sequence, in_shape: Tuple[int, int, int],
@@ -48,13 +48,15 @@ def out_shapes(specs: Sequence, in_shape: Tuple[int, int, int]
     for spec in specs:
         if isinstance(spec, ConvSpec):
             h = conv_out_size(h, spec.kernel[0], spec.stride[0],
-                              spec.dilation[0], spec.padding)
+                              spec.dilation[0], pad_dim(spec.padding, 0))
             w = conv_out_size(w, spec.kernel[1], spec.stride[1],
-                              spec.dilation[1], spec.padding)
+                              spec.dilation[1], pad_dim(spec.padding, 1))
             c = spec.features
         elif isinstance(spec, PoolSpec):
-            h = conv_out_size(h, spec.window[0], spec.stride[0], 1, spec.padding)
-            w = conv_out_size(w, spec.window[1], spec.stride[1], 1, spec.padding)
+            h = conv_out_size(h, spec.window[0], spec.stride[0], 1,
+                              pad_dim(spec.padding, 0))
+            w = conv_out_size(w, spec.window[1], spec.stride[1], 1,
+                              pad_dim(spec.padding, 1))
         elif isinstance(spec, UpsampleSpec):
             h, w = h * spec.scale[0], w * spec.scale[1]
         else:
@@ -99,7 +101,9 @@ def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
         return y.reshape(H, W, cout)
     y = lax.conv_general_dilated(
         x[None].astype(compute_dtype), w.astype(compute_dtype),
-        window_strides=spec.stride, padding=spec.padding,
+        window_strides=spec.stride,
+        padding=(spec.padding if isinstance(spec.padding, str)
+                 else [(p, p) for p in spec.padding]),
         rhs_dilation=spec.dilation,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=compute_dtype)[0]
@@ -115,7 +119,8 @@ def dense_pool(x: jnp.ndarray, spec: PoolSpec) -> jnp.ndarray:
         x, -jnp.inf, lax.max,
         window_dimensions=(*spec.window, 1),
         window_strides=(*spec.stride, 1),
-        padding=spec.padding)
+        padding=(spec.padding if isinstance(spec.padding, str)
+                 else [(p, p) for p in spec.padding] + [(0, 0)]))
 
 
 def upsample(x: jnp.ndarray, spec: UpsampleSpec) -> jnp.ndarray:

@@ -19,9 +19,21 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def conv_out_size(n: int, k: int, s: int, d: int, padding: str) -> int:
+def pad_dim(padding, axis: int):
+    """Per-axis padding selector: 'SAME'/'VALID' pass through; an explicit
+    (ph, pw) pair (torch-style symmetric padding, config.ConvSpec) yields
+    the int for this axis."""
+    return padding if isinstance(padding, str) else int(padding[axis])
+
+
+def conv_out_size(n: int, k: int, s: int, d: int, padding) -> int:
+    """Output size for one spatial dim. ``padding``: 'SAME' | 'VALID' |
+    int (explicit symmetric pad, torch semantics: floor((n+2p-keff)/s)+1)."""
     keff = (k - 1) * d + 1
-    return cdiv(n, s) if padding == "SAME" else (n - keff) // s + 1
+    if padding == "SAME":
+        return cdiv(n, s)
+    p = 0 if padding == "VALID" else int(padding)
+    return (n + 2 * p - keff) // s + 1
 
 
 def same_pads(n: int, k: int, s: int, d: int) -> Tuple[int, int]:
@@ -30,6 +42,21 @@ def same_pads(n: int, k: int, s: int, d: int) -> Tuple[int, int]:
     total = max(0, (out - 1) * s + keff - n)
     lo = total // 2
     return lo, total - lo
+
+
+def conv_pads(n: int, k: int, s: int, d: int, padding) -> Tuple[int, int]:
+    """(lo, hi) conv padding for one spatial dim under any padding mode.
+
+    Explicit int padding is SYMMETRIC on input (lo == hi == p, torch
+    semantics); the effective hi actually consumed may be smaller when the
+    strided output grid does not reach it — hi here is the declared pad,
+    matching what lax.conv_general_dilated receives."""
+    if padding == "SAME":
+        return same_pads(n, k, s, d)
+    if padding == "VALID":
+        return 0, 0
+    p = int(padding)
+    return p, p
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,13 +107,14 @@ class TileGeometry:
 
 
 def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
-                       padding: str, th: int, tw: int) -> TileGeometry:
+                       padding, th: int, tw: int) -> TileGeometry:
     H, W, C = in_shape
     kh, kw = kernel
     sh, sw = stride
     dh, dw = dilation
-    Ho = conv_out_size(H, kh, sh, dh, padding)
-    Wo = conv_out_size(W, kw, sw, dw, padding)
+    ph_, pw_ = pad_dim(padding, 0), pad_dim(padding, 1)
+    Ho = conv_out_size(H, kh, sh, dh, ph_)
+    Wo = conv_out_size(W, kw, sw, dw, pw_)
     th = min(th, Ho)
     tw = min(tw, Wo)
     # Tile grid rounds UP: edge tiles that overhang the logical output are
@@ -95,11 +123,8 @@ def conv_tile_geometry(in_shape: Tuple[int, int, int], kernel, stride, dilation,
     tiles_h = cdiv(Ho, th)
     tiles_w = cdiv(Wo, tw)
     Hop, Wop = tiles_h * th, tiles_w * tw
-    if padding == "SAME":
-        plo_h, phi_h = same_pads(H, kh, sh, dh)
-        plo_w, phi_w = same_pads(W, kw, sw, dw)
-    else:
-        plo_h = phi_h = plo_w = phi_w = 0
+    plo_h, phi_h = conv_pads(H, kh, sh, dh, ph_)
+    plo_w, phi_w = conv_pads(W, kw, sw, dw, pw_)
     keff_h = (kh - 1) * dh + 1
     keff_w = (kw - 1) * dw + 1
     win_h = (th - 1) * sh + keff_h

@@ -78,3 +78,106 @@ def test_torch_import_shape_mismatch_rejected():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "does not match" in str(e)
+
+
+def test_specs_from_torch_auto_walker():
+    """specs_from_torch walks a nested torch module tree with zero
+    hand-written specs (SURVEY.md C10; VERDICT r2 #4)."""
+    import torch
+    import torch.nn as nn
+    from cbinfer_tpu.config import ConvSpec, PoolSpec, UpsampleSpec
+    from cbinfer_tpu.convert import specs_from_torch
+    from cbinfer_tpu.network import dense_apply
+
+    model = nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1), nn.ReLU(),
+        nn.MaxPool2d(2),
+        nn.Sequential(  # nested container: recursed in order
+            nn.Conv2d(16, 32, 3, padding=2, dilation=2), nn.ReLU(),
+            nn.Conv2d(32, 32, 3, stride=2, padding=1), nn.ReLU(),
+        ),
+        nn.Dropout(0.5),
+        nn.Conv2d(32, 8, 1),
+        nn.Upsample(scale_factor=2, mode="nearest"),
+    )
+    model.eval()
+    specs, params = specs_from_torch(model)
+    kinds = [type(s).__name__ for s in specs]
+    assert kinds == ["ConvSpec", "PoolSpec", "ConvSpec", "ConvSpec",
+                     "ConvSpec", "UpsampleSpec"]
+    assert specs[0].activation == "relu" and specs[4].activation is None
+    assert specs[2].dilation == (2, 2) and specs[3].stride == (2, 2)
+    assert isinstance(specs[1], PoolSpec) and isinstance(
+        specs[5], UpsampleSpec)
+    # numerical equivalence with the torch forward (NCHW vs HWC)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        yt = model(torch.from_numpy(
+            x.transpose(2, 0, 1)[None]))[0].numpy().transpose(1, 2, 0)
+    yj = np.asarray(dense_apply(specs, params, jnp.asarray(x)))
+    np.testing.assert_allclose(yj, yt, atol=2e-5)
+
+
+def test_specs_from_torch_rejects_unsupported():
+    import torch.nn as nn
+    import pytest
+    from cbinfer_tpu.convert import specs_from_torch
+    with pytest.raises(TypeError, match="BatchNorm2d"):
+        specs_from_torch(nn.Sequential(nn.Conv2d(3, 4, 3, padding=1),
+                                       nn.BatchNorm2d(4)))
+    with pytest.raises(ValueError, match="grouped"):
+        specs_from_torch(nn.Sequential(
+            nn.Conv2d(4, 4, 3, padding=1, groups=4)))
+    with pytest.raises(ValueError, match="ReLU"):
+        specs_from_torch(nn.Sequential(nn.ReLU(), nn.Conv2d(3, 4, 3)))
+
+
+def test_specs_from_torch_strided_explicit_padding():
+    """Strided torch convs use symmetric padding, which differs from XLA
+    SAME placement — the walker emits explicit (ph, pw) padding and the
+    dense path matches torch exactly (ResNet-stem pattern)."""
+    import torch
+    import torch.nn as nn
+    from cbinfer_tpu.convert import specs_from_torch
+    from cbinfer_tpu.network import dense_apply
+
+    model = nn.Sequential(
+        nn.Conv2d(3, 8, 3, stride=2, padding=1), nn.ReLU(),
+        nn.Conv2d(8, 8, 5, stride=2, padding=2), nn.ReLU(),
+    )
+    model.eval()
+    specs, params = specs_from_torch(model)
+    assert specs[0].padding == (1, 1) and specs[1].padding == (2, 2)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((30, 46, 3)).astype(np.float32)  # odd sizes
+    with torch.no_grad():
+        yt = model(torch.from_numpy(
+            x.transpose(2, 0, 1)[None]))[0].numpy().transpose(1, 2, 0)
+    yj = np.asarray(dense_apply(specs, params, jnp.asarray(x)))
+    assert yj.shape == yt.shape
+    np.testing.assert_allclose(yj, yt, atol=2e-5)
+
+
+def test_explicit_padding_cb_matches_dense():
+    """CB pipeline (jnp backend) on an explicit-padding spec chain equals
+    its dense twin at tau=0 — the tile geometry handles (ph, pw) pads."""
+    from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    specs = [ConvSpec(features=8, kernel=(3, 3), stride=(2, 2),
+                      padding=(1, 1), threshold=0.0),
+             ConvSpec(features=8, kernel=(3, 3), padding=(1, 1),
+                      threshold=0.0)]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=4, tile_w=4))
+    net = convert(specs, (32, 48, 3), cfg)
+    params = init_params(specs, (32, 48, 3), jax.random.PRNGKey(7))
+    state = net.init_state()
+    video = SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=21))
+    for frame in video.frames(3):
+        x = jnp.asarray(frame)
+        y, state, _ = net.apply(params, state, x)
+        yd = net.apply_dense(params, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yd),
+                                   atol=3e-4)
