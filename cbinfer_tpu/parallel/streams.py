@@ -1,12 +1,21 @@
 """Stream-parallel batched video pipeline (SURVEY.md C14 multi-stream,
 configs[4] of BASELINE.json).
 
-Multiple independent camera streams are vmapped into a batch and the batch
-axis is sharded over a 1D device mesh ('stream'). Parameters replicate;
-per-stream caches shard with their streams, so each chip holds only its
-streams' state and no collective traffic crosses ICI during a frame. This
-is the TPU-native replacement for running N copies of the single-GPU
-reference — one XLA program, N streams, K chips.
+Multiple independent camera streams shard over a 1D device mesh
+('stream'): parameters replicate; per-stream caches shard with their
+streams, so each chip holds only its streams' state and no collective
+traffic crosses ICI during a frame. This is the TPU-native replacement for
+running N copies of the single-GPU reference — one XLA program, N streams,
+K chips.
+
+Within each device, local streams run SEQUENTIALLY via ``lax.map``
+(shard_map over the mesh, lax.map over the local shard) rather than vmap:
+the CB kernels' count-bounded serial tile loops do not batch under vmap —
+a 4-stream vmap on one chip measured 0.35x the throughput of running the
+streams back-to-back (r2 negative result; VERDICT r2 #5) — while lax.map
+executes each stream's kernels exactly as the single-stream path does, so
+per-device throughput matches sequential by construction and cross-device
+scaling is linear (no collectives).
 
 Tested on a virtual 8-device CPU mesh (tests/conftest.py); the driver's
 dryrun_multichip exercises the same path.
@@ -65,18 +74,31 @@ class MultiStreamRunner:
             lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape), state1)
         self.state = jax.device_put(state, self._sharded)
 
+        # Per-device execution: lax.map over the LOCAL streams (sequential
+        # kernel invocations, single-stream-identical) inside a shard_map
+        # over the mesh — NOT vmap (module doc: 0.35x cliff).
+        def streams_step(params, state, frames):
+            return lax.map(lambda a: net.apply(params, a[0], a[1]),
+                           (state, frames))
+
+        smap_step = jax.shard_map(
+            streams_step, mesh=self.mesh,
+            in_specs=(P(), P("stream"), P("stream")),
+            out_specs=(P("stream"), P("stream"), P("stream")),
+            check_vma=False)
         self._step = jax.jit(
-            jax.vmap(net.apply, in_axes=(None, 0, 0)),
+            smap_step,
             in_shardings=(replicated, self._sharded, self._sharded),
             out_shardings=(self._sharded, self._sharded, self._sharded),
             donate_argnums=(1,),
         )
 
         def scan_clips(params, state, clips):
-            # clips: (S, T, ...) -> time-major scan of vmapped steps
+            # clips: (S_local, T, ...) -> time-major scan of stream-mapped
+            # steps (runs inside shard_map on each device's shard)
             def body(carry, xt):
-                y, new_carry, stats = jax.vmap(
-                    net.apply, in_axes=(None, 0, 0))(params, carry, xt)
+                y, new_carry, stats = lax.map(
+                    lambda a: net.apply(params, a[0], a[1]), (carry, xt))
                 return new_carry, (y, stats)
 
             final, (ys, stats) = lax.scan(body, state,
@@ -85,8 +107,13 @@ class MultiStreamRunner:
 
         # stats leaves from the scan are time-major (T, S): shard dim 1
         stats_sharding = NamedSharding(self.mesh, P(None, "stream"))
+        smap_scan = jax.shard_map(
+            scan_clips, mesh=self.mesh,
+            in_specs=(P(), P("stream"), P("stream")),
+            out_specs=(P("stream"), P("stream"), P(None, "stream")),
+            check_vma=False)
         self._scan = jax.jit(
-            scan_clips,
+            smap_scan,
             in_shardings=(replicated, self._sharded, self._sharded),
             out_shardings=(self._sharded, self._sharded, stats_sharding),
             donate_argnums=(1,),

@@ -134,10 +134,15 @@ def train_pose(specs: Sequence, in_shape: Tuple[int, int, int],
     stride = H // oh
 
     rng = np.random.default_rng(seed)
-    sprite = max(12, H // 8)
-    sigma = max(2.0, sprite / (2.0 * stride))     # output-grid pixels
+    # MULTI-SCALE sprites: deployment sprites range from ~24 px (360p
+    # calibration) to ~48 px (720p bench); single-scale training measured
+    # 0.78 held-out PCK on 2x-larger sprites vs 0.95 in-scale, so each
+    # training video draws its own sprite size (sigma scales with it).
+    sprite_sizes = (16, 24, 32, 48)
     frames, targets, kp_list, valid_list = [], [], [], []
     for i in range(n_videos):
+        sprite = int(sprite_sizes[i % len(sprite_sizes)])
+        sigma = max(2.0, sprite / (2.0 * stride))     # output-grid pixels
         v = SpriteVideo(SpriteVideoConfig(
             height=H, width=W, n_sprites=3 + int(rng.integers(0, 4)),
             sprite_size=sprite, speed=3.0, noise_std=0.002,

@@ -24,11 +24,9 @@ def main():
     import torch
     import torch.nn as nn
 
-    from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, \
-        TileConfig
-    from cbinfer_tpu.convert import (convert_flagship,
-                                     import_torch_state_dict,
-                                     num_cb_layers)
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import (convert_flagship, num_cb_layers,
+                                     specs_from_torch)
     from cbinfer_tpu.metrics import miou
     from cbinfer_tpu.runner import scan_video
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
@@ -59,17 +57,9 @@ def main():
         opt.step()
     print(f"torch pretrain: final loss {float(loss):.3f}")
 
-    # --- the IR twin of the torch model + weight import ---
-    specs = [
-        ConvSpec(features=32, kernel=(3, 3)),
-        PoolSpec(window=(2, 2), stride=(2, 2)),
-        ConvSpec(features=64, kernel=(3, 3)),
-        PoolSpec(window=(2, 2), stride=(2, 2)),
-        ConvSpec(features=64, kernel=(3, 3)),
-        ConvSpec(features=64, kernel=(3, 3)),
-        ConvSpec(features=K, kernel=(1, 1), activation=None),
-    ]
-    params = import_torch_state_dict(specs, torch_model.state_dict())
+    # --- auto-convert: walk the torch module, zero hand-written specs ---
+    specs, params = specs_from_torch(torch_model)
+    print("walked specs:", [type(s).__name__ for s in specs])
 
     # --- convert + stream ---
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
