@@ -506,7 +506,7 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
             # aligned for the HBM output slice (Mosaic rule); p >= 2 keeps
             # a dirty block's pooled extent within ONE 8-wide out tile
             # (p=1 would pool an 8x16 block spanning two tiles while
-            # _fused_kernel marks a single mask cell — stale-hint hole)
+            # _fused_pool_kernel marks one mask cell — stale-hint hole)
             and (2 * HINT_TILE // p) % 8 == 0
             and g.th == HINT_TILE and g.tw == HINT_TILE
             and x.shape[-1] % 128 == 0

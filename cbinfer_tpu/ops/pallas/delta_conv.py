@@ -34,7 +34,7 @@ from ..geometry import TileGeometry
 from .common import phase_slice
 
 
-def _kernel(idx_ref, m_ref,            # scalar prefetch (SMEM)
+def _delta_conv_kernel(idx_ref, m_ref,  # scalar prefetch (SMEM)
             xp_ref, w_ref, b_ref,      # inputs (HBM/ANY, VMEM, VMEM)
             out_in_ref,                # aliased input view of the out buffer
             out_ref,                   # output (HBM/ANY, aliased to out_in)
@@ -151,11 +151,11 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
         b = jnp.zeros((cout,), w.dtype)
 
     # lane-unaligned cin (3-channel stems, narrow test nets) => row-stacked
-    # input double buffer (see _kernel.win_at)
+    # input double buffer (see _delta_conv_kernel.win_at)
     rowstack = g.cin % 128 != 0
     NBUF = 4  # DMA pipeline depth (see ops/pallas/detect.NBUF)
     kern = functools.partial(
-        _kernel, g=g, cout=cout, activation=activation,
+        _delta_conv_kernel, g=g, cout=cout, activation=activation,
         compute_dtype=compute_dtype, rowstack=rowstack, nbuf=NBUF)
 
     flops_per_tile = 2 * g.th * g.tw * kh * kw * g.cin * cout

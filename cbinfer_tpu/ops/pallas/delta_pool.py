@@ -22,7 +22,7 @@ from .common import phase_slice
 NBUF = 4  # DMA pipeline depth (see ops/pallas/detect.NBUF)
 
 
-def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
+def _delta_pool_kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
             win_buf, y_buf, in_sems, out_sems, *, g: TileGeometry):
     del out_in_ref  # aliased with out_ref
     kh, kw = g.kernel
@@ -86,7 +86,7 @@ def _kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
             out_copy(lax.rem(j, NBUF), j).wait()
 
 
-def _fused_kernel(idx_ref, m_ref,              # scalar prefetch
+def _fused_pool_kernel(idx_ref, m_ref,         # scalar prefetch
                   x_ref, out_in_ref,           # tensors (HBM, HBM aliased)
                   out_ref, mask_ref,           # outputs (HBM alias, VMEM)
                   xbuf, ybuf, in_sems, out_sems,  # scratch
@@ -208,7 +208,7 @@ def detect_pool_fused(x: jnp.ndarray, out_cache: jnp.ndarray,
     assert W % hint_w == 0 and H % hint_h == 0
     blocks_w = W // hint_w
 
-    kern = functools.partial(_fused_kernel, H=H, W=W, hint_h=hint_h,
+    kern = functools.partial(_fused_pool_kernel, H=H, W=W, hint_h=hint_h,
                              hint_w=hint_w, blocks_w=blocks_w,
                              tiles_h=g.tiles_h, tiles_w=g.tiles_w, pool=pool)
     out_h = hint_h // pool
@@ -255,7 +255,7 @@ def delta_pool_pallas(xp: jnp.ndarray, idx: jnp.ndarray,
     if count is None:
         count = jnp.asarray(capacity, jnp.int32)
 
-    kern = functools.partial(_kernel, g=g)
+    kern = functools.partial(_delta_pool_kernel, g=g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -133,11 +133,44 @@ def train_pose(specs: Sequence, in_shape: Tuple[int, int, int],
     assert oc == NUM_PAFS + NUM_KEYPOINTS, (oc, NUM_PAFS + NUM_KEYPOINTS)
     stride = H // oh
 
+    return _train_pose_common(
+        lambda ps, f: dense_apply(specs, ps, f),
+        init_params(specs, in_shape, jax.random.PRNGKey(seed)),
+        in_shape, stride, oh, ow, steps, batch, lr, seed, n_videos,
+        frames_per_video, heat_weight, pos_weight, verbose)
+
+
+def train_pose_graph(nodes, output: str, in_shape: Tuple[int, int, int],
+                     steps: int = 2000, batch: int = 4, lr: float = 2e-3,
+                     seed: int = 0, n_videos: int = 24,
+                     frames_per_video: int = 8, heat_weight: float = 4.0,
+                     pos_weight: float = 30.0, verbose: bool = False):
+    """train_pose for the faithful concat-DAG topology (graph.CBGraphNet,
+    models/pose.pose_graph) — same supervision/loss; params are the graph's
+    name-keyed dict. Returns (params_dict, train_pck)."""
+    from .graph import convert_graph, init_graph_params, node_out_shapes
+    import jax as _jax
+    H, W, _ = in_shape
+    net = convert_graph(nodes, in_shape, output=output)
+    oh, ow, oc = node_out_shapes(nodes, in_shape)[output]
+    assert oc == NUM_PAFS + NUM_KEYPOINTS, (oc,)
+    stride = H // oh
+    params = init_graph_params(nodes, in_shape, _jax.random.PRNGKey(seed))
+    return _train_pose_common(
+        lambda ps, f: net.apply_dense(ps, f), params, in_shape, stride,
+        oh, ow, steps, batch, lr, seed, n_videos, frames_per_video,
+        heat_weight, pos_weight, verbose)
+
+
+def _pose_dataset(H, W, oh, ow, stride, seed, n_videos, frames_per_video):
+    """(frames, targets, kps, valids) from the sprite generator's free
+    keypoint ground truth.
+
+    MULTI-SCALE sprites: deployment sprites range from ~24 px (360p
+    calibration) to ~48 px (720p bench); single-scale training measured
+    0.78 held-out PCK on 2x-larger sprites vs 0.95 in-scale, so each
+    training video draws its own sprite size (sigma scales with it)."""
     rng = np.random.default_rng(seed)
-    # MULTI-SCALE sprites: deployment sprites range from ~24 px (360p
-    # calibration) to ~48 px (720p bench); single-scale training measured
-    # 0.78 held-out PCK on 2x-larger sprites vs 0.95 in-scale, so each
-    # training video draws its own sprite size (sigma scales with it).
     sprite_sizes = (16, 24, 32, 48)
     frames, targets, kp_list, valid_list = [], [], [], []
     for i in range(n_videos):
@@ -155,57 +188,56 @@ def train_pose(specs: Sequence, in_shape: Tuple[int, int, int],
             pose_targets(k, m, oh, ow, stride, sigma,
                          limb_width=max(1.0, sprite / (3.0 * stride)))
             for k, m in zip(ks, vs)]))
-    frames = np.concatenate(frames)
-    targets = np.concatenate(targets)
-    kps = np.concatenate(kp_list)
-    valids = np.concatenate(valid_list)
+    return (np.concatenate(frames), np.concatenate(targets),
+            np.concatenate(kp_list), np.concatenate(valid_list))
 
-    params = init_params(specs, in_shape, jax.random.PRNGKey(seed))
+
+def _train_pose_common(forward, params, in_shape, stride, oh, ow, steps,
+                       batch, lr, seed, n_videos, frames_per_video,
+                       heat_weight, pos_weight, verbose):
+    """Shared pose training loop: ``forward(params, frame) -> (oh, ow, 56)``
+    over an arbitrary params pytree (list for CBNet, dict for CBGraphNet)."""
+    H, W, _ = in_shape
+    rng = np.random.default_rng(seed)
+    frames, targets, kps, valids = _pose_dataset(
+        H, W, oh, ow, stride, seed, n_videos, frames_per_video)
+
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
-    trainable = [p for p in params if p is not None]
-    opt_state = opt.init(trainable)
-
-    def rebuild(trainable):
-        out, it = [], iter(trainable)
-        for p in params:
-            out.append(next(it) if p is not None else None)
-        return out
+    # optimize the whole pytree; None leaves (biasless convs) are static
+    opt_state = opt.init(jax.tree.map(lambda p: p, params))
 
     cw = np.concatenate([np.ones((NUM_PAFS,), np.float32),
                          np.full((NUM_KEYPOINTS,), heat_weight, np.float32)])
     cw = jnp.asarray(cw)
 
-    def loss_fn(trainable, x, y):
-        full = rebuild(trainable)
-        pred = jax.vmap(lambda f: dense_apply(specs, full, f))(x)
+    def loss_fn(ps, x, y):
+        pred = jax.vmap(lambda f: forward(ps, f))(x)
         w = cw * (1.0 + pos_weight * jnp.abs(y))
         return jnp.mean(w * (pred - y) ** 2)
 
     @jax.jit
-    def step_fn(trainable, opt_state, x, y):
-        loss, grads = jax.value_and_grad(loss_fn)(trainable, x, y)
+    def step_fn(ps, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(ps, x, y)
         updates, opt_state = opt.update(grads, opt_state)
-        trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss
+        ps = optax.apply_updates(ps, updates)
+        return ps, opt_state, loss
 
     from .metrics import pck_gt
 
     def eval_pck(ps, k=16):
         idx2 = np.arange(min(k, frames.shape[0]))
-        pred = np.stack([np.asarray(dense_apply(specs, ps, jnp.asarray(f)))
+        pred = np.stack([np.asarray(forward(ps, jnp.asarray(f)))
                          for f in frames[idx2]])
         return pck_gt(pred, kps[idx2], valids[idx2], stride)
 
     n = frames.shape[0]
     for it in range(steps):
         idx = rng.integers(0, n, batch)
-        trainable, opt_state, loss = step_fn(
-            trainable, opt_state, jnp.asarray(frames[idx]),
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(frames[idx]),
             jnp.asarray(targets[idx]))
         if verbose and it % 100 == 0:
             print(f"step {it}: loss {float(loss):.5f} "
-                  f"pck {eval_pck(rebuild(trainable), 8):.3f}", flush=True)
+                  f"pck {eval_pck(params, 8):.3f}", flush=True)
 
-    final = rebuild(trainable)
-    train_pck = eval_pck(final)
-    return final, float(train_pck)
+    return params, float(eval_pck(params))
