@@ -73,6 +73,30 @@ def load_npz_params(path: str, params_like):
         for i, p in enumerate(params_like)]
 
 
+def save_npz_graph_params(path: str, params: dict) -> None:
+    """Flat-npz twin of the train_*.py w{i}/b{i} convention for DAG nets:
+    keys ``w:{node}`` / ``b:{node}`` (graph params are name-keyed dicts)."""
+    import numpy as np
+    flat = {}
+    for name, (w, b) in params.items():
+        flat[f"w:{name}"] = np.asarray(w)
+        if b is not None:
+            flat[f"b:{name}"] = np.asarray(b)
+    np.savez(path, **flat)
+
+
+def load_npz_graph_params(path: str, params_like: dict) -> dict:
+    """Load a ``w:{node}``/``b:{node}`` npz into a graph params dict."""
+    import jax.numpy as jnp
+    import numpy as np
+    flat = np.load(path)
+    return {
+        name: (jnp.asarray(flat[f"w:{name}"]),
+               jnp.asarray(flat[f"b:{name}"]) if f"b:{name}" in flat
+               else None)
+        for name in params_like}
+
+
 def save_thresholds(path: str, thresholds, metadata: Optional[dict] = None):
     """Persist a tuner result's tau vector as plain JSON next to benches."""
     import json

@@ -1,15 +1,12 @@
 """Pose DAG (OpenPose topology) on the real chip (configs[3] / C17).
 
 Compiles and runs the faithful concat-DAG pose network
-(models/pose.pose_graph -> graph.convert_graph) on the TPU with the pallas
-backend: backbone -> stage1 {PAF, heatmap} -> stage2 over
-concat(backbone, paf1, heat1). Measures CB vs dense throughput and PCK
-agreement, and writes a "pose_graph" row into RESULTS.json.
-
-Weights are fixed-seed random (training an OpenPose-style net is out of
-scope on this box — provenance is recorded); PCK is CB-vs-dense agreement
-of the same net, the well-defined part of the reference's pose evaluation
-(arXiv 1808.05488 §VI).
+(models/pose.pose_graph -> graph.convert_graph_flagship) on the TPU with
+the pallas backend: backbone -> stage1 {PAF, heatmap} -> stage2 over
+concat(backbone, paf1, heat1). Measures CB vs dense throughput under the
+deployment refresh policy, PCK agreement, and — with the in-repo-trained
+DAG weights (scripts/train_pose_graph.py) — GROUND-TRUTH PCK degradation.
+Writes a "pose_graph" row into RESULTS.json.
 
 Usage: python scripts/bench_pose_graph.py [--height 360] [--width 640]
 """
@@ -29,6 +26,9 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+NPZ = "/root/repo/ckpts/pose_graph_w64.npz"
+TAU_JSON = "/root/repo/ckpts/pose_graph_w64_tau.json"
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
@@ -37,14 +37,18 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--width-mult", type=int, default=64)
-    ap.add_argument("--tau", type=float, default=0.04)
+    ap.add_argument("--tau", type=float, default=None,
+                    help="fixed tau override (default: tuned tau file)")
     args = ap.parse_args(argv)
 
     from cbinfer_tpu.benchmark import measure_sync_overhead, scalar_sync
+    from cbinfer_tpu.checkpoint import load_npz_graph_params
     from cbinfer_tpu.config import PipelineConfig, TileConfig
-    from cbinfer_tpu.graph import convert_graph, init_graph_params
-    from cbinfer_tpu.metrics import pck
+    from cbinfer_tpu.graph import (convert_graph_flagship, init_graph_params,
+                                   node_out_shapes)
+    from cbinfer_tpu.metrics import pck, pck_gt
     from cbinfer_tpu.models.pose import pose_graph
+    from cbinfer_tpu.runner import scan_video
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
     H, W, T = args.height, args.width, args.frames
@@ -55,31 +59,45 @@ def main(argv=None):
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
     nodes, out_name = pose_graph(width=args.width_mult)
-    # layer policy parity with convert_flagship: the cin=3 backbone stem
-    # runs dense_cached (no Pallas kernel serves 3-channel inputs; the
-    # stem feeds the hint chain)
-    import dataclasses
-    nodes = [dataclasses.replace(
-        n, spec=dataclasses.replace(n.spec, backend="dense_cached"))
-        if i == 0 else n for i, n in enumerate(nodes)]
-    net = convert_graph(nodes, (H, W, 3), cfg, output=out_name,
-                        thresholds=[args.tau] * convert_graph(
-                            nodes, (H, W, 3), cfg).num_cb_layers())
+    net = convert_graph_flagship(nodes, (H, W, 3), cfg, output=out_name)
     params = init_graph_params(nodes, (H, W, 3), jax.random.PRNGKey(0))
+    weights = "random(PRNGKey 0)"
+    try:
+        params = load_npz_graph_params(NPZ, params)
+        weights = "trained(npz)"
+    except Exception as e:
+        print(f"WARNING: no trained DAG weights ({e})", file=sys.stderr)
+
+    n_cb = net.num_cb_layers()
+    if args.tau is not None:
+        taus, tau_src = [args.tau] * n_cb, f"fixed({args.tau})"
+    else:
+        try:
+            with open(TAU_JSON) as f:
+                taus, tau_src = json.load(f)["thresholds"], "tuned"
+            assert len(taus) == n_cb, (len(taus), n_cb)
+        except Exception as e:
+            print(f"WARNING: no tuned taus ({e}); tau=0.04", file=sys.stderr)
+            taus, tau_src = [0.04] * n_cb, "fixed(0.04)"
+    tv = jnp.asarray(taus, jnp.float32)
 
     base = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=3, sprite_size=32, speed=4.0,
-        noise_std=0.002, seed=base))
+        noise_std=0.002, distinct_classes=True, seed=base))
     warm = jnp.asarray(video.clip(T))
-    chunks = [jnp.asarray(video.clip(T)) for _ in range(args.chunks)]
+    chunks, kp_list, valid_list = [], [], []
+    for _ in range(args.chunks):
+        f, k, v = video.clip_with_keypoints(T)
+        chunks.append(jnp.asarray(f))
+        kp_list.append(k)
+        valid_list.append(v)
     for c in chunks + [warm]:
         scalar_sync(c)
     sync_overhead = measure_sync_overhead()
 
-    # dense baseline — outputs collected DURING the timed pass: dispatching
-    # the timed chunks beforehand would let the runtime's dispatch
-    # memoization serve the timed dispatches from cache (inflated dense_fps)
+    # dense baseline — outputs collected DURING the timed pass (dispatch
+    # memoization would serve pre-dispatched chunks from cache)
     dense = jax.jit(lambda p, fs: jax.lax.map(
         lambda x: net.apply_dense(p, x), fs))
     scalar_sync(dense(params, warm))  # compile + warm (untimed chunk)
@@ -92,23 +110,25 @@ def main(argv=None):
     dense_fps = (args.chunks * T
                  / max(1e-9, time.perf_counter() - t0 - sync_overhead))
 
-    # CB scan over the DAG (manual scan: graph state is a dict carry)
-    from jax import lax
-
-    def cb_body(p, fs, st):
-        def step(carry, x):
-            y, carry2, stats = net.apply(p, carry, x)
-            return carry2, (y, stats)
-        st2, (ys, stats) = lax.scan(step, st, fs)
-        return ys, st2, stats
-
-    cb = jax.jit(cb_body, donate_argnums=(2,))
-    ys, st, stats = cb(params, warm, net.init_state())
+    # CB scan under the deployment refresh policy: cond-free refresh_start
+    # prolog on every other chunk (interval 2T — eval_headline parity),
+    # now available on DAG nets via CBGraphNet.apply_refresh
+    cb_refresh = jax.jit(
+        lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv,
+                                     refresh_start=True),
+        donate_argnums=(2,))
+    cb_plain = jax.jit(
+        lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv),
+        donate_argnums=(2,))
+    ys, st, stats = cb_refresh(params, warm, net.init_state())
+    scalar_sync(ys)
+    ys, st, stats = cb_plain(params, warm, st)
     scalar_sync(ys)
     cb_outs = []
     t0 = time.perf_counter()
-    for c in chunks:
-        ys, st, stats = cb(params, c, st)
+    for i, c in enumerate(chunks):
+        f = cb_refresh if i % 2 == 0 else cb_plain
+        ys, st, stats = f(params, c, st)
         cb_outs.append(ys)
     scalar_sync(ys)
     cb_fps = (args.chunks * T
@@ -116,16 +136,29 @@ def main(argv=None):
 
     pck_val = float(np.mean([pck(np.asarray(a), np.asarray(b))
                              for a, b in zip(cb_outs, dense_outs)]))
+    gt = {}
+    if weights == "trained(npz)":
+        stride = H // node_out_shapes(nodes, (H, W, 3))[out_name][0]
+        kps = np.concatenate(kp_list)
+        valid = np.concatenate(valid_list)
+        cb_np = np.concatenate([np.asarray(a) for a in cb_outs])
+        dn_np = np.concatenate([np.asarray(b) for b in dense_outs])
+        p_cb = pck_gt(cb_np, kps, valid, stride)
+        p_dn = pck_gt(dn_np, kps, valid, stride)
+        gt = {"pck_gt_dense": round(p_dn, 4), "pck_gt_cb": round(p_cb, 4),
+              "pck_degradation": round(p_dn - p_cb, 5)}
     overflows = sum(int(np.asarray(s["overflow"]).sum())
                     for s in jax.device_get(stats).values() if s)
 
     row = {
         "model": "pose_graph", "resolution": f"{H}x{W}",
         "topology": "backbone -> 2 stages x {PAF, heatmap}, concat DAG",
-        "weights": "random(PRNGKey 0)", "tau": args.tau,
+        "weights": weights, "tau": tau_src,
+        "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T}",
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
         "pck_vs_dense": round(pck_val, 4),
+        **gt,
         "overflow_frames": overflows,
         "backend": cfg.backend,
     }

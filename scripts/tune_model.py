@@ -34,6 +34,9 @@ MODELS = {
             "/root/repo/ckpts/seg_w64_tau.json"),
     "pose": (64, "/root/repo/ckpts/pose_w64.npz",
              "/root/repo/ckpts/pose_w64_tau.json"),
+    # the faithful concat-DAG topology (graph.CBGraphNet)
+    "pose_graph": (64, "/root/repo/ckpts/pose_graph_w64.npz",
+                   "/root/repo/ckpts/pose_graph_w64_tau.json"),
 }
 
 
@@ -58,39 +61,54 @@ def main():
     # scored 0.998 on 32 frames scored 0.957 on the bench's 128-frame
     # stream without refresh).
     H, W, T = 720, 1280, 96
-    if name == "pose":
-        H, W = 360, 640  # 21 CB layers: 720p sweeps take hours
+    if name.startswith("pose"):
+        H, W = 360, 640  # 21+ CB layers: 720p sweeps take hours
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     backend = "pallas" if on_tpu else "jnp"
 
-    specs = (get_model(name, width=width) if name == "pose"
-             else get_model(name, num_classes=NUM_CLASSES, width=width))
-    # Calibrate at the PRE-upsample grid: a trailing nearest-neighbor
-    # upsample is argmax-transparent (the stride-s class map determines
-    # the upsampled one) and has no threshold, but its full-res 8-channel
-    # logits stack is lane-padded 16x by XLA (22.6 GB for 96 frames at
-    # 720p — OOM'd the chip). Thresholds transfer to the full chain.
-    from cbinfer_tpu.config import UpsampleSpec
-    if isinstance(specs[-1], UpsampleSpec):
-        specs = specs[:-1]
     cfg = PipelineConfig(
         tile=TileConfig(tile_h=8, tile_w=8, capacity_fraction=0.375),
         backend=backend,
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert_flagship(specs, (H, W, 3), cfg)
-    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
-    if npz is not None:
-        params = load_npz_params(npz, params)
+    if name == "pose_graph":
+        from cbinfer_tpu.checkpoint import load_npz_graph_params
+        from cbinfer_tpu.graph import (convert_graph_flagship,
+                                       init_graph_params, node_out_shapes)
+        from cbinfer_tpu.models.pose import pose_graph
+        import jax as _jax
+        nodes, out_name = pose_graph(width=width)
+        net = convert_graph_flagship(nodes, (H, W, 3), cfg, output=out_name)
+        params = init_graph_params(nodes, (H, W, 3), _jax.random.PRNGKey(0))
+        params = load_npz_graph_params(npz, params)
+        oh = node_out_shapes(nodes, (H, W, 3))[out_name][0]
+        stride = H // oh
+        specs = None
+    else:
+        specs = (get_model(name, width=width) if name == "pose"
+                 else get_model(name, num_classes=NUM_CLASSES, width=width))
+        # Calibrate at the PRE-upsample grid: a trailing nearest-neighbor
+        # upsample is argmax-transparent (the stride-s class map determines
+        # the upsampled one) and has no threshold, but its full-res
+        # 8-channel logits stack is lane-padded 16x by XLA (22.6 GB for 96
+        # frames at 720p — OOM'd the chip). Thresholds transfer.
+        from cbinfer_tpu.config import UpsampleSpec
+        if isinstance(specs[-1], UpsampleSpec):
+            specs = specs[:-1]
+        net = convert_flagship(specs, (H, W, 3), cfg)
+        params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+        if npz is not None:
+            params = load_npz_params(npz, params)
 
     # calibration SET: two clips, seeds disjoint from the bench video
     # (single-clip calibration is noisy at the 0.5% budget scale), WITH
     # ground truth: class labels at the output stride (scene/seg) or packed
     # keypoints [y, x, valid] (pose; distinct_classes keeps per-channel
     # argmax PCK well-defined — video.py module doc)
-    oh = out_shapes(specs, (H, W, 3))[-1][0]
-    stride = H // oh
-    if name == "pose":
+    if specs is not None:
+        oh = out_shapes(specs, (H, W, 3))[-1][0]
+        stride = H // oh
+    if name.startswith("pose"):
         vids = [SpriteVideo(SpriteVideoConfig(
             height=H, width=W, n_sprites=4, sprite_size=max(24, H // 15),
             speed=4.0, noise_std=0.002, distinct_classes=True, seed=s))
@@ -129,7 +147,7 @@ def main():
     # Grid note: 0.01 sits below the bf16-cache-quantization + sensor-noise
     # floor (full-map changes, no gain) — measured r2.
     REFRESH = 32
-    if name == "pose":
+    if name.startswith("pose"):
         # GROUND-TRUTH PCK degradation (trained weights, synthetic keypoint
         # supervision — train_pose): budget semantics identical to seg's
         # mIoU budget. The r2 agreement-PCK-of-a-random-net workaround and
