@@ -185,21 +185,26 @@ def num_cb_layers(specs: Sequence) -> int:
 
 
 def flagship_layers(specs: Sequence,
-                    in_shape: Optional[Tuple[int, int, int]] = None):
+                    in_shape: Optional[Tuple[int, int, int]] = None,
+                    cfg: Optional[PipelineConfig] = None):
     """(backend_overrides, dense_layers) of the SHIPPED configuration.
 
-    Two measured policies (RESULTS.md optimization ledger), applied to every
+    Measured policies (RESULTS.md optimization ledger), applied to every
     model family so bench.py / tuners / tests build the identical network:
 
     * a SMALL-cin stem (cin < 128, i.e. below one TPU lane) runs
       ``dense_cached``: detect on the cheap few-channel input + dense conv
       from the accepted cache, emitting the dirty-hint chain. No Pallas
-      delta kernel can serve small-lane inputs on this hardware (Mosaic
+      delta kernel can serve small-lane HWC inputs on this hardware (Mosaic
       lane-pads small-lane buffers 43x and rejects their DMA slicing), and
-      a hint-less stem poisons every downstream detect. The override is
-      gated on the actual stem cin when ``in_shape`` is given (a wide
-      imported-feature input keeps the sparse stem path; ADVICE r2);
-      without ``in_shape`` the historical cin=3 assumption applies.
+      a hint-less stem poisons every downstream detect. On the pallas
+      backend with 8-aligned frames this upgrades to
+      ``dense_cached_planar``: the detect stage runs as one fused banded
+      Pallas kernel over a channel-planar cache (ops/pallas/stem_detect)
+      instead of 3-4 XLA passes. The override is gated on the actual stem
+      cin when ``in_shape`` is given (a wide imported-feature input keeps
+      the sparse stem path; ADVICE r2); without ``in_shape`` the
+      historical cin=3 assumption applies.
     * the trailing 1x1 classifier runs plain dense: nothing downstream
       consumes its hint, and CB bookkeeping (detect + compact + scatter)
       on a 1x1 conv costs more than recomputing it (measured: dense 1x1
@@ -207,7 +212,13 @@ def flagship_layers(specs: Sequence,
     """
     from .layers import LANE
     small_stem = in_shape is None or in_shape[2] < LANE
-    overrides = ({0: "dense_cached"}
+    stem_kind = "dense_cached"
+    if (cfg is not None and cfg.backend == "pallas" and in_shape is not None
+            and in_shape[0] % 8 == 0 and in_shape[1] % 8 == 0
+            and isinstance(specs[0], ConvSpec)
+            and specs[0].stride == (1, 1) and specs[0].dilation == (1, 1)):
+        stem_kind = "dense_cached_planar"
+    overrides = ({0: stem_kind}
                  if isinstance(specs[0], ConvSpec) and small_stem else {})
     dense = []
     i = len(specs) - 1
@@ -227,7 +238,7 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     ``thresholds`` is sized by the CONVERTED network's CB-layer count
     (num_cb_layers(net.specs)) — the dense classifier consumes no tau.
     """
-    overrides, dense = flagship_layers(specs, in_shape)
+    overrides, dense = flagship_layers(specs, in_shape, cfg)
     net = convert(specs, in_shape, cfg, dense_layers=dense,
                   backend_overrides=overrides)
     # aligned pools run hint-forwarded (one fused kernel, no detection /

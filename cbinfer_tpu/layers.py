@@ -143,6 +143,17 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
     cfg = _layer_cfg(spec, cfg)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
+    if cfg.backend == "dense_cached_planar":
+        # channel-PLANAR stem cache (C, H, W): the layout that makes a
+        # small-cin Pallas detect possible (ops/pallas/stem_detect doc).
+        # No spatial margins — the planar conv pads on read.
+        H, W, C = in_shape
+        g = _geometry(spec, in_shape, cfg)
+        return CBLayerState(
+            in_cache=jnp.full((C, H, W), detect.COLD_START_FILL, dtype),
+            out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout),
+                                dtype=dtype),
+        )
     cin_pad = lane_pad(in_shape[2], cfg)
     cout_pad = lane_pad(cout, cfg)
     padded_in = (in_shape[0], in_shape[1], cin_pad)
@@ -298,8 +309,44 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     Returns (y, state', stats, out_hint)."""
     cfg = _layer_cfg(spec, cfg)
     cout = spec.features
-    x, w, b, g = _conv_prep(params, x, spec, cfg)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    if cfg.backend == "dense_cached_planar":
+        # dense_cached with a channel-PLANAR cache + fused Pallas detect
+        # (ops/pallas/stem_detect doc): the small-cin stem's detect stage
+        # runs as ONE banded kernel instead of 3-4 XLA passes on a
+        # pathological C=3 layout. Weights/cache stay UNpadded.
+        if tau is None:
+            tau = spec.threshold
+        w, b = params
+        xarr, H, W, xc = _unwrap(x)
+        xarr = xarr[:H, :W, :xc]
+        g = _geometry(spec, (H, W, xc), cfg)
+        from .ops.pallas.stem_detect import detect_planar_pallas
+        xp = jnp.transpose(xarr, (2, 0, 1))  # (C, H, W); XLA fuses
+        storage, maskf, npix = detect_planar_pallas(
+            xp, state.in_cache, tau, g, interpret=cfg.interpret)
+        mask = maskf > 0.5
+        from . import network as _net
+        y = _net.dense_conv_planar(storage, w, b, spec, compute_dtype)
+        y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                        (0, g.out_w_pad - g.out_w), (0, 0)))
+        out_cache = y.astype(state.out_cache.dtype)
+        stats = {
+            "changed_tiles": jnp.sum(mask, dtype=jnp.int32),
+            "computed_tiles": jnp.asarray(g.n_tiles, jnp.int32),
+            "n_tiles": g.n_tiles,
+            "overflow": jnp.zeros((), bool),
+            "changed_pixels": npix[0],
+            "detect_tiles": jnp.asarray(
+                cdiv(H, HINT_TILE) * cdiv(W, HINT_TILE), jnp.int32),
+        }
+        out_hint = _out_hint(mask, jnp.zeros((), bool), g)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+            stats, out_hint
+
+    x, w, b, g = _conv_prep(params, x, spec, cfg)
 
     if cfg.backend == "dense_cached":
         # detect + full dense conv FROM THE ACCEPTED CACHE every frame:
@@ -451,8 +498,26 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
     """
     cfg = _layer_cfg(spec, cfg)
     cout = spec.features
-    x, w, b, g = _conv_prep(params, x, spec, cfg, crop=True)
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    if cfg.backend == "dense_cached_planar":
+        # accept the whole frame into the planar cache, full planar conv —
+        # pytree structure matches the apply branch above
+        w, b = params
+        xarr, H, W, xc = _unwrap(x)
+        xarr = xarr[:H, :W, :xc]
+        g = _geometry(spec, (H, W, xc), cfg)
+        storage = jnp.transpose(xarr, (2, 0, 1)).astype(state.in_cache.dtype)
+        from . import network as _net
+        y = _net.dense_conv_planar(storage, w, b, spec, compute_dtype)
+        y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                        (0, g.out_w_pad - g.out_w), (0, 0)))
+        out_cache = y.astype(state.out_cache.dtype)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+            _full_stats(g), _full_hint(g)
+
+    x, w, b, g = _conv_prep(params, x, spec, cfg, crop=True)
 
     # Rebuild the padded storage from scratch (margins are CONSTANT zeros
     # by make_storage's contract) instead of dynamic-update-slicing the

@@ -291,7 +291,7 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     for l in range(n_layers):
         ri = cb_rows[l]
         row = view.rows[ri]
-        if getattr(row.spec, "backend", None) == "dense_cached":
+        if str(getattr(row.spec, "backend", None) or "").startswith("dense_cached"):
             own = view.downstream_conv_flops(ri)
         elif row.dense_flops > 0:
             own = float(row.dense_flops)

@@ -101,7 +101,7 @@ def main(argv=None):
     # classifier + tuned taus. Prefixes apply only the layer policies whose
     # index falls inside the prefix.
     from cbinfer_tpu.convert import flagship_layers
-    overrides_full, dense_full = flagship_layers(specs, (H, W, 3))
+    overrides_full, dense_full = flagship_layers(specs, (H, W, 3), cfg)
     flag_net = convert(specs, (H, W, 3), cfg, dense_layers=dense_full,
                        backend_overrides=overrides_full)
     taus_full, refresh, tau_src = _bench._load_thresholds(
@@ -160,7 +160,7 @@ def main(argv=None):
     out = {
         "shape": [H, W], "frames": frames_total, "model": args.model,
         "weights": weights_src, "backend": backend,
-        "stem": "dense_cached", "tau_source": tau_src,
+        "stem": overrides_full.get(0, "cb"), "tau_source": tau_src,
         "thresholds": [round(float(t), 4) for t in taus_full],
         "sync_overhead_ms": 1e3 * sync_overhead,
         "rows": rows,
