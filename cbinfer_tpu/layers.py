@@ -150,7 +150,7 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
         H, W, C = in_shape
         g = _geometry(spec, in_shape, cfg)
         return CBLayerState(
-            in_cache=jnp.full((C, H, W), detect.COLD_START_FILL, dtype),
+            in_cache=jnp.full((C * H, W), detect.COLD_START_FILL, dtype),
             out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout),
                                 dtype=dtype),
         )
@@ -312,23 +312,24 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
     if cfg.backend == "dense_cached_planar":
-        # dense_cached with a channel-PLANAR cache + fused Pallas detect
-        # (ops/pallas/stem_detect doc): the small-cin stem's detect stage
-        # runs as ONE banded kernel instead of 3-4 XLA passes on a
-        # pathological C=3 layout. Weights/cache stay UNpadded.
+        # dense_cached with a channel-PLANAR cache: the small-cin stem's
+        # detect runs on (C*H, W) planar buffers whose ops all have clean
+        # W-lane layouts (detect.detect_and_update_planar doc) instead of
+        # the pathological HWC C=3 form. Weights/cache stay UNpadded.
         if tau is None:
             tau = spec.threshold
         w, b = params
         xarr, H, W, xc = _unwrap(x)
         xarr = xarr[:H, :W, :xc]
         g = _geometry(spec, (H, W, xc), cfg)
-        from .ops.pallas.stem_detect import detect_planar_pallas
-        xp = jnp.transpose(xarr, (2, 0, 1))  # (C, H, W); XLA fuses
-        storage, maskf, npix = detect_planar_pallas(
-            xp, state.in_cache, tau, g, interpret=cfg.interpret)
-        mask = maskf > 0.5
+        xp = jnp.transpose(xarr, (2, 0, 1)).reshape(xc * H, W)
+        storage, changed = detect.detect_and_update_planar(
+            xp, state.in_cache, tau, H)
+        mask = detect.changed_tile_mask(changed, g)
+        npix = jnp.sum(changed, dtype=jnp.int32).reshape(1)
         from . import network as _net
-        y = _net.dense_conv_planar(storage, w, b, spec, compute_dtype)
+        y = _net.dense_conv_planar(storage.reshape(xc, H, W), w, b, spec,
+                                   compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
                         (0, g.out_w_pad - g.out_w), (0, 0)))
         out_cache = y.astype(state.out_cache.dtype)
@@ -507,9 +508,11 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
         xarr, H, W, xc = _unwrap(x)
         xarr = xarr[:H, :W, :xc]
         g = _geometry(spec, (H, W, xc), cfg)
-        storage = jnp.transpose(xarr, (2, 0, 1)).astype(state.in_cache.dtype)
+        storage = jnp.transpose(xarr, (2, 0, 1)).reshape(xc * H, W) \
+            .astype(state.in_cache.dtype)
         from . import network as _net
-        y = _net.dense_conv_planar(storage, w, b, spec, compute_dtype)
+        y = _net.dense_conv_planar(storage.reshape(xc, H, W), w, b, spec,
+                                   compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
                         (0, g.out_w_pad - g.out_w), (0, 0)))
         out_cache = y.astype(state.out_cache.dtype)

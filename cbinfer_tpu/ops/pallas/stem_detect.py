@@ -1,5 +1,15 @@
 """Fused change detection for SMALL-cin stems via channel-PLANAR layout.
 
+STATUS — NEGATIVE RESULT, kept as documentation + test target: this Mosaic
+kernel is correct (tests/test_stem_planar.py runs it under interpret=True)
+but measured 1.6 ms/frame at 720p regardless of DMA chunking (vs ~0.1 ms
+for the XLA form of the same math on the same planar layout,
+detect.detect_and_update_planar) and cost a ~270 s Mosaic compile. The
+planar LAYOUT is the fix; the hand kernel is not — XLA's fusion of the
+elementwise planar ops beats the DMA loop here, exactly the "let XLA fuse,
+don't hand-schedule" rule. The shipped dense_cached_planar backend uses
+the XLA form.
+
 The 3-channel stem is every workload's detect bottleneck: Mosaic physically
 lane-pads rank-3 small-lane buffers ~43x and rejects DMA-slicing small-lane
 HBM memrefs even for H-only slices (probed r2), so no HWC Pallas kernel can
@@ -45,40 +55,53 @@ def _planar_band_kernel(x_ref, cache_in_ref, tau_ref,
                         cache_ref, mask_ref, npix_ref,
                         xbuf, cbuf, wbuf, macc, in_sems, out_sems,
                         *, g: TileGeometry, C: int, H: int, W: int,
-                        nbands: int):
+                        R: int, nchunks: int):
     del cache_in_ref  # aliased with cache_ref
-    n = nbands
+    n = nchunks
 
+    # Buffers are (C, R, W) per slot; HBM is the FLATTENED (C*H, W)
+    # planar array, so every DMA is a plain 2D row-chunk slice at offset
+    # c*H + t*R (8-aligned: R % 8 == 0) — the same pattern as
+    # detect._band_kernel. Two probed cliffs shape this (r3):
+    #   * a single rank-3 copy with a middle-dim slice ([:, oy:oy+8, :])
+    #     HANGS on this hardware (dispatch returns, the fetch never
+    #     completes; interpret mode does not model DMA and cannot catch
+    #     it) — hence one 2D copy per plane;
+    #   * 8-row chunks are DMA-ISSUE-bound (9 copies/band x 90 bands =
+    #     810 DMAs ~= 1.6 ms/frame at 720p) — hence R up to 128 rows per
+    #     chunk (~54 DMAs/frame, bandwidth-bound).
     def copy_in(slot, t, which):
-        oy = t * HINT
+        oy = t * R
         src = x_ref if which == 0 else cache_ref
         buf = xbuf if which == 0 else cbuf
-        return pltpu.make_async_copy(
-            src.at[:, pl.ds(oy, HINT), :], buf.at[slot],
-            in_sems.at[slot, which])
+        return [pltpu.make_async_copy(
+            src.at[pl.ds(c * H + oy, R), :], buf.at[slot, c],
+            in_sems.at[slot, which, c]) for c in range(C)]
 
     def copy_out(slot, t):
-        return pltpu.make_async_copy(
-            wbuf.at[slot], cache_ref.at[:, pl.ds(t * HINT, HINT), :],
-            out_sems.at[slot])
+        oy = t * R
+        return [pltpu.make_async_copy(
+            wbuf.at[slot, c], cache_ref.at[pl.ds(c * H + oy, R), :],
+            out_sems.at[slot, c]) for c in range(C)]
 
     macc[:] = jnp.zeros_like(macc)
     npix_ref[0] = 0
-    copy_in(0, 0, 0).start()
-    copy_in(0, 0, 1).start()
+    for cp in copy_in(0, 0, 0) + copy_in(0, 0, 1):
+        cp.start()
 
     def body(t, _):
         slot = lax.rem(t, 2)
 
         @pl.when(t + 1 < n)
         def _():
-            copy_in(1 - slot, t + 1, 0).start()
-            copy_in(1 - slot, t + 1, 1).start()
+            for cp in copy_in(1 - slot, t + 1, 0) \
+                    + copy_in(1 - slot, t + 1, 1):
+                cp.start()
 
-        copy_in(slot, t, 0).wait()
-        copy_in(slot, t, 1).wait()
+        for cp in copy_in(slot, t, 0) + copy_in(slot, t, 1):
+            cp.wait()
 
-        xb = xbuf[slot]                             # (C, 8, W)
+        xb = xbuf[slot]                             # (C, R, W)
         cb = cbuf[slot]
         diff = jnp.max(jnp.abs(xb.astype(jnp.float32)
                                - cb.astype(jnp.float32)), axis=0)  # (8, W)
@@ -87,17 +110,19 @@ def _planar_band_kernel(x_ref, cache_in_ref, tau_ref,
 
         @pl.when(t >= 2)
         def _():
-            copy_out(slot, t - 2).wait()
+            for cp in copy_out(slot, t - 2):
+                cp.wait()
 
         wbuf[slot] = jnp.where(changed[None], xb, cb)
-        copy_out(slot, t).start()
+        for cp in copy_out(slot, t):
+            cp.start()
 
         # exact receptive-field dilation onto the stem's OUTPUT tile grid
         # (indicator matmuls — ops/pallas/detect._band_kernel)
-        oy = t * HINT
-        a_start = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, HINT), 0)
+        oy = t * R
+        a_start = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, R), 0)
                    * (g.th * g.stride[0]) - g.pad_lo_h)
-        r_ids = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, HINT), 1)
+        r_ids = (jax.lax.broadcasted_iota(jnp.int32, (g.tiles_h, R), 1)
                  + oy)
         m1 = ((a_start <= r_ids) & (r_ids < a_start + g.win_h)
               ).astype(jnp.float32)
@@ -106,8 +131,12 @@ def _planar_band_kernel(x_ref, cache_in_ref, tau_ref,
         c_ids = jax.lax.broadcasted_iota(jnp.int32, (W, g.tiles_w), 0)
         m2 = ((b_start <= c_ids) & (c_ids < b_start + g.win_w)
               ).astype(jnp.float32)
-        contrib = jnp.dot(jnp.dot(m1, changed.astype(jnp.float32),
-                                  preferred_element_type=jnp.float32), m2,
+        # associate as m1 @ (changed @ m2): the (8, W) x (W, tiles_w)
+        # contraction first — the other order materializes a (tiles_h, W)
+        # intermediate whose matmul costs ~10x more (measured 2.3 ms vs
+        # 0.26 ms per 720p frame, r3); exact either way (0/1 counts, f32)
+        contrib = jnp.dot(m1, jnp.dot(changed.astype(jnp.float32), m2,
+                                      preferred_element_type=jnp.float32),
                           preferred_element_type=jnp.float32)
         macc[:] = jnp.maximum(macc[:], (contrib > 0).astype(jnp.float32))
 
@@ -115,31 +144,39 @@ def _planar_band_kernel(x_ref, cache_in_ref, tau_ref,
 
     @pl.when(n >= 2)
     def _():
-        copy_out(lax.rem(n, 2), n - 2).wait()
+        for cp in copy_out(lax.rem(n, 2), n - 2):
+            cp.wait()
 
-    copy_out(lax.rem(n - 1, 2), n - 1).wait()
+    for cp in copy_out(lax.rem(n - 1, 2), n - 1):
+        cp.wait()
     mask_ref[:] = macc[:]
 
 
 def detect_planar_pallas(x_planar: jnp.ndarray, in_cache: jnp.ndarray, tau,
                          g: TileGeometry, *, interpret: bool = False):
-    """Fused full-map detect+update+dilate on PLANAR (C, H, W) buffers.
+    """Fused full-map detect+update+dilate on PLANAR buffers.
 
     Args:
-      x_planar: (C, H, W) current frame, channel-planar.
-      in_cache: (C, H, W) accepted-value cache, aliased/donated (UNPADDED
+      x_planar: (C*H, W) current frame, channel-planar FLATTENED (plane c
+        occupies rows [c*H, (c+1)*H) — the DMA-legal layout, kernel doc).
+      in_cache: (C*H, W) accepted-value cache, aliased/donated (UNPADDED
         spatially — the dense_cached conv pads on read, there is no margin
         storage in planar mode).
       g: the stem conv's tile geometry (built on the logical H, W).
 
-    Returns (new_cache (C, H, W), out_tile_mask f32 (tiles_h, tiles_w),
+    Returns (new_cache (C*H, W), out_tile_mask f32 (tiles_h, tiles_w),
     changed_pixels int32 (1,)).
     """
-    C, H, W = x_planar.shape
-    assert H % HINT == 0 and W % 8 == 0, (C, H, W)
-    nbands = H // HINT
+    CH, W = x_planar.shape
+    H = g.in_h
+    C = CH // H
+    assert C * H == CH and H % HINT == 0 and W % 8 == 0, (CH, H, W)
+    # rows per chunk: largest 8-multiple divisor of H up to 128 (DMA-issue
+    # amortization; kernel doc)
+    R = max(r for r in range(8, min(H, 64) + 1, 8) if H % r == 0)
+    nchunks = H // R
     kern = functools.partial(_planar_band_kernel, g=g, C=C, H=H, W=W,
-                             nbands=nbands)
+                             R=R, nchunks=nchunks)
     new_cache, mask, npix = pl.pallas_call(
         kern,
         in_specs=[
@@ -158,12 +195,12 @@ def detect_planar_pallas(x_planar: jnp.ndarray, in_cache: jnp.ndarray, tau,
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, C, HINT, W), in_cache.dtype),
-            pltpu.VMEM((2, C, HINT, W), in_cache.dtype),
-            pltpu.VMEM((2, C, HINT, W), in_cache.dtype),
+            pltpu.VMEM((2, C, R, W), in_cache.dtype),
+            pltpu.VMEM((2, C, R, W), in_cache.dtype),
+            pltpu.VMEM((2, C, R, W), in_cache.dtype),
             pltpu.VMEM((g.tiles_h, g.tiles_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2, C)),
+            pltpu.SemaphoreType.DMA((2, C)),
         ],
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -54,7 +54,8 @@ def test_planar_stem_matches_dense_cached_pipeline():
     g = _geometry(ref.specs[0], (32, 48, 3), ref.cfg)
     hwc = np.asarray(storage_interior(st_r[0].in_cache, g))
     np.testing.assert_array_equal(
-        np.asarray(st_p[0].in_cache), hwc.transpose(2, 0, 1))
+        np.asarray(st_p[0].in_cache),
+        hwc.transpose(2, 0, 1).reshape(3 * 32, 48))
 
 
 def test_planar_stem_refresh_matches_apply_structure():
