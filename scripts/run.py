@@ -32,12 +32,14 @@ def main(argv=None):
     ap.add_argument("--backend", default=None,
                     help="pallas|jnp (default: pallas on TPU)")
     ap.add_argument("--bf16", action="store_true")
-    ap.add_argument("--stem", choices=("dense_cached", "dense", "cb"),
-                    default="dense_cached",
-                    help="layer-0 mode: dense_cached (flagship: detect + "
-                         "dense conv from the accepted cache, feeds the "
-                         "hint chain), dense (recompute every frame, no "
-                         "hint), cb (default backend delta path)")
+    ap.add_argument("--stem",
+                    choices=("flagship", "dense_cached", "dense", "cb"),
+                    default="flagship",
+                    help="layer-0 mode: flagship (planar dense_cached on "
+                         "pallas — convert.flagship_layers), dense_cached "
+                         "(HWC detect + dense conv from the accepted "
+                         "cache), dense (recompute every frame, no hint), "
+                         "cb (default backend delta path)")
     ap.add_argument("--tune", action="store_true",
                     help="run the threshold auto-tuner first")
     ap.add_argument("--budget", type=float, default=0.005)
@@ -46,7 +48,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from cbinfer_tpu.config import PipelineConfig, TileConfig
-    from cbinfer_tpu.convert import convert, num_cb_layers
+    from cbinfer_tpu.convert import convert, flagship_layers, num_cb_layers
     from cbinfer_tpu.metrics import effective_flops, miou, pck
     from cbinfer_tpu.models import get_model
     from cbinfer_tpu.network import init_params
@@ -69,8 +71,11 @@ def main(argv=None):
     in_shape = (args.height, args.width, 3)
     net = convert(specs, in_shape, cfg,
                   dense_layers=[0] if args.stem == "dense" else [],
-                  backend_overrides=({0: "dense_cached"}
-                                     if args.stem == "dense_cached" else None))
+                  backend_overrides=(
+                      {0: "dense_cached"} if args.stem == "dense_cached"
+                      else flagship_layers(specs, (args.height, args.width,
+                                                   3), cfg)[0]
+                      if args.stem == "flagship" else None))
     params = init_params(specs, in_shape, jax.random.PRNGKey(args.seed))
     video = SpriteVideo(SpriteVideoConfig(
         height=args.height, width=args.width, n_sprites=4,
