@@ -90,6 +90,16 @@ class ConvSpec:
     # its cache 43x, and running it change-based (not dense) is what makes
     # its consumer's detection sparse via the hint chain.
     backend: Optional[str] = None
+    # CB17 mask-forwarding fast path (the conv twin of
+    # PoolSpec.forward_hint): when the producer emits a dirty hint, skip
+    # detection entirely — the changed-tile mask is the hint dilated by
+    # this conv's receptive field, and the input cache is refreshed by a
+    # pure tile-copy (no diff, no tau; ``threshold`` is unused on this
+    # path). Bit-identical to running this layer at tau = -1 through
+    # re-detection (layers.py change-mask-modes doc), with ~1/3 less
+    # detection traffic and no mask compute. Falls back to re-detection
+    # whenever no hint is available (layer 0, after dense layers).
+    forward_hint: bool = False
     kind: str = "conv"
 
     def __post_init__(self):

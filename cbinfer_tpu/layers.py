@@ -189,6 +189,52 @@ def _out_hint(tile_mask: jnp.ndarray, overflow, g: TileGeometry) -> DirtyHint:
     return DirtyHint(mask=jnp.logical_or(m, overflow))
 
 
+def _forward_mask(hint_mask: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
+    """Changed-OUT-tile mask of a FORWARDING layer: the producer's hint
+    dilated by this layer's receptive field — exact rectangle-interval
+    overlap on the tile grids (out tile (a, b) reads input rows
+    [a*th*sh - pad_lo_h, +win_h); hinted tile hi covers [hi*8, hi*8+8)),
+    computed as two tiny indicator matmuls. Equals the tau = -1
+    re-detection mask on 8-aligned maps (every pixel of a hinted tile is
+    'changed' at tau = -1)."""
+    hh, hw = hint_mask.shape
+    sh, sw = g.stride
+    lo_h = jnp.arange(g.tiles_h) * (g.th * sh) - g.pad_lo_h
+    hi = jnp.arange(hh) * HINT_TILE
+    m1 = ((hi[None, :] < lo_h[:, None] + g.win_h)
+          & (hi[None, :] + HINT_TILE > lo_h[:, None])).astype(jnp.float32)
+    lo_w = jnp.arange(g.tiles_w) * (g.tw * sw) - g.pad_lo_w
+    hj = jnp.arange(hw) * HINT_TILE
+    m2 = ((hj[:, None] < lo_w[None, :] + g.win_w)
+          & (hj[:, None] + HINT_TILE > lo_w[None, :])).astype(jnp.float32)
+    return jnp.dot(jnp.dot(m1, hint_mask.astype(jnp.float32)), m2) > 0
+
+
+def _accept_hinted(x: jnp.ndarray, in_cache: jnp.ndarray,
+                   hint: DirtyHint, g: TileGeometry, cfg: PipelineConfig):
+    """Forwarding-mode cache update: storage tracks the producer's output
+    over the hinted tiles (no diff, no tau). Returns (new_storage,
+    n_detect_tiles). Pallas: sparse tile-copy kernel (ops/pallas/accept);
+    jnp: full-map where (XLA cannot skip reads data-dependently) —
+    value-identical either way (accept.py induction invariant)."""
+    H, W = g.in_h, g.in_w
+    if (cfg.backend == "pallas" and x.shape[-1] % 128 == 0
+            and H >= HINT_TILE and W % HINT_TILE == 0):
+        from .ops.pallas.accept import accept_tiles
+        dcomp = compact.compact_mask(hint.mask, hint.mask.size)
+        storage = accept_tiles(x, in_cache, dcomp.idx, dcomp.count, g,
+                               interpret=cfg.interpret)
+        return storage, dcomp.count
+    pix = jnp.repeat(jnp.repeat(hint.mask, HINT_TILE, 0),
+                     HINT_TILE, 1)[:H, :W]
+    interior = storage_interior(in_cache, g)
+    xi = x[:H, :W] if x.shape[:2] != (H, W) else x
+    new_interior = jnp.where(pix[..., None], xi.astype(interior.dtype),
+                             interior)
+    return storage_update_interior(in_cache, new_interior, g), \
+        jnp.sum(hint.mask, dtype=jnp.int32)
+
+
 # ------------------------------ detection -----------------------------------
 
 
@@ -251,18 +297,30 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
 
 def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
                cfg: PipelineConfig, tile_fn, dense_fn, tau=None,
-               hint: Optional[DirtyHint] = None
+               hint: Optional[DirtyHint] = None, forward: bool = False
                ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any], DirtyHint]:
     """Shared C1->C3 + overflow-cond skeleton for conv and pool layers.
 
     ``tau`` may be a traced scalar (threshold tuning sweeps thresholds as
     runtime values — one compile serves the whole sweep); defaults to the
     spec's static threshold.
+
+    ``forward=True`` (requires a hint): CB17 mask-forwarding — detection
+    is replaced by the hint-dilated mask (_forward_mask) + a pure tile
+    copy (_accept_hinted); tau is unused. Bit-identical to tau = -1
+    re-detection on 8-aligned maps (ConvSpec.forward_hint doc).
     """
-    if tau is None:
-        tau = spec.threshold
-    in_cache, mask, n_pix, n_detect = _detect_and_mask(
-        x, state.in_cache, tau, g, cfg, hint)
+    if forward:
+        assert hint is not None
+        in_cache, n_detect = _accept_hinted(x, state.in_cache, hint, g, cfg)
+        mask = _forward_mask(hint.mask, g)
+        # forwarding never inspects pixels; visited = hinted area
+        n_pix = n_detect * (HINT_TILE * HINT_TILE)
+    else:
+        if tau is None:
+            tau = spec.threshold
+        in_cache, mask, n_pix, n_detect = _detect_and_mask(
+            x, state.in_cache, tau, g, cfg, hint)
     # Pallas: capacity is free — the kernel loop is bounded by the dynamic
     # count, so a full-size index buffer costs only SMEM bytes, and the
     # overflow cond (whose branch boundaries force whole-cache copies)
@@ -400,8 +458,10 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                                spec.activation, compute_dtype)
         return y.astype(out_cache.dtype)
 
+    forward = bool(spec.forward_hint) and hint is not None
     y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
-                                        dense_fn, tau, hint)
+                                        dense_fn, tau, hint,
+                                        forward=forward)
     return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint
 
 

@@ -92,6 +92,11 @@ def _tau_is_dead(view: NetView, ri: int) -> bool:
     live."""
     from .layers import HINT_TILE
     spec = view.rows[ri].spec
+    if isinstance(spec, ConvSpec) and spec.forward_hint:
+        # forwarding convs skip detection whenever a hint exists — tau is
+        # dead iff the producer always emits one (it is CB)
+        prev = view.producer_row(ri)
+        return prev is not None and prev.is_cb
     if not (isinstance(spec, PoolSpec) and spec.forward_hint):
         return False
     backend = spec.backend or view.cfg.backend

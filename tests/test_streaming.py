@@ -208,3 +208,47 @@ def test_tau_minus_one_is_mask_forwarding():
     dense = jnp.stack([net.apply_dense(params, f) for f in clip])
     assert miou(np.asarray(ys_f), np.asarray(dense), 5) == 1.0
     assert miou(np.asarray(ys_r), np.asarray(dense), 5) == 1.0
+
+
+def test_conv_forward_hint_equals_tau_minus_one():
+    """ConvSpec.forward_hint (CB17 mask-forwarding fast path) is
+    bit-identical to running the same layer at tau = -1 through
+    re-detection, on both backends (ConvSpec.forward_hint doc)."""
+    import dataclasses
+    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.network import init_params
+
+    specs = [
+        ConvSpec(features=16, threshold=0.03),
+        ConvSpec(features=16, threshold=0.03),    # <- forwarded / tau=-1
+        ConvSpec(features=5, kernel=(1, 1), activation=None,
+                 threshold=0.03),
+    ]
+    fwd_specs = [specs[0],
+                 dataclasses.replace(specs[1], forward_hint=True),
+                 specs[2]]
+    params = init_params(specs, (32, 48, 3), jax.random.PRNGKey(17))
+    video = SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                          sprite_size=7, speed=3.0,
+                                          noise_std=0.01, seed=41))
+    clip = jnp.asarray(video.clip(5))
+    for backend, interp in (("jnp", False), ("pallas", True)):
+        cfg = PipelineConfig(tile=TileConfig(tile_h=8, tile_w=8),
+                             backend=backend, interpret=interp)
+        net_fwd = convert(fwd_specs, (32, 48, 3), cfg)
+        net_ref = convert(specs, (32, 48, 3), cfg)
+        taus_ref = jnp.asarray([0.03, -1.0, 0.03], jnp.float32)
+        ys_f, _, st_f = scan_video(net_fwd, params, clip)
+        ys_r, _, st_r = scan_video(net_ref, params, clip,
+                                   thresholds=taus_ref)
+        np.testing.assert_array_equal(np.asarray(ys_f), np.asarray(ys_r),
+                                      err_msg=backend)
+        # identical recompute sets on the forwarded layer
+        np.testing.assert_array_equal(
+            np.asarray(st_f[1]["computed_tiles"]),
+            np.asarray(st_r[1]["computed_tiles"]), backend)
+        # and zero detection traffic... is NOT claimed on jnp (full-map
+        # where); on pallas the accept kernel visits exactly the hint
+        if backend == "pallas":
+            assert (np.asarray(st_f[1]["detect_tiles"])
+                    <= np.asarray(st_r[1]["detect_tiles"])).all()
