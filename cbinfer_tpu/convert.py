@@ -199,9 +199,12 @@ def flagship_layers(specs: Sequence,
       lane-pads small-lane buffers 43x and rejects their DMA slicing), and
       a hint-less stem poisons every downstream detect. On the pallas
       backend with 8-aligned frames this upgrades to
-      ``dense_cached_planar``: the detect stage runs as one fused banded
-      Pallas kernel over a channel-planar cache (ops/pallas/stem_detect)
-      instead of 3-4 XLA passes. The override is gated on the actual stem
+      ``dense_cached_flat``: detect runs on the FLAT (H, W*C) cache view
+      (free reshape of HWC, no transpose) with clean rank-2 layouts, and
+      the stem conv writes its output lane-padded so the consumer's
+      pad_lanes is a no-op (detect.detect_and_update_flat; measured r3:
+      the HWC C=3 forms cost ~1.7 ms/frame of pad/transpose/layout
+      traffic at 720p). The override is gated on the actual stem
       cin when ``in_shape`` is given (a wide imported-feature input keeps
       the sparse stem path; ADVICE r2); without ``in_shape`` the
       historical cin=3 assumption applies.
@@ -217,7 +220,7 @@ def flagship_layers(specs: Sequence,
             and in_shape[0] % 8 == 0 and in_shape[1] % 8 == 0
             and isinstance(specs[0], ConvSpec)
             and specs[0].stride == (1, 1) and specs[0].dilation == (1, 1)):
-        stem_kind = "dense_cached_planar"
+        stem_kind = "dense_cached_flat"
     overrides = ({0: stem_kind}
                  if isinstance(specs[0], ConvSpec) and small_stem else {})
     dense = []

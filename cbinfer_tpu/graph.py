@@ -285,7 +285,7 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
             if (cfg.backend == "pallas" and row.in_shape[0] % 8 == 0
                     and row.in_shape[1] % 8 == 0 and spec.stride == (1, 1)
                     and spec.dilation == (1, 1)):
-                kind = "dense_cached_planar"  # fused Pallas stem detect
+                kind = "dense_cached_flat"  # flat-layout stem detect
             spec = dataclasses.replace(spec, backend=kind)
         elif isinstance(spec, ConvSpec) and spec.kernel == (1, 1) \
                 and not any(cb_capable[j] for j in view.descendants(i)):

@@ -143,16 +143,18 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
     cfg = _layer_cfg(spec, cfg)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
-    if cfg.backend == "dense_cached_planar":
-        # channel-PLANAR stem cache (C, H, W): the layout that makes a
-        # small-cin Pallas detect possible (ops/pallas/stem_detect doc).
-        # No spatial margins — the planar conv pads on read.
+    if cfg.backend == "dense_cached_flat":
+        # FLAT (H, W*C) stem cache — same memory as HWC, clean rank-2
+        # layouts for detect (detect.detect_and_update_flat doc). No
+        # spatial margins (the conv pads on read); the OUT cache is
+        # LANE-padded so the consumer\'s pad_lanes is a no-op (the stem
+        # conv writes padded channels directly via padded weights).
         H, W, C = in_shape
         g = _geometry(spec, in_shape, cfg)
         return CBLayerState(
-            in_cache=jnp.full((C * H, W), detect.COLD_START_FILL, dtype),
-            out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout),
-                                dtype=dtype),
+            in_cache=jnp.full((H, W * C), detect.COLD_START_FILL, dtype),
+            out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad,
+                                 -(-cout // LANE) * LANE), dtype=dtype),
         )
     cin_pad = lane_pad(in_shape[2], cfg)
     cout_pad = lane_pad(cout, cfg)
@@ -369,25 +371,31 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     cout = spec.features
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    if cfg.backend == "dense_cached_planar":
-        # dense_cached with a channel-PLANAR cache: the small-cin stem's
-        # detect runs on (C*H, W) planar buffers whose ops all have clean
-        # W-lane layouts (detect.detect_and_update_planar doc) instead of
-        # the pathological HWC C=3 form. Weights/cache stay UNpadded.
+    if cfg.backend == "dense_cached_flat":
+        # dense_cached with the FLAT (H, W*C) cache view: identical memory
+        # to HWC (reshape is free, NO transpose), detect ops all run on
+        # clean rank-2 W*C-lane layouts (detect.detect_and_update_flat
+        # doc). The conv writes its output LANE-PADDED directly (padded
+        # weights) so the consumer's pad_lanes is a no-op — the per-frame
+        # pad of a 64-ch stem output measured 0.70 ms at 720p (xprof r3).
         if tau is None:
             tau = spec.threshold
         w, b = params
         xarr, H, W, xc = _unwrap(x)
         xarr = xarr[:H, :W, :xc]
         g = _geometry(spec, (H, W, xc), cfg)
-        xp = jnp.transpose(xarr, (2, 0, 1)).reshape(xc * H, W)
-        storage, changed = detect.detect_and_update_planar(
-            xp, state.in_cache, tau, H)
+        xf = xarr.reshape(H, W * xc)
+        storage, changed = detect.detect_and_update_flat(
+            xf, state.in_cache, tau, xc)
         mask = detect.changed_tile_mask(changed, g)
         npix = jnp.sum(changed, dtype=jnp.int32).reshape(1)
         from . import network as _net
-        y = _net.dense_conv_planar(storage.reshape(xc, H, W), w, b, spec,
-                                   compute_dtype)
+        cout_pad = state.out_cache.shape[-1]
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0),
+                         (0, cout_pad - w.shape[3])))
+        bp = None if b is None else jnp.pad(b, (0, cout_pad - b.shape[0]))
+        y = _net.dense_conv(storage.reshape(H, W, xc), wp, bp, spec,
+                            compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
                         (0, g.out_w_pad - g.out_w), (0, 0)))
         out_cache = y.astype(state.out_cache.dtype)
@@ -561,18 +569,21 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
     cout = spec.features
     compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-    if cfg.backend == "dense_cached_planar":
-        # accept the whole frame into the planar cache, full planar conv —
-        # pytree structure matches the apply branch above
+    if cfg.backend == "dense_cached_flat":
+        # accept the whole frame into the flat cache, full conv (padded
+        # weights) — pytree structure matches the apply branch above
         w, b = params
         xarr, H, W, xc = _unwrap(x)
         xarr = xarr[:H, :W, :xc]
         g = _geometry(spec, (H, W, xc), cfg)
-        storage = jnp.transpose(xarr, (2, 0, 1)).reshape(xc * H, W) \
-            .astype(state.in_cache.dtype)
+        storage = xarr.reshape(H, W * xc).astype(state.in_cache.dtype)
         from . import network as _net
-        y = _net.dense_conv_planar(storage.reshape(xc, H, W), w, b, spec,
-                                   compute_dtype)
+        cout_pad = state.out_cache.shape[-1]
+        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0),
+                         (0, cout_pad - w.shape[3])))
+        bp = None if b is None else jnp.pad(b, (0, cout_pad - b.shape[0]))
+        y = _net.dense_conv(storage.reshape(H, W, xc), wp, bp, spec,
+                            compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
                         (0, g.out_w_pad - g.out_w), (0, 0)))
         out_cache = y.astype(state.out_cache.dtype)

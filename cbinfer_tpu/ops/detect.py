@@ -59,6 +59,8 @@ def detect_and_update_planar(xp: jnp.ndarray, in_cache: jnp.ndarray,
     fully fused. (A Pallas twin exists in ops/pallas/stem_detect but
     measured SLOWER than this XLA form on r3 hardware — 1.6 ms vs ~0.1 ms
     at 720p — and cost a 270 s Mosaic compile; XLA wins this one.)
+    NOTE: the HWC->planar transpose this form needs measured ~0.56
+    ms/frame at 720p (xprof r3) — detect_and_update_flat avoids it.
 
     Returns (new_cache (C*H, W), changed (H, W) bool)."""
     C = xp.shape[0] // H
@@ -70,6 +72,32 @@ def detect_and_update_planar(xp: jnp.ndarray, in_cache: jnp.ndarray,
     changed = diff > jnp.float32(tau)
     new = jnp.where(changed[None], x3.astype(in_cache.dtype), c3)
     return new.reshape(C * H, W), changed
+
+
+def detect_and_update_flat(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
+                           C: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """detect_and_update on the FLAT (H, W*C) view of an HWC buffer.
+
+    The flat view is the SAME memory as (H, W, C) row-major — reshaping
+    is free in both directions, so this form needs NO transpose (the
+    planar form's per-frame HWC->(C,H,W) transpose measured ~0.56 ms at
+    720p, xprof r3). Every op runs on rank-2 arrays whose lane dim W*C is
+    a 128-multiple at real resolutions: elementwise |x - cache|, a
+    (1, C)-window reduce_window for the per-pixel channel max, and a
+    lane-repeat expand for the write-back — layouts XLA handles at
+    roofline, unlike the rank-3 C=3 forms.
+
+    Args: x, in_cache: (H, W*C) flat views; C: channels per pixel.
+
+    Returns (new_cache (H, W*C), changed (H, W) bool)."""
+    diff = jnp.abs(x.astype(jnp.float32) - in_cache.astype(jnp.float32))
+    pixdiff = lax.reduce_window(
+        diff, -jnp.inf, lax.max, window_dimensions=(1, C),
+        window_strides=(1, C), padding="VALID")          # (H, W)
+    changed = pixdiff > jnp.float32(tau)
+    expand = jnp.repeat(changed, C, axis=1)              # (H, W*C)
+    new = jnp.where(expand, x.astype(in_cache.dtype), in_cache)
+    return new, changed
 
 
 def changed_tile_mask(changed: jnp.ndarray, g: TileGeometry) -> jnp.ndarray:
