@@ -197,16 +197,17 @@ def flagship_layers(specs: Sequence,
       from the accepted cache, emitting the dirty-hint chain. No Pallas
       delta kernel can serve small-lane HWC inputs on this hardware (Mosaic
       lane-pads small-lane buffers 43x and rejects their DMA slicing), and
-      a hint-less stem poisons every downstream detect. On the pallas
-      backend with 8-aligned frames this upgrades to
-      ``dense_cached_flat``: detect runs on the FLAT (H, W*C) cache view
-      (free reshape of HWC, no transpose) with clean rank-2 layouts, and
-      the stem conv writes its output lane-padded so the consumer's
-      pad_lanes is a no-op (detect.detect_and_update_flat; measured r3:
-      the HWC C=3 forms cost ~1.7 ms/frame of pad/transpose/layout
-      traffic at 720p). The override is gated on the actual stem
-      cin when ``in_shape`` is given (a wide imported-feature input keeps
-      the sparse stem path; ADVICE r2); without ``in_shape`` the
+      a hint-less stem poisons every downstream detect. On a pallas
+      PIPELINE the stem writes its output LANE-padded via padded weights
+      so the consumer's pad_lanes is a no-op (a 0.70 ms/frame pad at 720p,
+      xprof r3; layers.cb_layer_init). In-scan probes (r3) pinned the
+      stem formulation: HWC detect 0.06 ms + im2col conv ~1.1 ms beats
+      every planar/flat/strided-conv alternative (flat-view reshape
+      7.9 ms, planar transpose +0.56 ms, NCHW strided flat conv 3.4 ms,
+      hand Pallas 1.6 ms) — ``dense_cached_flat`` remains available as a
+      documented negative result. The override is gated on the actual
+      stem cin when ``in_shape`` is given (a wide imported-feature input
+      keeps the sparse stem path; ADVICE r2); without ``in_shape`` the
       historical cin=3 assumption applies.
     * the trailing 1x1 classifier runs plain dense: nothing downstream
       consumes its hint, and CB bookkeeping (detect + compact + scatter)
@@ -214,14 +215,9 @@ def flagship_layers(specs: Sequence,
       classifier saved ~0.1 ms/frame at 720p).
     """
     from .layers import LANE
+    del cfg  # the stem policy is backend-independent (see docstring)
     small_stem = in_shape is None or in_shape[2] < LANE
-    stem_kind = "dense_cached"
-    if (cfg is not None and cfg.backend == "pallas" and in_shape is not None
-            and in_shape[0] % 8 == 0 and in_shape[1] % 8 == 0
-            and isinstance(specs[0], ConvSpec)
-            and specs[0].stride == (1, 1) and specs[0].dilation == (1, 1)):
-        stem_kind = "dense_cached_flat"
-    overrides = ({0: stem_kind}
+    overrides = ({0: "dense_cached"}
                  if isinstance(specs[0], ConvSpec) and small_stem else {})
     dense = []
     i = len(specs) - 1

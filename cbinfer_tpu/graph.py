@@ -281,12 +281,7 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
         spec = n.spec
         if isinstance(spec, ConvSpec) and "input" in n.inputs \
                 and row.in_shape[2] < LANE:
-            kind = "dense_cached"
-            if (cfg.backend == "pallas" and row.in_shape[0] % 8 == 0
-                    and row.in_shape[1] % 8 == 0 and spec.stride == (1, 1)
-                    and spec.dilation == (1, 1)):
-                kind = "dense_cached_flat"  # flat-layout stem detect
-            spec = dataclasses.replace(spec, backend=kind)
+            spec = dataclasses.replace(spec, backend="dense_cached")
         elif isinstance(spec, ConvSpec) and spec.kernel == (1, 1) \
                 and not any(cb_capable[j] for j in view.descendants(i)):
             spec = dataclasses.replace(spec, use_cb=False)

@@ -140,9 +140,22 @@ def pad_lanes(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
 def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
                   ) -> CBLayerState:
     """Allocate per-layer caches (HBM-resident across frames)."""
+    pipe_cfg = cfg  # the PIPELINE config (before the per-layer override)
     cfg = _layer_cfg(spec, cfg)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
+    if cfg.backend == "dense_cached" and isinstance(spec, ConvSpec):
+        # dense_cached stems on a pallas PIPELINE write their out cache
+        # LANE-padded (via padded weights, cb_conv_apply) so the
+        # consumer's pad_lanes is a no-op — the per-frame pad of an
+        # unpadded 64-ch stem output measured 0.70 ms at 720p (xprof r3)
+        H, W, C = in_shape
+        g = _geometry(spec, in_shape, cfg)
+        return CBLayerState(
+            in_cache=make_storage(g, detect.COLD_START_FILL, 0.0, dtype),
+            out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad,
+                                 lane_pad(cout, pipe_cfg)), dtype=dtype),
+        )
     if cfg.backend == "dense_cached_flat":
         # FLAT (H, W*C) stem cache — same memory as HWC, clean rank-2
         # layouts for detect (detect.detect_and_update_flat doc). No
@@ -427,7 +440,16 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         # XLA-native conv on the interior: the k^2 shifted-matmul form is
         # right for tiles but materializes the full fp32 accumulator k^2
         # times on a full map (~GBs of traffic); lax.conv fuses it.
+        # Weights are padded to the out cache's LANE-padded width so the
+        # conv writes padded channels directly (zero pad lanes: zero
+        # weights + zero bias) and the consumer's pad_lanes is a no-op.
         from . import network as _net
+        cout_pad = state.out_cache.shape[-1]
+        if w.shape[3] < cout_pad:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, 0),
+                            (0, cout_pad - w.shape[3])))
+            if b is not None:
+                b = jnp.pad(b, (0, cout_pad - b.shape[0]))
         interior = storage_interior(storage, g).astype(compute_dtype)
         y = _net.dense_conv(interior, w, b, spec, compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
@@ -592,6 +614,13 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
             _full_stats(g), _full_hint(g)
 
     x, w, b, g = _conv_prep(params, x, spec, cfg, crop=True)
+    # match the out cache's stored lane width (dense_cached stems write
+    # lane-padded output via padded weights; cb_layer_init doc)
+    cout_pad = state.out_cache.shape[-1]
+    if w.shape[3] < cout_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad - w.shape[3])))
+        if b is not None:
+            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
 
     # Rebuild the padded storage from scratch (margins are CONSTANT zeros
     # by make_storage's contract) instead of dynamic-update-slicing the
