@@ -47,8 +47,16 @@ def miou_labels(pred_logits: np.ndarray, labels: np.ndarray,
     rounding (measured: tau=0 CB-vs-dense agreement ~0.991 with
     single-frame dips to 0.79 while both outputs are equally accurate),
     so implementation fp noise dominates the budget. Ground truth is free
-    on synthetic video (video.SpriteVideo.label)."""
-    pred = np.argmax(pred_logits, axis=-1).reshape(-1)
+    on synthetic video (video.SpriteVideo.label).
+
+    ``pred_logits`` may also be an ALREADY-ARGMAXED class-id map of the
+    same rank as ``labels`` (the full-resolution argmax-then-upsample
+    eval path, scripts/eval_headline.py)."""
+    pred_logits = np.asarray(pred_logits)
+    if pred_logits.ndim == np.asarray(labels).ndim:
+        pred = pred_logits.reshape(-1)
+    else:
+        pred = np.argmax(pred_logits, axis=-1).reshape(-1)
     ref = np.asarray(labels).reshape(-1)
     ious = []
     for c in range(num_classes):
