@@ -33,7 +33,7 @@ def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
                        num_classes: int, steps: int = 300,
                        batch: int = 4, lr: float = 3e-3, seed: int = 0,
                        n_videos: int = 8, input_noise: float = 0.0,
-                       verbose: bool = False):
+                       palette: str = "default", verbose: bool = False):
     """Train a spec-chain CNN to segment sprites on synthetic video.
 
     Returns (params, final_accuracy). The output stride is inferred from the
@@ -56,7 +56,7 @@ def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
     videos = [SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=3 + int(rng.integers(0, 3)),
         sprite_size=max(8, H // 10), speed=3.0, noise_std=0.002,
-        seed=seed * 100 + i)) for i in range(n_videos)]
+        palette=palette, seed=seed * 100 + i)) for i in range(n_videos)]
     data = [v.clip_with_labels(8) for v in videos]
     frames = np.concatenate([d[0] for d in data])       # (N, H, W, 3)
     labels = np.concatenate([d[1] for d in data])       # (N, H, W)

@@ -39,10 +39,12 @@ from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
 NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
        "seg": "/root/repo/ckpts/seg_w64.npz",
-       "pose": "/root/repo/ckpts/pose_w64.npz"}
+       "pose": "/root/repo/ckpts/pose_w64.npz",
+       "scene_hard": "/root/repo/ckpts/scene_w128_hard.npz"}
 TAU_JSON = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
             "seg": "/root/repo/ckpts/seg_w64_tau.json",
-            "pose": "/root/repo/ckpts/pose_w64_tau.json"}
+            "pose": "/root/repo/ckpts/pose_w64_tau.json",
+            "scene_hard": "/root/repo/ckpts/scene_w128_hard_tau.json"}
 
 
 def sync(v):
@@ -52,8 +54,12 @@ def sync(v):
 def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
                 classes=8, width=128, chunks=2, cache_dtype=None):
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    specs = get_model(name, num_classes=classes, width=width) \
-        if name != "pose" else get_model(name, width=width)
+    # "<model>_hard" = same architecture, low-contrast video palette
+    # (video.CLASS_PALETTE_HARD) and its own trained ckpt/taus
+    palette = "hard" if name.endswith("_hard") else "default"
+    base = name[:-5] if name.endswith("_hard") else name
+    specs = get_model(base, num_classes=classes, width=width) \
+        if base != "pose" else get_model(base, width=width)
     # Benchmark at the pre-upsample grid (see scripts/tune_model.py): a
     # trailing nearest upsample is argmax-transparent and its full-res
     # logits stack is lane-padded 16x by XLA (OOM at 720p x 96 frames).
@@ -94,7 +100,8 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     run_seed = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, distinct_classes=(metric == "pck"), seed=run_seed))
+        noise_std=0.002, distinct_classes=(metric == "pck"),
+        palette=palette, seed=run_seed))
     warm_clip = jnp.asarray(video.clip(T))  # warm-up only (memoization)
     clips, labels = [], []
     for _ in range(chunks):
@@ -267,6 +274,8 @@ def main():
     if which == "scene_f32cache":
         results["rows"].append(bench_model("scene", tau=0.02,
                                            cache_dtype="float32"))
+    if which in ("scene_hard", "all"):
+        results["rows"].append(bench_model("scene_hard", tau=None))
     if which in ("seg", "all"):
         results["rows"].append(bench_model("seg", tau=None, classes=8,
                                            width=64))

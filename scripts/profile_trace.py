@@ -59,10 +59,18 @@ def collect_trace_events(logdir):
                        recursive=True):
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
+        # pid -> process name from metadata events, so host python/TSL
+        # lanes (np.asarray, stop_trace, ...) never pollute device totals
+        pname = {}
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "M" and e.get("name") == "process_name":
+                pname[e.get("pid")] = e.get("args", {}).get("name", "")
+        dev_pids = {pid for pid, nm in pname.items()
+                    if "TPU" in nm or "device" in nm.lower()}
         for e in data.get("traceEvents", []):
             if e.get("ph") == "X" and "dur" in e:
-                # keep only device lanes (TPU core tracks); host python
-                # lanes carry pid names like "python"/"TSL"
+                if dev_pids and e.get("pid") not in dev_pids:
+                    continue
                 evs.append((e.get("name", ""), float(e["dur"]),
                             e.get("pid"), e.get("tid")))
     return evs
@@ -80,7 +88,7 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "scene"
     width = int(sys.argv[2]) if len(sys.argv) > 2 else (
         128 if name == "scene" else 64)
-    H, W, T = (360, 640, 24) if name == "pose" else (720, 1280, 24)
+    H, W, T = (720, 1280, 12) if name == "pose" else (720, 1280, 24)
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     specs = (get_model(name, width=width) if name == "pose"
              else get_model(name, num_classes=8, width=width))

@@ -1,5 +1,12 @@
-"""Train scene CNN on synthetic sprites (TPU), save ckpt, eval CB accuracy."""
-import functools, json, time, numpy as np, jax, jax.numpy as jnp
+"""Train scene CNN on synthetic sprites (TPU), save ckpt, eval CB accuracy.
+
+``python scripts/train_scene.py hard`` trains the HARD-palette variant
+(video.CLASS_PALETTE_HARD: low-contrast class colors + larger jitter) to
+ckpts/scene_w128_hard.npz — the calibration task that makes tuned taus
+non-trivial (saturated-grid uniform taus on the default palette are a
+sign the margins are too wide to stress per-layer selection; VERDICT r2).
+"""
+import functools, json, sys, time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from cbinfer_tpu.config import PipelineConfig, TileConfig
 from cbinfer_tpu.convert import convert, num_cb_layers
@@ -11,6 +18,8 @@ from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 from cbinfer_tpu import checkpoint
 
 NUM_CLASSES, WIDTH = 8, 128
+PALETTE = "hard" if len(sys.argv) > 1 and sys.argv[1] == "hard" else "default"
+SUFFIX = "_hard" if PALETTE == "hard" else ""
 Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
 specs = get_model("scene", num_classes=NUM_CLASSES, width=WIDTH)
 t0 = time.time()
@@ -21,11 +30,13 @@ t0 = time.time()
 # 16 videos cover all 7 palette classes (3-5 sprites each, random class
 # draws); 600 steps converge comfortably on the palette task
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=600, batch=4, n_videos=16,
+                                 steps=600 if PALETTE == "default" else 1200,
+                                 batch=4, n_videos=16, palette=PALETTE,
                                  verbose=True)
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
-checkpoint.save("/root/repo/ckpts/scene_w128", params,
-                extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})
+checkpoint.save(f"/root/repo/ckpts/scene_w128{SUFFIX}", params,
+                extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH,
+                       "palette": PALETTE})
 # flat npz for fast dependency-free loading (bench.py)
 flat = {}
 for i, pr in enumerate(params):
@@ -33,7 +44,7 @@ for i, pr in enumerate(params):
         flat[f"w{i}"] = np.asarray(pr[0])
         if pr[1] is not None:
             flat[f"b{i}"] = np.asarray(pr[1])
-np.savez("/root/repo/ckpts/scene_w128.npz", **flat)
+np.savez(f"/root/repo/ckpts/scene_w128{SUFFIX}.npz", **flat)
 
 # eval CB-vs-dense at 720p with trained weights
 H, W, T = 720, 1280, 24
@@ -43,7 +54,8 @@ from cbinfer_tpu.convert import convert_flagship
 net = convert_flagship(specs, (H, W, 3), cfg)
 video = SpriteVideo(SpriteVideoConfig(height=H, width=W, n_sprites=4,
                                       sprite_size=72, speed=4.0,
-                                      noise_std=0.002, seed=123))
+                                      noise_std=0.002, palette=PALETTE,
+                                      seed=123))
 clips = [jnp.asarray(video.clip(T)) for _ in range(2)]
 for c in clips: _ = float(jnp.sum(c))
 for tau in (0.02, 0.05, 0.1):

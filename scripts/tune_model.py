@@ -37,6 +37,11 @@ MODELS = {
     # the faithful concat-DAG topology (graph.CBGraphNet)
     "pose_graph": (64, "/root/repo/ckpts/pose_graph_w64.npz",
                    "/root/repo/ckpts/pose_graph_w64_tau.json"),
+    # scene trained on the LOW-CONTRAST palette (video.CLASS_PALETTE_HARD):
+    # the calibration task whose margins are narrow enough that the tuned
+    # tau vector is non-trivial (below grid saturation, non-uniform)
+    "scene_hard": (128, "/root/repo/ckpts/scene_w128_hard.npz",
+                   "/root/repo/ckpts/scene_w128_hard_tau.json"),
 }
 
 
@@ -85,8 +90,9 @@ def main():
         stride = H // oh
         specs = None
     else:
-        specs = (get_model(name, width=width) if name == "pose"
-                 else get_model(name, num_classes=NUM_CLASSES, width=width))
+        base = name[:-5] if name.endswith("_hard") else name
+        specs = (get_model(base, width=width) if base == "pose"
+                 else get_model(base, num_classes=NUM_CLASSES, width=width))
         # Calibrate at the PRE-upsample grid: a trailing nearest-neighbor
         # upsample is argmax-transparent (the stride-s class map determines
         # the upsampled one) and has no threshold, but its full-res
@@ -121,7 +127,9 @@ def main():
     else:
         pairs = [SpriteVideo(SpriteVideoConfig(
             height=H, width=W, n_sprites=4, sprite_size=max(24, H // 15),
-            speed=4.0, noise_std=0.002, seed=s)).clip_with_labels(T)
+            speed=4.0, noise_std=0.002,
+            palette="hard" if name.endswith("_hard") else "default",
+            seed=s)).clip_with_labels(T)
             for s in (7, 11)]
         calib = jnp.stack([jnp.asarray(f) for f, _ in pairs])
         labels = jnp.stack([jnp.asarray(l[:, ::stride, ::stride])
