@@ -255,7 +255,7 @@ def _accept_hinted(x: jnp.ndarray, in_cache: jnp.ndarray,
 
 def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
                      g: TileGeometry, cfg: PipelineConfig,
-                     hint: Optional[DirtyHint]):
+                     hint: Optional[DirtyHint], margin_fill=0.0):
     """C1+C2: returns (new_in_cache, changed_out_tile_mask bool,
     changed_pixels, detect_tiles).
 
@@ -299,7 +299,15 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
         changed = jnp.logical_and(changed, pix_hint)
         new_interior = jnp.where(changed[..., None],
                                  x.astype(interior.dtype), interior)
-    new_storage = storage_update_interior(in_cache, new_interior, g)
+    # fresh constant-margin pad, NOT storage_update_interior: a
+    # full-interior dynamic-update-slice into the donated scan carry
+    # measured 134 us/frame for the 5.6 MB stem cache (xprof r3) vs
+    # memory-speed for the pad — same DUS-in-carry pathology the refresh
+    # path documents (margins are CONSTANT by make_storage's contract)
+    new_storage = jnp.pad(
+        new_interior, ((g.store_lo_h, g.store_hi_h),
+                       (g.store_lo_w, g.store_hi_w), (0, 0)),
+        constant_values=margin_fill).astype(in_cache.dtype)
     n_detect = (jnp.sum(hint.mask, dtype=jnp.int32) if hint is not None
                 else jnp.asarray(cdiv(H, HINT_TILE) * cdiv(W, HINT_TILE),
                                  jnp.int32))
@@ -335,7 +343,8 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
         if tau is None:
             tau = spec.threshold
         in_cache, mask, n_pix, n_detect = _detect_and_mask(
-            x, state.in_cache, tau, g, cfg, hint)
+            x, state.in_cache, tau, g, cfg, hint,
+            margin_fill=NEG_FILL if isinstance(spec, PoolSpec) else 0.0)
     # Pallas: capacity is free — the kernel loop is bounded by the dynamic
     # count, so a full-size index buffer costs only SMEM bytes, and the
     # overflow cond (whose branch boundaries force whole-cache copies)

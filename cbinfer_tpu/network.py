@@ -80,6 +80,12 @@ def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     compute_dtype = jnp.dtype(compute_dtype)
     kh, kw = spec.kernel
     cin = w.shape[2]
+    # NOTE (r3 in-pipeline probe): zero-padding cin 3->8 and using the
+    # native lax.conv measured 206 fps vs 722 for this im2col at the
+    # 720p scene bench (and slowed the DENSE path 275->236) — the conv's
+    # layout choice inside the scan is pathological regardless of cin
+    # padding. A standalone scan probe said the opposite (2.6 vs 6.3
+    # ms/frame); only in-pipeline numbers count for layout questions.
     if (cin * kh * kw <= 64 and spec.stride == (1, 1)
             and spec.dilation == (1, 1) and spec.padding == "SAME"):
         H, W, _ = x.shape

@@ -30,9 +30,22 @@ def compact_mask(mask: jnp.ndarray, capacity: int) -> Compacted:
     """
     n_tiles = mask.size
     flat = mask.reshape(-1)
-    count = jnp.sum(flat, dtype=jnp.int32)
-    # position of each changed tile in the compacted buffer
-    pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
+    if mask.ndim == 2:
+        # 2D masks (the tile grids every layer passes): per-row lane-dim
+        # cumsum + a tiny row-offset cumsum instead of one long 1D cumsum —
+        # identical row-major positions, 8x faster on TPU (measured r3:
+        # 0.32 vs 2.64 us/op on a (90,160) mask; the 1D T(1024) cumsum
+        # chain is latency-bound)
+        m = mask.astype(jnp.int32)
+        row = jnp.cumsum(m, axis=1)
+        tot = row[:, -1]
+        offs = jnp.cumsum(tot) - tot
+        pos = (row - 1 + offs[:, None]).reshape(-1)
+        count = jnp.sum(tot, dtype=jnp.int32)
+    else:
+        count = jnp.sum(flat, dtype=jnp.int32)
+        # position of each changed tile in the compacted buffer
+        pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
     # scatter tile ids to their positions; unchanged tiles target `capacity`
     # (dropped), positions >= capacity (overflow) are dropped too.
     target = jnp.where(flat, pos, capacity)
