@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -30,25 +31,16 @@ def compact_mask(mask: jnp.ndarray, capacity: int) -> Compacted:
     """
     n_tiles = mask.size
     flat = mask.reshape(-1)
-    if mask.ndim == 2:
-        # 2D masks (the tile grids every layer passes): per-row lane-dim
-        # cumsum + a tiny row-offset cumsum instead of one long 1D cumsum —
-        # identical row-major positions, 8x faster on TPU (measured r3:
-        # 0.32 vs 2.64 us/op on a (90,160) mask; the 1D T(1024) cumsum
-        # chain is latency-bound)
-        m = mask.astype(jnp.int32)
-        row = jnp.cumsum(m, axis=1)
-        tot = row[:, -1]
-        offs = jnp.cumsum(tot) - tot
-        pos = (row - 1 + offs[:, None]).reshape(-1)
-        count = jnp.sum(tot, dtype=jnp.int32)
-    else:
-        count = jnp.sum(flat, dtype=jnp.int32)
-        # position of each changed tile in the compacted buffer
-        pos = jnp.cumsum(flat, dtype=jnp.int32) - 1
-    # scatter tile ids to their positions; unchanged tiles target `capacity`
-    # (dropped), positions >= capacity (overflow) are dropped too.
-    target = jnp.where(flat, pos, capacity)
-    idx = jnp.full((capacity,), n_tiles, dtype=jnp.int32)
-    idx = idx.at[target].set(jnp.arange(n_tiles, dtype=jnp.int32), mode="drop")
+    count = jnp.sum(flat, dtype=jnp.int32)
+    # SORT, not cumsum+scatter: changed tiles keep their ids as sort keys,
+    # unchanged tiles get a beyond-range key, and an ascending lax.sort
+    # packs the changed ids to the front in the same row-major order the
+    # prefix-sum produced. TPU's vectorized sort runs this in 2.5 us on a
+    # 14400-tile grid where the scatter lowering serializes at ~6 ns per
+    # element (86 us/op, reproduced in-pipeline by xprof r3 — the scatter
+    # fusions were the single largest glue cost of deep nets).
+    big = jnp.int32(1) << 30  # > any n_tiles, < int32 max
+    key = jnp.where(flat, jnp.arange(n_tiles, dtype=jnp.int32), big)
+    srt = jax.lax.sort(key)[:capacity]
+    idx = jnp.where(srt < big, srt, n_tiles)
     return Compacted(idx=idx, count=count, overflow=count > capacity)
