@@ -8,20 +8,23 @@ traffic crosses ICI during a frame. This is the TPU-native replacement for
 running N copies of the single-GPU reference — one XLA program, N streams,
 K chips.
 
-Within each device, local streams run SEQUENTIALLY via ``lax.map``
-(shard_map over the mesh, lax.map over the local shard) rather than vmap:
-the CB kernels' count-bounded serial tile loops do not batch under vmap —
-a 4-stream vmap on one chip measured 0.35x the throughput of running the
-streams back-to-back (r2 negative result; VERDICT r2 #5) — while lax.map
-executes each stream's kernels exactly as the single-stream path does, so
-per-device throughput matches sequential by construction and cross-device
-scaling is linear (no collectives).
+Streams beyond the device count run as SEQUENTIAL WAVES of one-stream-
+per-device dispatches, never stacked into one program: the CB kernels'
+count-bounded tile loops do not batch under vmap (r2: 0.35x of
+back-to-back on one chip), and a lax.map over stacked local streams hits
+the same cliff from the other side (r3: 0.37x — the (S_local, ...)
+stacked scan carry re-slices and re-writes every full cache per step).
+One stream per device per dispatch keeps every kernel invocation in its
+single-stream steady state, so per-chip throughput matches sequential BY
+CONSTRUCTION and cross-device scaling is linear (no collectives).
 
 Tested on a virtual 8-device CPU mesh (tests/conftest.py); the driver's
 dryrun_multichip exercises the same path.
 """
 
 from __future__ import annotations
+
+import functools
 
 from typing import List, Optional
 
@@ -60,23 +63,51 @@ class MultiStreamRunner:
         self.net = net
         self.n_streams = n_streams
         self.mesh = mesh or make_stream_mesh()
-        if n_streams % self.mesh.devices.size:
+        D = self.mesh.devices.size
+        if n_streams % D:
             raise ValueError(
-                f"n_streams={n_streams} must divide over "
-                f"{self.mesh.devices.size} devices")
+                f"n_streams={n_streams} must divide over {D} devices")
+        # WAVES: at most ONE stream resident per device per dispatch.
+        # Streams beyond the device count run as additional sequential
+        # dispatches (waves), NOT stacked into one program: both stacking
+        # forms measured ~0.35x of back-to-back on one chip (r2: vmap —
+        # the count-bounded kernels do not batch; r3: lax.map — the
+        # stacked (S_local, ...) scan carry re-slices/DUSes every full
+        # cache per step). One stream per device per dispatch keeps each
+        # kernel invocation in the single-stream steady state, so per-chip
+        # throughput matches sequential BY CONSTRUCTION and cross-chip
+        # scaling stays linear (zero intra-frame collectives).
+        self.n_waves = n_streams // D
+        self._D = D
+
+        if D == 1:
+            # Single-device: bypass shard_map entirely — one PLAIN jitted
+            # single-stream program per dispatch (the exact sequential
+            # fast path; per-stream donated states). Besides being
+            # sequential-equivalent by construction, this sidesteps an
+            # intermittent INVALID_ARGUMENT the axon-tunneled TPU runtime
+            # raises for mesh-compiled executables (r3; the same program
+            # ran clean on some attempts — environmental, not semantic).
+            from ..runner import scan_video
+            self.params = params
+            self.states = [net.init_state() for _ in range(n_streams)]
+            self._plain_step = jax.jit(
+                lambda p, st, f: net.apply(p, st, f), donate_argnums=(1,))
+            self._plain_scan = jax.jit(
+                lambda p, st, c: scan_video(net, p, c, state=st),
+                donate_argnums=(1,))
+            return
 
         replicated = NamedSharding(self.mesh, P())
         self._sharded = NamedSharding(self.mesh, P("stream"))
         self.params = jax.device_put(params, replicated)
 
         state1 = net.init_state()
-        state = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape), state1)
-        self.state = jax.device_put(state, self._sharded)
+        wave_state = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (D,) + a.shape), state1)
+        self.states = [jax.device_put(wave_state, self._sharded)
+                       for _ in range(self.n_waves)]
 
-        # Per-device execution: lax.map over the LOCAL streams (sequential
-        # kernel invocations, single-stream-identical) inside a shard_map
-        # over the mesh — NOT vmap (module doc: 0.35x cliff).
         def streams_step(params, state, frames):
             return lax.map(lambda a: net.apply(params, a[0], a[1]),
                            (state, frames))
@@ -94,8 +125,8 @@ class MultiStreamRunner:
         )
 
         def scan_clips(params, state, clips):
-            # clips: (S_local, T, ...) -> time-major scan of stream-mapped
-            # steps (runs inside shard_map on each device's shard)
+            # clips: (S_local=1, T, ...) -> time-major scan of stream-
+            # mapped steps (runs inside shard_map on each device's shard)
             def body(carry, xt):
                 y, new_carry, stats = lax.map(
                     lambda a: net.apply(params, a[0], a[1]), (carry, xt))
@@ -120,20 +151,71 @@ class MultiStreamRunner:
         )
 
     def reset(self):
+        if self._D == 1:
+            self.states = [self.net.init_state()
+                           for _ in range(self.n_streams)]
+            return
         state1 = self.net.init_state()
-        state = jax.tree.map(
-            lambda a: jnp.broadcast_to(a, (self.n_streams,) + a.shape),
-            state1)
-        self.state = jax.device_put(state, self._sharded)
+        wave_state = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (self._D,) + a.shape), state1)
+        self.states = [jax.device_put(wave_state, self._sharded)
+                       for _ in range(self.n_waves)]
 
     def step(self, frames: jnp.ndarray):
         """One frame per stream: (S, H, W, C) -> ((S, ...), stats)."""
-        frames = jax.device_put(jnp.asarray(frames), self._sharded)
-        y, self.state, stats = self._step(self.params, self.state, frames)
-        return y, stats
+        frames = jnp.asarray(frames)
+        if self._D == 1:
+            outs = []
+            for s_ in range(self.n_streams):
+                y, self.states[s_], st = self._plain_step(
+                    self.params, self.states[s_], frames[s_])
+                outs.append((y, st))
+            y = jnp.stack([o[0] for o in outs])
+            st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[o[1] for o in outs])
+            return y, st
+        ys, stats = [], []
+        for w in range(self.n_waves):
+            fw = jax.device_put(frames[w * self._D:(w + 1) * self._D],
+                                self._sharded)
+            y, self.states[w], st = self._step(self.params, self.states[w],
+                                               fw)
+            ys.append(y)
+            stats.append(st)
+        return self._gather_waves(ys, stats, axis=0)
 
     def run_clip(self, clips: jnp.ndarray):
         """(S, T, H, W, C) -> ((S, T, ...), stats with (T, S) leaves)."""
-        clips = jax.device_put(jnp.asarray(clips), self._sharded)
-        ys, self.state, stats = self._scan(self.params, self.state, clips)
-        return ys, stats
+        clips = jnp.asarray(clips)
+        if self._D == 1:
+            outs = []
+            for s_ in range(self.n_streams):
+                ys, self.states[s_], st = self._plain_scan(
+                    self.params, self.states[s_], clips[s_])
+                outs.append((ys, st))
+            y = jnp.stack([o[0] for o in outs])
+            st = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                              *[o[1] for o in outs])
+            return y, st
+        ys, stats = [], []
+        for w in range(self.n_waves):
+            cw = jax.device_put(clips[w * self._D:(w + 1) * self._D],
+                                self._sharded)
+            y, self.states[w], st = self._scan(self.params, self.states[w],
+                                               cw)
+            ys.append(y)
+            stats.append(st)
+        return self._gather_waves(ys, stats, axis=1)
+
+    def _gather_waves(self, ys, stats, axis: int):
+        """Concatenate per-wave outputs (stream axis 0; scan stats carry
+        streams on axis 1). Jitted: an EAGER concatenate of the scan
+        programs' outputs fails TPU backend compilation with
+        INVALID_ARGUMENT (the while-loop outputs carry non-default
+        layouts the eager concat refuses); under jit XLA inserts the
+        layout normalization itself."""
+        if self.n_waves == 1:
+            return ys[0], stats[0]
+        cat = jax.jit(functools.partial(jnp.concatenate, axis=0))
+        cat_s = jax.jit(functools.partial(jnp.concatenate, axis=axis))
+        return cat(ys), jax.tree.map(lambda *xs: cat_s(xs), *stats)

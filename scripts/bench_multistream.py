@@ -1,11 +1,12 @@
 """Multi-stream throughput on one chip (SURVEY.md C14 / configs[4]).
 
-Measures whether batching S independent camera streams through ONE jitted
-program (MultiStreamRunner: scan of vmapped steps) beats running the same
-S clips sequentially through the single-stream scan — frames/sec/chip is
-the unit either way. Batching helps when per-layer kernels are launch- or
-overhead-bound at small shapes (vmap amortizes them); it can hurt when a
-single stream already saturates HBM bandwidth.
+Measures MultiStreamRunner (sequential one-stream-per-device WAVES, see
+parallel/streams.py) against running the same S clips back-to-back
+through the single-stream scan — frames/sec/chip is the unit either way.
+On one chip the runner IS sequential per construction, so the ratio
+should be ~1.0 minus per-wave dispatch overhead; the stacked-program
+forms it replaced measured 0.35x (vmap, r2) and 0.37x (lax.map over a
+stacked carry, r3).
 
 Writes a "multistream" row into RESULTS.json. Honest-methodology rules
 from cbinfer_tpu/benchmark.py apply (distinct chunks, scalar-fetch sync,
@@ -79,6 +80,8 @@ def main(argv=None):
     for c in chunks + [warm]:
         scalar_sync(c)
     sync_overhead = measure_sync_overhead()
+    print(f"data staged ({S} streams x {args.chunks + 1} chunks), "
+          f"sync_overhead={sync_overhead * 1e3:.1f} ms", flush=True)
 
     # --- sequential baseline: same frames, one stream at a time ---
     cb = jax.jit(lambda p, fs, st: scan_video(net, p, fs, state=st,
@@ -88,6 +91,7 @@ def main(argv=None):
     for s in range(S):  # warm pass = compile + cold start per stream
         ys, states[s] = cb(params, warm[s], net.init_state())
     scalar_sync(ys)
+    print("sequential baseline warm", flush=True)
     t0 = time.perf_counter()
     for ch in chunks:
         for s in range(S):
@@ -97,9 +101,11 @@ def main(argv=None):
                / max(1e-9, time.perf_counter() - t0 - sync_overhead))
 
     # --- batched: one program, S streams ---
+    print(f"sequential baseline: {seq_fps:.1f} fps", flush=True)
     runner = MultiStreamRunner(net, params, n_streams=S)
     ys, _ = runner.run_clip(warm)  # compile + cold start
     scalar_sync(ys)
+    print("runner warm", flush=True)
     t0 = time.perf_counter()
     for ch in chunks:
         ys, _ = runner.run_clip(ch)

@@ -104,3 +104,25 @@ def test_uneven_streams_rejected():
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_multistream_waves_match_single_stream():
+    """S > devices: streams run as sequential one-per-device WAVES; outputs
+    must equal per-stream single-stream scans (streams.py module doc)."""
+    specs = [ConvSpec(features=8, kernel=(3, 3), threshold=0.03)]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=8, tile_w=8), backend="jnp")
+    net = convert(specs, (16, 24, 3), cfg)
+    params = init_params(specs, (16, 24, 3), jax.random.PRNGKey(3))
+    clips = np.stack([
+        SpriteVideo(SpriteVideoConfig(height=16, width=24, seed=300 + s,
+                                      n_sprites=1, sprite_size=5)).clip(3)
+        for s in range(4)])
+    runner = MultiStreamRunner(net, params, n_streams=4,
+                               mesh=make_stream_mesh(2))  # 2 waves of 2
+    assert runner.n_waves == 2
+    ys, stats = runner.run_clip(jnp.asarray(clips))
+    assert ys.shape[0] == 4
+    for s_ in range(4):
+        ys_ref, _, _ = scan_video(net, params, jnp.asarray(clips[s_]))
+        np.testing.assert_allclose(np.asarray(ys[s_]), np.asarray(ys_ref),
+                                   atol=1e-5, err_msg=f"stream {s_}")
