@@ -91,6 +91,31 @@ def _load_thresholds(n_cb):
         return [0.04] * n_cb, 32, "default"
 
 
+def _devices_or_die(timeout_s: int = 180):
+    """Backend init with a watchdog: the axon-tunneled runtime can hang
+    indefinitely at device enumeration when the tunnel is down (observed
+    r3 — jax.devices() blocked >5 min in every process). A bounded
+    failure with a clear message beats an indefinite driver hang."""
+    import threading
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # surfaced below
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    print("bench: FATAL —", out.get(
+        "error", f"backend init unresponsive after {timeout_s}s "
+        "(axon tunnel down?)"), file=sys.stderr)
+    os._exit(1)
+
+
 def main():
     from cbinfer_tpu.config import PipelineConfig, TileConfig
     from cbinfer_tpu.convert import convert_flagship, num_cb_layers
@@ -105,7 +130,7 @@ def main():
     # must be large vs the tunnel RTT jitter (~±15 ms on a ~30 ms RTT,
     # measured r3) or per-frame numbers swing ±20%
     NUM_CLASSES = 8
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    on_tpu = any(d.platform == "tpu" for d in _devices_or_die())
     backend = "pallas" if on_tpu else "jnp"
 
     # Per-sync overhead of this host<->device link (dispatch + scalar-fetch
