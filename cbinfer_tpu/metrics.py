@@ -234,8 +234,12 @@ def pck_gt_device(pred, packed_kps, stride: int, alpha: float = 0.05,
     v = pk[..., 2] > 0.5
     dist = jnp.sqrt((py - gt[..., 0]) ** 2 + (px - gt[..., 1]) ** 2)
     ok = (dist <= alpha * max(H, W)).astype(jnp.float32)
-    nv = jnp.maximum(jnp.sum(v), 1)
-    return jnp.sum(jnp.where(v, ok, 0.0)) / nv
+    nv = jnp.sum(v)
+    # no valid keypoint => vacuous 1.0, matching the host twin pck_gt
+    # (0/max(nv,1) would score 0.0 — a 100 pp twin divergence)
+    return jnp.where(nv > 0,
+                     jnp.sum(jnp.where(v, ok, 0.0)) / jnp.maximum(nv, 1),
+                     1.0)
 
 
 # --------------------------- compute accounting ------------------------------

@@ -120,39 +120,6 @@ def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     return y
 
 
-def dense_conv_planar(xp: jnp.ndarray, w: jnp.ndarray,
-                      b: Optional[jnp.ndarray], spec: ConvSpec,
-                      compute_dtype=jnp.float32) -> jnp.ndarray:
-    """Small-cin conv reading a channel-PLANAR (C, H, W) input directly.
-
-    The im2col twin of dense_conv's small-cin path for the planar stem
-    cache (ops/pallas/stem_detect): patches are built by slicing planes, so
-    the accepted cache never transposes back to HWC. Stride 1, dilation 1
-    only (stems). Returns (H, W, cout)."""
-    from .ops.geometry import conv_pads, pad_dim
-    assert spec.stride == (1, 1) and spec.dilation == (1, 1), spec
-    compute_dtype = jnp.dtype(compute_dtype)
-    C, H, W = xp.shape
-    kh, kw = spec.kernel
-    cout = w.shape[3]
-    plo_h, phi_h = conv_pads(H, kh, 1, 1, pad_dim(spec.padding, 0))
-    plo_w, phi_w = conv_pads(W, kw, 1, 1, pad_dim(spec.padding, 1))
-    x = jnp.pad(xp.astype(compute_dtype),
-                ((0, 0), (plo_h, phi_h), (plo_w, phi_w)))
-    # tap order (dy, dx, c) matches w.reshape(kh*kw*cin, cout)
-    cols = [lax.slice(x, (c, dy, dx), (c + 1, dy + H, dx + W))[0]
-            for dy in range(kh) for dx in range(kw) for c in range(C)]
-    patches = jnp.stack(cols, axis=-1).reshape(H * W, kh * kw * C)
-    y = jnp.dot(patches,
-                w.astype(compute_dtype).reshape(kh * kw * C, cout),
-                preferred_element_type=compute_dtype)
-    if b is not None:
-        y = y + b.astype(compute_dtype)
-    if spec.activation == "relu":
-        y = jnp.maximum(y, jnp.asarray(0.0, compute_dtype))
-    return y.reshape(H, W, cout)
-
-
 def dense_pool(x: jnp.ndarray, spec: PoolSpec) -> jnp.ndarray:
     return lax.reduce_window(
         x, -jnp.inf, lax.max,

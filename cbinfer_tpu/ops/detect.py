@@ -48,32 +48,6 @@ def detect_and_update(x: jnp.ndarray, in_cache: jnp.ndarray, tau: float
     return new_cache, changed
 
 
-def detect_and_update_planar(xp: jnp.ndarray, in_cache: jnp.ndarray,
-                             tau, H: int
-                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """detect_and_update on channel-PLANAR (C*H, W) buffers.
-
-    The (H, W, C=3) HWC form of the stem detect hits a pathological XLA
-    layout (the C=3 minor dim); on planar buffers every op is elementwise
-    over (C, H, W) with the W lane dim a 128-multiple — clean layouts,
-    fully fused. (A Pallas twin exists in ops/pallas/stem_detect but
-    measured SLOWER than this XLA form on r3 hardware — 1.6 ms vs ~0.1 ms
-    at 720p — and cost a 270 s Mosaic compile; XLA wins this one.)
-    NOTE: the HWC->planar transpose this form needs measured ~0.56
-    ms/frame at 720p (xprof r3) — detect_and_update_flat avoids it.
-
-    Returns (new_cache (C*H, W), changed (H, W) bool)."""
-    C = xp.shape[0] // H
-    W = xp.shape[1]
-    x3 = xp.reshape(C, H, W)
-    c3 = in_cache.reshape(C, H, W)
-    diff = jnp.max(jnp.abs(x3.astype(jnp.float32)
-                           - c3.astype(jnp.float32)), axis=0)
-    changed = diff > jnp.float32(tau)
-    new = jnp.where(changed[None], x3.astype(in_cache.dtype), c3)
-    return new.reshape(C * H, W), changed
-
-
 def detect_and_update_flat(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
                            C: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """detect_and_update on the FLAT (H, W*C) view of an HWC buffer.

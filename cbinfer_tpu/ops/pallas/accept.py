@@ -39,7 +39,7 @@ NBUF = 4
 def _accept_kernel(idx_ref, m_ref,            # scalar prefetch
                    x_ref, cache_in_ref,       # inputs (HBM, HBM aliased)
                    cache_ref,                 # output (aliased)
-                   buf, in_sems, out_sems,
+                   buf, wbuf, in_sems, out_sems,
                    *, H: int, W: int, hint_tiles_w: int, g: TileGeometry):
     del cache_in_ref  # aliased with cache_ref
     m = m_ref[0]
@@ -60,7 +60,7 @@ def _accept_kernel(idx_ref, m_ref,            # scalar prefetch
     def copy_out(slot, i):
         oy, ox = origins(i)
         return pltpu.make_async_copy(
-            buf.at[slot],
+            wbuf.at[slot],
             cache_ref.at[pl.ds(g.store_lo_h + oy, HINT),
                          pl.ds(g.store_lo_w + ox, HINT), :],
             out_sems.at[slot])
@@ -73,16 +73,26 @@ def _accept_kernel(idx_ref, m_ref,            # scalar prefetch
     def body(i, _):
         slot = lax.rem(i, NBUF)
 
+        # Prefetch into slot (i-1)%NBUF: its previous tenant (tile i-1)
+        # was vector-copied to wbuf at iteration i-1, so the in-DMA never
+        # overlaps a live reader of buf[nslot].
         @pl.when(i + NBUF - 1 < m)
         def _():
             copy_in(lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
 
         copy_in(slot, i).wait()
 
+        # Out-copies read ONLY wbuf (in- and out-DMAs never share a slot
+        # — the same discipline as detect._sparse_kernel; sharing buf as
+        # both DMA source and destination raced: the in-copy for tile
+        # i+NBUF-1 started NBUF-1 iterations before the out-copy of the
+        # slot's previous tenant was waited). Overwrite wbuf[slot] only
+        # after its in-flight out-copy completes.
         @pl.when(i >= NBUF)
         def _():
             copy_out(slot, i - NBUF).wait()
 
+        wbuf[slot] = buf[slot]
         copy_out(slot, i).start()
 
     lax.fori_loop(0, m, body, None)
@@ -120,7 +130,8 @@ def accept_tiles(x: jnp.ndarray, in_cache: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),
+            pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),  # buf (in)
+            pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),  # wbuf (out)
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],

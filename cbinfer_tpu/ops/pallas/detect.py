@@ -119,8 +119,8 @@ def _band_kernel(x_ref, cache_in_ref, tau_ref,        # inputs (HBM, HBM, SMEM)
                  + ox)
         m2 = ((b_start <= c_ids) & (c_ids < b_start + g.win_w)
               ).astype(jnp.float32)
-        # m1 @ (changed @ m2): contract the wide Wc dim first (see
-        # stem_detect — the other association costs ~10x)
+        # m1 @ (changed @ m2): contract the wide Wc dim first (the
+        # other association costs ~10x — r3 probe)
         contrib = jnp.dot(m1, jnp.dot(changed.astype(jnp.float32), m2,
                                       preferred_element_type=jnp.float32),
                           preferred_element_type=jnp.float32)

@@ -37,6 +37,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..convert import CBNet
 
 
+@functools.partial(jax.jit, static_argnames="axis")
+def _cat(xs, axis):
+    """Module-level jitted concat: one dispatch-cache entry per (shapes,
+    axis), NOT one retrace per _gather_waves call (a fresh jax.jit wrapper
+    per call discards the dispatch cache)."""
+    return jnp.concatenate(xs, axis=axis)
+
+
 def make_stream_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -216,6 +224,4 @@ class MultiStreamRunner:
         layout normalization itself."""
         if self.n_waves == 1:
             return ys[0], stats[0]
-        cat = jax.jit(functools.partial(jnp.concatenate, axis=0))
-        cat_s = jax.jit(functools.partial(jnp.concatenate, axis=axis))
-        return cat(ys), jax.tree.map(lambda *xs: cat_s(xs), *stats)
+        return _cat(ys, 0), jax.tree.map(lambda *xs: _cat(xs, axis), *stats)

@@ -83,6 +83,28 @@ def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
     return run
 
 
+def _hint_reaches(view: NetView, ri: int) -> bool:
+    """True iff row ri's PRODUCER side always delivers a dirty hint to it:
+    every producer is CB, following transitively through concat rows
+    (graph.CBGraphNet merges hints at concats and drops the merged hint if
+    ANY input lacks one — mirror that exactly). Rows with no producer read
+    the network input, which carries no hint."""
+    from .graph import ConcatSpec
+    row = view.rows[ri]
+    if not row.producers:
+        return False
+    for p in row.producers:
+        prow = view.rows[p]
+        if prow.is_cb:
+            continue
+        if isinstance(prow.spec, ConcatSpec):
+            if not _hint_reaches(view, p):
+                return False
+            continue
+        return False  # plain-dense / upsample: hint cleared
+    return True
+
+
 def _tau_is_dead(view: NetView, ri: int) -> bool:
     """True iff row ``ri``'s tau is unused at deployment: a forward-hint
     pool whose fused-kernel gate (layers.cb_pool_apply) will hold on this
@@ -90,35 +112,33 @@ def _tau_is_dead(view: NetView, ri: int) -> bool:
     grid, hint-producing predecessor. Judged conservatively: any unmet
     condition means the pool falls back to re-detection, where tau is
     live."""
-    from .layers import HINT_TILE
+    from .layers import HINT_TILE, _geometry, _layer_cfg, lane_pad
     spec = view.rows[ri].spec
     if isinstance(spec, ConvSpec) and spec.forward_hint:
         # forwarding convs skip detection whenever a hint exists — tau is
-        # dead iff the producer always emits one (it is CB)
-        prev = view.producer_row(ri)
-        return prev is not None and prev.is_cb
+        # dead iff the producer always emits one
+        return _hint_reaches(view, ri)
     if not (isinstance(spec, PoolSpec) and spec.forward_hint):
         return False
-    backend = spec.backend or view.cfg.backend
-    if backend != "pallas":
+    lcfg = _layer_cfg(spec, view.cfg)
+    if lcfg.backend != "pallas":
         return False
     p = spec.stride[0]
     if not (spec.window == spec.stride == (p, p) and p >= 2
             and HINT_TILE % p == 0 and (2 * HINT_TILE // p) % 8 == 0):
         return False
-    if not (view.cfg.tile.tile_h == HINT_TILE
-            and view.cfg.tile.tile_w == HINT_TILE):
+    # Mirror the runtime gate EXACTLY by rebuilding the same TileGeometry
+    # (layers._pool_prep): g.th/g.tw are min(cfg.tile, out-extent), so a
+    # deep low-res pool with out_h < tile_h fails the runtime gate and
+    # re-detects — its tau is LIVE even when cfg.tile is 8x8. Channel
+    # width uses the lane-padded storage width, as at runtime.
+    in_h, in_w, in_c = view.rows[ri].in_shape
+    cpad = lane_pad(in_c, lcfg)
+    g = _geometry(spec, (in_h, in_w, cpad), lcfg)
+    if not (g.th == HINT_TILE and g.tw == HINT_TILE and cpad % 128 == 0
+            and g.in_h % HINT_TILE == 0 and g.in_w % (2 * HINT_TILE) == 0):
         return False
-    in_h, in_w, _ = view.rows[ri].in_shape
-    if in_h % HINT_TILE or in_w % (2 * HINT_TILE):
-        return False
-    # the producer must emit a hint: the previous layer is CB (incl.
-    # dense_cached) — a plain-dense/upsample/concat predecessor clears
-    # (or merges away) the hint only if itself hint-less; concat forwards
-    # the OR of its input hints, so require every transitive producer
-    # through concats to be CB
-    prev = view.producer_row(ri)
-    return prev is not None and prev.is_cb
+    return _hint_reaches(view, ri)
 
 
 def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
@@ -239,13 +259,23 @@ def tune(net: CBNet, params, calib_frames, metric_fn: Callable,
     sensitivity: Dict[int, List] = {}
     flop_frac: Dict[int, List] = {}
     n_tiles_l: Dict[int, float] = {}
-    base_eval = eval_taus(np.full((n_layers,), base_tau, np.float32))
+    base_eval = None  # one base-point eval, computed only if a dead-tau
+    # layer needs its flat curve (gating it saves a full calibration scan
+    # on nets without fused forwarding layers)
+
+    def get_base_eval():
+        nonlocal base_eval
+        if base_eval is None:
+            base_eval = eval_taus(np.full((n_layers,), base_tau,
+                                          np.float32))
+        return base_eval
+
     for l in range(n_layers):
         if tau_dead[l]:
             # flat curve at the base point: no eval spent, no projected
             # gain, so the greedy never proposes this knob
-            m0 = base_eval[0]
-            s0 = view.stats_of(base_eval[1], view.rows[cb_rows[l]])
+            m0, stats0 = get_base_eval()
+            s0 = view.stats_of(stats0, view.rows[cb_rows[l]])
             nt = float(np.max(np.asarray(s0["n_tiles"])))
             n_tiles_l[l] = nt
             fr = float(np.mean(np.asarray(s0["changed_tiles"],

@@ -35,8 +35,8 @@ def main(argv=None):
     ap.add_argument("--stem",
                     choices=("flagship", "dense_cached", "dense", "cb"),
                     default="flagship",
-                    help="layer-0 mode: flagship (planar dense_cached on "
-                         "pallas — convert.flagship_layers), dense_cached "
+                    help="layer-0 mode: flagship (dense_cached on pallas — "
+                         "convert.flagship_layers), dense_cached "
                          "(HWC detect + dense conv from the accepted "
                          "cache), dense (recompute every frame, no hint), "
                          "cb (default backend delta path)")

@@ -120,6 +120,21 @@ def test_pck_gt_device_matches_host():
     assert abs(host - dev) < 1e-6
 
 
+def test_pck_gt_device_all_invalid_matches_host():
+    # no valid keypoint => vacuous 1.0 on BOTH twins (the device path
+    # previously scored 0.0 here — 100 pp twin divergence)
+    rng = np.random.default_rng(2)
+    H, W, stride = 12, 16, 8
+    pred = rng.normal(size=(2, H, W, NUM_PAFS + NUM_KEYPOINTS)) \
+        .astype(np.float32)
+    kps = np.zeros((2, NUM_KEYPOINTS, 2))
+    valid = np.zeros((2, NUM_KEYPOINTS), bool)
+    host = pck_gt(pred, kps, valid, stride)
+    packed = np.concatenate([kps, valid[..., None].astype(np.float32)], -1)
+    dev = float(pck_gt_device(jnp.asarray(pred), jnp.asarray(packed), stride))
+    assert host == 1.0 and dev == 1.0
+
+
 def test_train_pose_smoke():
     # tiny net + tiny res: the loss machinery runs end-to-end on CPU
     from cbinfer_tpu.config import ConvSpec, PoolSpec

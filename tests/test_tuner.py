@@ -93,3 +93,37 @@ def test_tune_device_metric_fast_path_matches_host():
                  **kw)
     assert r_host.thresholds == r_dev.thresholds
     np.testing.assert_allclose(r_host.metric, r_dev.metric, atol=1e-6)
+
+
+def test_tau_is_dead_mirrors_runtime_gate():
+    """_tau_is_dead must match layers.cb_pool_apply's fused-kernel gate:
+    a forward-hint pool whose OUT extent is below the 8x8 tile falls back
+    to re-detection at runtime (g.th = min(tile, out_h) < 8), so its tau
+    is LIVE and must be swept."""
+    import dataclasses
+    from cbinfer_tpu.netview import NetView
+    from cbinfer_tpu.tuner import _tau_is_dead
+
+    def mk(in_shape, backend="pallas", fh=True):
+        specs = [
+            ConvSpec(features=128, threshold=0.0),
+            dataclasses.replace(PoolSpec(window=(2, 2), stride=(2, 2),
+                                         threshold=0.0), forward_hint=fh),
+        ]
+        cfg = PipelineConfig(tile=TileConfig(tile_h=8, tile_w=8),
+                             backend=backend)
+        return NetView.from_specs(specs, in_shape, cfg)
+
+    # big map, aligned, CB producer, pallas -> fused kernel engages: DEAD
+    v = mk((32, 64, 3))
+    assert _tau_is_dead(v, 1)
+    # out extent 8x16 -> pooled g.th = 8 ok; but in 8x16 -> out 4x8:
+    # g.th = min(8, out_h=4) = 4 < 8 -> runtime re-detects: LIVE
+    v = mk((8, 16, 3))
+    assert not _tau_is_dead(v, 1)
+    # jnp backend: fused kernel never engages: LIVE
+    v = mk((32, 64, 3), backend="jnp")
+    assert not _tau_is_dead(v, 1)
+    # no forward_hint: plain CB pool: LIVE
+    v = mk((32, 64, 3), fh=False)
+    assert not _tau_is_dead(v, 1)
