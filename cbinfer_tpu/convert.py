@@ -265,9 +265,12 @@ def specs_from_torch(module, fuse_relu: bool = True):
 
     Supported leaves: ``Conv2d`` (groups=1; zero padding -> VALID,
     symmetric half padding with odd kernels -> SAME), ``ReLU`` (fused into
-    the preceding conv), ``MaxPool2d`` (padding 0, dilation 1),
-    ``Upsample`` (nearest/bilinear, integer scale), and no-ops
-    (``Identity``/``Dropout*``/``Flatten`` at the tail). Containers
+    the preceding conv), ``BatchNorm2d`` (FOLDED into the preceding conv's
+    weights/bias at inference semantics: w' = w * g/sqrt(var+eps),
+    b' = (b - mean) * g/sqrt(var+eps) + beta — exact, conv-bn[-relu]
+    chains convert with zero runtime cost), ``MaxPool2d`` (padding 0,
+    dilation 1), ``Upsample`` (nearest/bilinear, integer scale), and
+    no-ops (``Identity``/``Dropout*``/``Flatten`` at the tail). Containers
     (``Sequential``, ``ModuleList``, custom modules with children) are
     recursed in child order — correct exactly when the module executes its
     children sequentially, which is the same contract the reference's
@@ -284,6 +287,7 @@ def specs_from_torch(module, fuse_relu: bool = True):
 
     specs: List = []
     prefixes: List[str] = []
+    bn_folds: List = []  # (spec index, bn qualified name, eps)
 
     def leaf(name: str, m):
         if isinstance(m, nn.Conv2d):
@@ -314,6 +318,19 @@ def specs_from_torch(module, fuse_relu: bool = True):
                 stride=pair(m.stride), dilation=(dh, dw), padding=padding,
                 activation=None, use_bias=m.bias is not None))
             prefixes.append(name)
+        elif isinstance(m, nn.BatchNorm2d):
+            if not (specs and isinstance(specs[-1], ConvSpec)
+                    and specs[-1].activation is None):
+                raise ValueError(f"{name}: BatchNorm2d without a preceding "
+                                 "(activation-free) conv to fold into")
+            if m.running_mean is None or m.running_var is None:
+                raise ValueError(f"{name}: track_running_stats=False — no "
+                                 "stats to fold at inference")
+            # folded bias is (b - mean)*scale + beta: nonzero even for
+            # bias-free convs, so the spec grows a bias slot
+            if not specs[-1].use_bias:
+                specs[-1] = dataclasses.replace(specs[-1], use_bias=True)
+            bn_folds.append((len(specs) - 1, name, float(m.eps)))
         elif isinstance(m, nn.ReLU):
             if (fuse_relu and specs and isinstance(specs[-1], ConvSpec)
                     and specs[-1].activation is None):
@@ -358,8 +375,32 @@ def specs_from_torch(module, fuse_relu: bool = True):
             walk(f"{prefix}.{kname}" if prefix else kname, k)
 
     walk("", module)
-    params = import_torch_state_dict(specs, module.state_dict(),
-                                     conv_prefixes=prefixes)
+    sd = module.state_dict()
+    params = import_torch_state_dict(specs, sd, conv_prefixes=prefixes)
+
+    if bn_folds:
+        import numpy as np
+
+        def to_np(t):
+            return np.asarray(t.detach().cpu().numpy()
+                              if hasattr(t, "detach") else t)
+
+        for si, bn, eps in bn_folds:
+            mean = to_np(sd[f"{bn}.running_mean"]).astype(np.float64)
+            var = to_np(sd[f"{bn}.running_var"]).astype(np.float64)
+            # affine=False stores no weight/bias keys: gamma=1, beta=0
+            g = (to_np(sd[f"{bn}.weight"]).astype(np.float64)
+                 if f"{bn}.weight" in sd else np.ones_like(mean))
+            beta = (to_np(sd[f"{bn}.bias"]).astype(np.float64)
+                    if f"{bn}.bias" in sd else np.zeros_like(mean))
+            scale = g / np.sqrt(var + eps)
+            w, b = params[si]
+            b0 = np.zeros_like(mean) if b is None \
+                else np.asarray(b, np.float64)
+            params[si] = (
+                jnp.asarray(np.asarray(w, np.float64) * scale,
+                            jnp.asarray(w).dtype),
+                jnp.asarray((b0 - mean) * scale + beta, jnp.float32))
     return specs, params
 
 

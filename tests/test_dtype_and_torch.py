@@ -123,9 +123,9 @@ def test_specs_from_torch_rejects_unsupported():
     import torch.nn as nn
     import pytest
     from cbinfer_tpu.convert import specs_from_torch
-    with pytest.raises(TypeError, match="BatchNorm2d"):
+    with pytest.raises(TypeError, match="Sigmoid"):
         specs_from_torch(nn.Sequential(nn.Conv2d(3, 4, 3, padding=1),
-                                       nn.BatchNorm2d(4)))
+                                       nn.Sigmoid()))
     with pytest.raises(ValueError, match="grouped"):
         specs_from_torch(nn.Sequential(
             nn.Conv2d(4, 4, 3, padding=1, groups=4)))
@@ -181,3 +181,56 @@ def test_explicit_padding_cb_matches_dense():
         yd = net.apply_dense(params, x)
         np.testing.assert_allclose(np.asarray(y), np.asarray(yd),
                                    atol=3e-4)
+
+
+def test_specs_from_torch_batchnorm_folding():
+    """BatchNorm2d folds exactly into the preceding conv at inference
+    semantics — conv-bn-relu chains (incl. bias-free convs and
+    affine=False BNs) convert with zero runtime cost."""
+    import torch
+    import torch.nn as nn
+    from cbinfer_tpu.convert import specs_from_torch
+    from cbinfer_tpu.network import dense_apply
+
+    torch.manual_seed(7)
+    model = nn.Sequential(
+        nn.Conv2d(3, 16, 3, padding=1, bias=False),
+        nn.BatchNorm2d(16), nn.ReLU(),
+        nn.MaxPool2d(2),
+        nn.Conv2d(16, 8, 3, padding=1),          # biased conv + affine BN
+        nn.BatchNorm2d(8), nn.ReLU(),
+        nn.Conv2d(8, 8, 1),
+        nn.BatchNorm2d(8, affine=False),         # gamma=1, beta=0
+    )
+    # non-trivial running stats: a few training-mode batches
+    model.train()
+    with torch.no_grad():
+        for _ in range(3):
+            model(torch.randn(2, 3, 16, 16))
+        # perturb affine params so folding must use them
+        model[1].weight += 0.3 * torch.randn_like(model[1].weight)
+        model[1].bias += 0.2 * torch.randn_like(model[1].bias)
+    model.eval()
+
+    specs, params = specs_from_torch(model)
+    assert [type(s).__name__ for s in specs] == \
+        ["ConvSpec", "PoolSpec", "ConvSpec", "ConvSpec"]
+    assert specs[0].use_bias and specs[0].activation == "relu"
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        yt = model(torch.from_numpy(
+            x.transpose(2, 0, 1)[None]))[0].numpy().transpose(1, 2, 0)
+    yj = np.asarray(dense_apply(specs, params, jnp.asarray(x)))
+    assert yj.shape == yt.shape
+    np.testing.assert_allclose(yj, yt, atol=2e-5)
+
+
+def test_specs_from_torch_batchnorm_requires_conv():
+    import torch.nn as nn
+    import pytest
+    from cbinfer_tpu.convert import specs_from_torch
+    with pytest.raises(ValueError, match="BatchNorm2d"):
+        specs_from_torch(nn.Sequential(nn.BatchNorm2d(3),
+                                       nn.Conv2d(3, 4, 3)))
