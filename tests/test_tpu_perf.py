@@ -96,3 +96,39 @@ def test_flagship_config_beats_dense_720p(on_tpu):
     assert t_cb * 1.7 < t_dense, (
         f"flagship CB {t_cb:.4f}s not >=1.7x faster than dense "
         f"{t_dense:.4f}s at 720p")
+
+
+def test_accept_kernel_on_chip_matches_jnp(on_tpu):
+    """On-chip correctness of the forward-hint accept kernel's DMA
+    pipeline (ops/pallas/accept.py). interpret=True cannot model DMA
+    concurrency — the r3 self-review found (and fixed) a buffer-sharing
+    race only real hardware could expose — so the pallas/jnp equivalence
+    must also hold compiled, over enough dirty tiles to exercise a deep
+    pipeline (>= 2*NBUF in flight)."""
+    import dataclasses
+    from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    H, W = 64, 128
+    specs = [ConvSpec(features=128, threshold=0.0),
+             dataclasses.replace(ConvSpec(features=128, threshold=0.0),
+                                 forward_hint=True),
+             ConvSpec(features=8, kernel=(1, 1), activation=None,
+                      threshold=0.0)]
+    taus = [0.02, 0.02, 0.02]
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, seed=11)).clip(8))
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(3))
+    outs = {}
+    for backend in ("pallas", "jnp"):
+        cfg = PipelineConfig(tile=TileConfig(8, 8), backend=backend,
+                             compute_dtype="float32",
+                             cache_dtype="float32")
+        net = convert(specs, (H, W, 3), cfg, thresholds=taus)
+        ys, _, _ = scan_video(net, params, clip)
+        outs[backend] = np.asarray(jax.device_get(ys))
+    np.testing.assert_allclose(outs["pallas"], outs["jnp"],
+                               atol=1e-4, rtol=1e-4)
