@@ -231,13 +231,21 @@ def flagship_layers(specs: Sequence,
 
 def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
                      cfg: Optional[PipelineConfig] = None,
-                     thresholds: Optional[Sequence[float]] = None) -> CBNet:
+                     thresholds: Optional[Sequence[float]] = None,
+                     extra_overrides: Optional[Dict[int, str]] = None
+                     ) -> CBNet:
     """Convert with the shipped layer policy (see flagship_layers).
 
     ``thresholds`` is sized by the CONVERTED network's CB-layer count
     (num_cb_layers(net.specs)) — the dense classifier consumes no tau.
+    ``extra_overrides`` layers additional per-spec-index backend choices
+    on top of the flagship policy (extra wins on conflicts) — the hook the
+    measured per-layer policy optimizer (scripts/optimize_policy.py) uses
+    to flip bookkeeping-bound layers to dense_cached.
     """
     overrides, dense = flagship_layers(specs, in_shape, cfg)
+    if extra_overrides:
+        overrides = {**overrides, **extra_overrides}
     net = convert(specs, in_shape, cfg, dense_layers=dense,
                   backend_overrides=overrides)
     # aligned pools run hint-forwarded (one fused kernel, no detection /

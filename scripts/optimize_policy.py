@@ -1,0 +1,167 @@
+"""Measured per-layer backend policy optimizer (VERDICT r2 lever 2c).
+
+For deep nets the per-layer CB bookkeeping (detect/compact/gather/scatter)
+can exceed the cost of just recomputing the layer densely from its accepted
+cache: ``dense_cached`` keeps the exact tau semantics and the hint chain
+but has zero sparse machinery, so on small low-res maps it can be the
+faster mode (the papers make the same per-layer dense/CB choice —
+arXiv 1808.05488 §VI; SURVEY.md §7 "stage-wise ... cheap layers may not
+be worth caching").
+
+This script decides the flip EMPIRICALLY, end-to-end: greedy over conv
+layers (deepest first — bookkeeping-bound layers live at low resolution),
+flipping a layer to dense_cached iff the measured steady-state fps of the
+WHOLE network improves by >= --min-gain. Accuracy is unchanged by
+construction: dense_cached recomputes a superset (everything) of the CB
+mask from the same accepted cache, and out_cache == f(in_cache) holds for
+both modes (golden.py invariant), so the tuned tau file stays valid.
+
+Writes POLICY_{model}.json: accepted overrides + before/after fps.
+Usage: python scripts/optimize_policy.py [scene|seg|pose] [--min-gain g]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The axon sitecustomize shim registers the TPU platform regardless of
+    # the env var; forcing via config BEFORE any device query is the only
+    # reliable way to run on CPU (and not hang when the tunnel is down).
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig, \
+    UpsampleSpec
+from cbinfer_tpu.convert import convert_flagship, num_cb_layers
+from cbinfer_tpu.checkpoint import load_npz_params, load_thresholds
+from cbinfer_tpu.network import init_params
+from cbinfer_tpu.runner import scan_video
+from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
+       "seg": "/root/repo/ckpts/seg_w64.npz",
+       "pose": "/root/repo/ckpts/pose_w64.npz"}
+TAU = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
+       "seg": "/root/repo/ckpts/seg_w64_tau.json",
+       "pose": "/root/repo/ckpts/pose_w64_tau.json"}
+WIDTH = {"scene": 128, "seg": 64, "pose": 64}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("model", nargs="?", default="pose",
+                    choices=("scene", "seg", "pose"))
+    ap.add_argument("--h", type=int, default=720)
+    ap.add_argument("--w", type=int, default=1280)
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--chunks", type=int, default=2)
+    ap.add_argument("--min-gain", type=float, default=0.01,
+                    help="relative fps gain required to accept a flip")
+    args = ap.parse_args()
+
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.benchmark import measure_sync_overhead
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    H, W, T = args.h, args.w, args.frames
+    specs = get_model(args.model, width=WIDTH[args.model]) \
+        if args.model == "pose" else \
+        get_model(args.model, num_classes=8, width=WIDTH[args.model])
+    if isinstance(specs[-1], UpsampleSpec):
+        specs = specs[:-1]  # argmax-transparent (eval_headline.py note)
+    cfg = PipelineConfig(
+        tile=TileConfig(8, 8),
+        backend="pallas" if on_tpu else "jnp",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        cache_dtype="bfloat16" if on_tpu else "float32")
+
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+    try:
+        params = load_npz_params(NPZ[args.model], params)
+    except Exception as e:
+        print(f"WARNING: random weights ({e})", file=sys.stderr)
+
+    base_net = convert_flagship(specs, (H, W, 3), cfg)
+    n_cb = num_cb_layers(base_net.specs)
+    try:
+        with open(TAU[args.model]) as f:
+            taus = json.load(f)["thresholds"]
+        assert len(taus) == n_cb, (len(taus), n_cb)
+    except Exception as e:
+        print(f"WARNING: fixed tau 0.04 ({e})", file=sys.stderr)
+        taus = [0.04] * n_cb
+    taus = jnp.asarray(taus, jnp.float32)
+
+    sync_overhead = measure_sync_overhead() if on_tpu else 0.0
+    run_seed = int(time.time() * 1e3) % 100000
+    video = SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+        noise_std=0.002, seed=run_seed))
+    warm = jnp.asarray(video.clip(T))
+    clips = [jnp.asarray(video.clip(T)) for _ in range(args.chunks)]
+    for c in clips + [warm]:
+        _ = float(jnp.sum(c))
+
+    def measure(extra):
+        net = convert_flagship(specs, (H, W, 3), cfg,
+                               extra_overrides=extra or None)
+
+        def cb_chunk(p, st, fs, refresh):
+            ys, st2, _ = scan_video(net, p, fs, state=st, thresholds=taus,
+                                    refresh_start=refresh)
+            return jnp.sum(ys[-1]) * 0, st2
+        step = jax.jit(cb_chunk, donate_argnums=(1,), static_argnums=(3,))
+        # warm-up populates caches + compiles both refresh variants
+        _e, st = step(params, None, warm, True)
+        _e, st = step(params, st, warm, False)
+        _ = float(_e)
+        t0 = time.perf_counter()
+        for i, c in enumerate(clips):
+            _e, st = step(params, st, c, i % 2 == 0)
+        _ = float(_e)
+        dt = time.perf_counter() - t0 - sync_overhead
+        return args.chunks * T / max(1e-9, dt)
+
+    convs = [i for i, s in enumerate(base_net.specs)
+             if isinstance(s, ConvSpec) and s.use_cb
+             and s.backend is None]  # skip stem (dense_cached) + dense tail
+    convs.sort(reverse=True)  # deepest first: low-res = bookkeeping-bound
+
+    base_fps = best = measure({})
+    print(f"{args.model} {H}x{W}: flagship baseline {base_fps:.1f} fps "
+          f"({len(convs)} candidate layers)", flush=True)
+    accepted = {}
+    for k in convs:
+        trial = dict(accepted)
+        trial[k] = "dense_cached"
+        fps = measure(trial)
+        verdict = fps > best * (1 + args.min_gain)
+        print(f"  layer {k} -> dense_cached: {fps:.1f} fps "
+              f"({'ACCEPT' if verdict else 'reject'})", flush=True)
+        if verdict:
+            accepted, best = trial, fps
+
+    out = {"model": args.model, "shape": [H, W], "frames_per_chunk": T,
+           "chunks": args.chunks, "backend": cfg.backend,
+           "tau_source": TAU[args.model], "seed": run_seed,
+           "baseline_fps": round(base_fps, 1), "final_fps": round(best, 1),
+           "gain": round(best / base_fps, 3),
+           "overrides": {str(k): v for k, v in accepted.items()}}
+    path = f"/root/repo/POLICY_{args.model}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out), flush=True)
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
