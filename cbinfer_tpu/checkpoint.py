@@ -62,15 +62,26 @@ def restore(path: str, like: Optional[dict] = None,
 def load_npz_params(path: str, params_like):
     """Load a flat ``w{i}``/``b{i}`` npz (written by scripts/train_*.py)
     into a layer-params list shaped like ``params_like`` (None entries for
-    parameterless layers are preserved). Raises on missing file/keys."""
+    parameterless layers are preserved). Raises on missing file/keys and on
+    shape mismatch (loading a checkpoint trained at a different width used
+    to succeed silently and fail later with an opaque negative-pad trace
+    inside the conv preamble)."""
     import jax.numpy as jnp
     import numpy as np
     flat = np.load(path)
-    return [
-        (jnp.asarray(flat[f"w{i}"]),
-         jnp.asarray(flat[f"b{i}"]) if f"b{i}" in flat else None)
-        if p is not None else None
-        for i, p in enumerate(params_like)]
+    out = []
+    for i, p in enumerate(params_like):
+        if p is None:
+            out.append(None)
+            continue
+        w = jnp.asarray(flat[f"w{i}"])
+        if w.shape != p[0].shape:
+            raise ValueError(
+                f"{path}: w{i} shape {w.shape} != model shape {p[0].shape} "
+                "(checkpoint trained at a different width/architecture?)")
+        out.append((w, jnp.asarray(flat[f"b{i}"]) if f"b{i}" in flat
+                    else None))
+    return out
 
 
 def save_npz_graph_params(path: str, params: dict) -> None:

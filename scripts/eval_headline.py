@@ -83,8 +83,20 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     from cbinfer_tpu.benchmark import measure_sync_overhead
     sync_overhead = measure_sync_overhead()
     # Flagship config (bench.py parity); the tuned tau files were
-    # calibrated against this construction.
-    net = convert_flagship(specs, (H, W, 3), cfg)
+    # calibrated against this construction. A measured per-layer backend
+    # policy (scripts/optimize_policy.py) layers on top when present —
+    # accuracy-neutral by construction (dense_cached keeps the accepted-
+    # cache tau semantics and recomputes a superset of the CB mask), so
+    # the tuned tau files stay valid.
+    policy_src, extra = None, None
+    ppath = f"/root/repo/POLICY_{name}.json"
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            pol = json.load(f)
+        if pol.get("overrides"):
+            extra = {int(k): v for k, v in pol["overrides"].items()}
+            policy_src = ppath
+    net = convert_flagship(specs, (H, W, 3), cfg, extra_overrides=extra)
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
     weights = "random(PRNGKey 0)"
     if name in NPZ:
@@ -257,6 +269,9 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     }
     if eval_grid_note:
         row["grid_caveat"] = eval_grid_note
+    if policy_src:
+        row["backend_policy"] = {"source": policy_src,
+                                 "overrides": pol["overrides"]}
     print(json.dumps(row), flush=True)
     return row
 
