@@ -184,3 +184,50 @@ def test_convert_flagship_layer_policy():
         got = [s.threshold for s in net2.specs
                if getattr(s, "use_cb", False)]
         assert got == [0.05] * n_cb
+
+
+def test_convert_flagship_extra_overrides():
+    """The measured-policy hook (scripts/optimize_policy.py): extra
+    per-layer backend choices layer on top of the flagship policy, win on
+    conflicts, and never change the CB-layer count (tuned tau files stay
+    valid)."""
+    from cbinfer_tpu.convert import convert_flagship, num_cb_layers
+
+    specs = get_model("scene", num_classes=8, width=16)
+    cfg = PipelineConfig(tile=TileConfig(4, 4), backend="jnp")
+    base = convert_flagship(specs, (32, 32, 3), cfg)
+    net = convert_flagship(specs, (32, 32, 3), cfg,
+                           extra_overrides={4: "dense_cached",
+                                            0: "dense_cached_flat"})
+    assert net.specs[4].backend == "dense_cached"
+    assert net.specs[0].backend == "dense_cached_flat"  # extra wins
+    assert num_cb_layers(net.specs) == num_cb_layers(base.specs)
+
+
+def test_load_npz_params_shape_mismatch(tmp_path):
+    """Loading a checkpoint trained at a different width raises a clear
+    error instead of returning wrong-shaped params (which used to fail
+    later with an opaque negative-pad trace in the conv preamble)."""
+    import numpy as np
+    import pytest
+    from cbinfer_tpu.checkpoint import load_npz_params
+    from cbinfer_tpu.network import init_params
+
+    specs = get_model("scene", num_classes=8, width=16)
+    params = init_params(specs, (32, 32, 3), jax.random.PRNGKey(0))
+    flat = {}
+    for i, p in enumerate(params):
+        if p is None:
+            continue
+        w, b = p
+        flat[f"w{i}"] = np.asarray(w)
+        if b is not None:
+            flat[f"b{i}"] = np.asarray(b)
+    path = tmp_path / "ck.npz"
+    np.savez(path, **flat)
+    out = load_npz_params(str(path), params)  # matching shapes round-trip
+    assert out[0][0].shape == params[0][0].shape
+    wrong = init_params(get_model("scene", num_classes=8, width=32),
+                        (32, 32, 3), jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="different width"):
+        load_npz_params(str(path), wrong)
