@@ -150,7 +150,19 @@ def main():
     # Flagship config — THE SAME construction scripts/tune_model.py
     # calibrated the shipped thresholds against (dense_cached cin=3 stem +
     # dense 1x1 classifier; see convert.flagship_layers for the rationale).
-    net = convert_flagship(specs, (H, W, 3), cfg)
+    # A measured per-layer backend policy (scripts/optimize_policy.py)
+    # layers on top when present — accuracy-neutral by construction
+    # (dense_cached keeps the accepted-cache tau semantics), so the tuned
+    # tau file stays valid.
+    extra, policy_src = None, "none"
+    ppath = os.path.join(REPO, "POLICY_scene.json")
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            _pol = json.load(f).get("overrides") or {}
+        if _pol:
+            extra = {int(k): v for k, v in _pol.items()}
+            policy_src = ppath
+    net = convert_flagship(specs, (H, W, 3), cfg, extra_overrides=extra)
     params, weights_src = _load_params(specs, (H, W, 3))
     taus, refresh, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)
@@ -286,6 +298,7 @@ def main():
         "flop_reduction": round(ef["flop_reduction"], 2),
         "weights": weights_src,
         "tau_source": tau_src,
+        "backend_policy": policy_src,
         "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T} "
                    f"(tuned under refresh_every={refresh}; validated at "
                    "64/128 with zero GT degradation)",
