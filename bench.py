@@ -92,28 +92,9 @@ def _load_thresholds(n_cb):
 
 
 def _devices_or_die(timeout_s: int = 180):
-    """Backend init with a watchdog: the axon-tunneled runtime can hang
-    indefinitely at device enumeration when the tunnel is down (observed
-    r3 — jax.devices() blocked >5 min in every process). A bounded
-    failure with a clear message beats an indefinite driver hang."""
-    import threading
-    out = {}
-
-    def probe():
-        try:
-            out["devices"] = jax.devices()
-        except Exception as e:  # surfaced below
-            out["error"] = repr(e)
-
-    th = threading.Thread(target=probe, daemon=True)
-    th.start()
-    th.join(timeout_s)
-    if "devices" in out:
-        return out["devices"]
-    print("bench: FATAL —", out.get(
-        "error", f"backend init unresponsive after {timeout_s}s "
-        "(axon tunnel down?)"), file=sys.stderr)
-    os._exit(1)
+    """Bounded device enumeration (shared helper; see its docstring)."""
+    from cbinfer_tpu.benchmark import devices_or_die
+    return devices_or_die(timeout_s)
 
 
 def main():

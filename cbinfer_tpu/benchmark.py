@@ -40,6 +40,34 @@ def scalar_sync(v) -> float:
     return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
 
 
+def devices_or_die(timeout_s: int = 180):
+    """Backend init with a watchdog: the axon-tunneled runtime can hang
+    indefinitely at device enumeration when the tunnel is down (observed
+    r3 — ``jax.devices()`` blocked >5 min in every process). A bounded
+    failure with a clear message beats an indefinite hang. Shared by
+    bench.py and the long-running scripts."""
+    import os
+    import sys
+    import threading
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # surfaced below
+            out["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    print("FATAL —", out.get(
+        "error", f"backend init unresponsive after {timeout_s}s "
+        "(axon tunnel down?)"), file=sys.stderr)
+    os._exit(1)
+
+
 def measure_sync_overhead(reps: int = 5) -> float:
     """Per-sync host<->device link overhead (dispatch + scalar-fetch RTT):
     the MEDIAN of ``reps`` null-op samples — the tunnel RTT jitters ~±15 ms

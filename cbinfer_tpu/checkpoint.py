@@ -79,8 +79,17 @@ def load_npz_params(path: str, params_like):
             raise ValueError(
                 f"{path}: w{i} shape {w.shape} != model shape {p[0].shape} "
                 "(checkpoint trained at a different width/architecture?)")
-        out.append((w, jnp.asarray(flat[f"b{i}"]) if f"b{i}" in flat
-                    else None))
+        b = None
+        if f"b{i}" in flat:
+            b = jnp.asarray(flat[f"b{i}"])
+            if p[1] is not None and b.shape != p[1].shape:
+                raise ValueError(f"{path}: b{i} shape {b.shape} != model "
+                                 f"shape {p[1].shape}")
+        elif p[1] is not None:
+            raise ValueError(
+                f"{path}: missing b{i} for a layer with bias (checkpoint "
+                "saved from a bias-free variant?)")
+        out.append((w, b))
     return out
 
 

@@ -115,21 +115,31 @@ class PrefetchingSource:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
+    _EOS = object()  # end-of-stream sentinel (finite file sources)
+
     def _worker(self):
         while not self._stop.is_set():
-            frame = self._source.frame()
+            try:
+                frame = self._source.frame()
+            except EOFError:
+                frame = self._EOS  # finite source drained -> StopIteration
             while not self._stop.is_set():
                 try:
                     self._q.put(frame, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+            if frame is self._EOS:
+                return
 
     def __iter__(self):
         return self
 
     def __next__(self) -> np.ndarray:
-        return self._q.get()
+        item = self._q.get()
+        if item is self._EOS:
+            raise StopIteration
+        return item
 
     def close(self):
         self._stop.set()

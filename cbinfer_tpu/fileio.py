@@ -74,7 +74,10 @@ class Y4MVideo:
             self._f.close()
             raise ValueError(f"{path}: missing W/H in Y4M header")
         if self.colorspace.startswith("C420"):
-            self._chroma_shape = (self.height // 2, self.width // 2)
+            # ceil, not floor: odd-dimension 4:2:0 stores (H+1)//2 chroma
+            # rows (a floor read desyncs every later FRAME boundary)
+            self._chroma_shape = ((self.height + 1) // 2,
+                                  (self.width + 1) // 2)
         elif self.colorspace.startswith("C444"):
             self._chroma_shape = (self.height, self.width)
         else:  # C422 etc. — not worth the matrix of cases until needed

@@ -73,7 +73,10 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
             "(identical class map by argmax-transparency; avoids the 16x "
             "lane-pad of full-res logits) INSIDE the timed loop for both "
             "paths; GT mIoU scored at full resolution")
-    cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas" if on_tpu
+    # capacity 0.375 = bench.py/tune_model.py parity (the tuned taus were
+    # calibrated under this buffer bound; TileConfig default is 1.0)
+    cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.375),
+                         backend="pallas" if on_tpu
                          else "jnp",
                          compute_dtype="bfloat16" if on_tpu else "float32",
                          cache_dtype=cache_dtype or (

@@ -42,7 +42,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig, \
     UpsampleSpec
 from cbinfer_tpu.convert import convert_flagship, num_cb_layers
-from cbinfer_tpu.checkpoint import load_npz_params, load_thresholds
+from cbinfer_tpu.checkpoint import load_npz_params
 from cbinfer_tpu.network import init_params
 from cbinfer_tpu.runner import scan_video
 from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
@@ -63,15 +63,19 @@ def main():
     ap.add_argument("--h", type=int, default=720)
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--frames", type=int, default=32)
-    ap.add_argument("--chunks", type=int, default=2)
-    ap.add_argument("--min-gain", type=float, default=0.01,
-                    help="relative fps gain required to accept a flip")
+    ap.add_argument("--chunks", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="timed windows per trial; the MEDIAN decides "
+                    "(tunnel RTT jitter swings short windows ±20%%)")
+    ap.add_argument("--min-gain", type=float, default=0.03,
+                    help="relative fps gain required to accept a flip "
+                    "(must exceed residual window-to-window noise)")
     args = ap.parse_args()
 
     from cbinfer_tpu.models import get_model
-    from cbinfer_tpu.benchmark import measure_sync_overhead
+    from cbinfer_tpu.benchmark import devices_or_die, measure_sync_overhead
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     H, W, T = args.h, args.w, args.frames
     specs = get_model(args.model, width=WIDTH[args.model]) \
         if args.model == "pose" else \
@@ -79,7 +83,9 @@ def main():
     if isinstance(specs[-1], UpsampleSpec):
         specs = specs[:-1]  # argmax-transparent (eval_headline.py note)
     cfg = PipelineConfig(
-        tile=TileConfig(8, 8),
+        # capacity 0.375 = bench.py/tune_model.py parity: the policy must
+        # be measured in the same overflow/buffer regime that consumes it
+        tile=TileConfig(8, 8, capacity_fraction=0.375),
         backend="pallas" if on_tpu else "jnp",
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
@@ -107,11 +113,29 @@ def main():
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=run_seed))
     warm = jnp.asarray(video.clip(T))
-    clips = [jnp.asarray(video.clip(T)) for _ in range(args.chunks)]
-    for c in clips + [warm]:
-        _ = float(jnp.sum(c))
 
-    def measure(extra):
+    def fresh_clip_sets(n_reps):
+        """reps x chunks DISTINCT device-resident chunks. Distinct within
+        a trial because the runtime memoizes identical (executable, args)
+        dispatches — by the last window the CB state could reach a fixed
+        point under a replayed clip and the whole window would be served
+        from cache (measured r2 on the dense path: 275->377 'fps')."""
+        sets = [[jnp.asarray(video.clip(T)) for _ in range(args.chunks)]
+                for _ in range(n_reps)]
+        for cs in sets:
+            for c in cs:
+                _ = float(jnp.sum(c))
+        return sets
+
+    clip_sets = fresh_clip_sets(args.reps)
+    _ = float(jnp.sum(warm))
+
+    def measure(extra, sets=None):
+        """Median steady-state fps over ``reps`` timed windows (each
+        window = ``chunks`` dispatches with the production alternating
+        refresh-prolog policy). Median-of-N because single short windows
+        on this tunnel swing ±20% (bench.py RTT-jitter note) — a greedy
+        ratchet on one noisy sample compounds spurious accepts."""
         net = convert_flagship(specs, (H, W, 3), cfg,
                                extra_overrides=extra or None)
 
@@ -124,12 +148,16 @@ def main():
         _e, st = step(params, None, warm, True)
         _e, st = step(params, st, warm, False)
         _ = float(_e)
-        t0 = time.perf_counter()
-        for i, c in enumerate(clips):
-            _e, st = step(params, st, c, i % 2 == 0)
-        _ = float(_e)
-        dt = time.perf_counter() - t0 - sync_overhead
-        return args.chunks * T / max(1e-9, dt)
+        vals = []
+        for clips in (sets or clip_sets):
+            t0 = time.perf_counter()
+            for i, c in enumerate(clips):
+                _e, st = step(params, st, c, i % 2 == 0)
+            _ = float(_e)
+            dt = time.perf_counter() - t0 - sync_overhead
+            vals.append(args.chunks * T / max(1e-9, dt))
+        vals.sort()
+        return vals[len(vals) // 2]
 
     convs = [i for i, s in enumerate(base_net.specs)
              if isinstance(s, ConvSpec) and s.use_cb
@@ -150,11 +178,30 @@ def main():
         if verdict:
             accepted, best = trial, fps
 
+    # re-measure the final pick on FRESH clips: the greedy ratchet's
+    # `best` rode whatever upward noise survived the medians, so the
+    # reported gain must come from an independent sample — and a final
+    # pick that does not reproduce is dropped rather than shipped.
+    final_fps, base2 = best, base_fps
+    if accepted:
+        sets2 = fresh_clip_sets(args.reps)
+        base2 = measure({}, sets2)
+        final_fps = measure(accepted, sets2)
+        if final_fps <= base2:
+            print(f"  re-measure: {final_fps:.1f} <= baseline {base2:.1f} "
+                  "fps — policy does not reproduce, writing empty policy",
+                  flush=True)
+            accepted, final_fps = {}, base2
+
     out = {"model": args.model, "shape": [H, W], "frames_per_chunk": T,
-           "chunks": args.chunks, "backend": cfg.backend,
+           "chunks": args.chunks, "reps": args.reps,
+           "backend": cfg.backend,
+           "capacity_fraction": cfg.tile.capacity_fraction,
            "tau_source": TAU[args.model], "seed": run_seed,
-           "baseline_fps": round(base_fps, 1), "final_fps": round(best, 1),
-           "gain": round(best / base_fps, 3),
+           "baseline_fps": round(base2, 1), "final_fps": round(final_fps, 1),
+           "greedy_fps": {"baseline": round(base_fps, 1),
+                          "best": round(best, 1)},
+           "gain": round(final_fps / max(1e-9, base2), 3),
            "overrides": {str(k): v for k, v in accepted.items()}}
     path = f"/root/repo/POLICY_{args.model}.json"
     with open(path, "w") as f:

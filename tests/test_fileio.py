@@ -123,3 +123,38 @@ def test_file_video_feeds_pipeline(tmp_path):
     ct = np.asarray(stats[0]["computed_tiles"])
     assert ct[0] == np.asarray(stats[0]["n_tiles"])[0]  # cold start: all
     assert (ct[1:] < ct[0]).all()                    # then sparse
+
+
+def test_y4m_odd_dims(tmp_path):
+    """Odd-dimension 4:2:0 stores ceil(H/2) x ceil(W/2) chroma planes; a
+    floor-sized read desyncs every later FRAME boundary."""
+    h, w = 15, 21
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    rng = np.random.default_rng(3)
+    ys = [rng.integers(16, 236, (h, w), dtype=np.uint8) for _ in range(2)]
+    us = [rng.integers(16, 240, (ch, cw), dtype=np.uint8) for _ in range(2)]
+    vs = [rng.integers(16, 240, (ch, cw), dtype=np.uint8) for _ in range(2)]
+    p = tmp_path / "odd.y4m"
+    _write_y4m(p, ys, us, vs)
+    v = Y4MVideo(str(p))
+    clip = v.clip(2)
+    assert clip.shape == (2, h, w, 3)
+    uu = np.repeat(np.repeat(us[1], 2, 0), 2, 1)[:h, :w]
+    vv = np.repeat(np.repeat(vs[1], 2, 0), 2, 1)[:h, :w]
+    np.testing.assert_allclose(clip[1], _yuv_to_rgb(ys[1], uu, vv),
+                               atol=1e-6)
+    v.close()
+
+
+def test_prefetching_source_finite_file_terminates(tmp_path):
+    """A finite (non-loop) file source drained through PrefetchingSource
+    raises StopIteration instead of deadlocking the consumer (the EOFError
+    used to kill the producer thread silently)."""
+    from cbinfer_tpu.data import PrefetchingSource
+
+    clip = np.zeros((3, 4, 6, 3), np.float32)
+    np.save(tmp_path / "c.npy", clip)
+    src = PrefetchingSource(open_video(str(tmp_path / "c.npy")))
+    got = list(src)  # must terminate
+    assert len(got) == 3
+    src.close()

@@ -205,3 +205,44 @@ def test_non_divisible_output_dims_internal_padding():
         yg, gst = golden.cb_conv_step(frame, w, b, spec, gst)
         assert yj.shape == yg.shape
         np.testing.assert_allclose(np.asarray(yj), yg, atol=2e-4)
+
+
+def test_mid_layer_dense_cached_pallas_interpret_matches_jnp():
+    """A MID-network dense_cached flip (what scripts/optimize_policy.py
+    ships via POLICY files) through the PALLAS kernel path: the flipped
+    layer's producers/consumers are lane-padded pallas Features with
+    dirty hints — a different input contract than the layer-0 stem the
+    other dense_cached tests cover. The jnp backend is the oracle."""
+    from cbinfer_tpu.runner import scan_video
+
+    specs = [
+        ConvSpec(features=8, threshold=0.02),
+        PoolSpec(threshold=0.02),
+        ConvSpec(features=8, threshold=0.02),
+        ConvSpec(features=5, kernel=(1, 1), activation=None,
+                 threshold=0.02),
+    ]
+    in_shape = (16, 24, 3)
+    params = init_params(specs, in_shape, jax.random.PRNGKey(3))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=16, width=24, seed=11, n_sprites=1, sprite_size=5)).clip(4))
+    over = {0: "dense_cached", 2: "dense_cached"}  # stem AND mid layer
+    netp = convert(specs, in_shape, PipelineConfig(
+        tile=TileConfig(8, 8), backend="pallas", interpret=True),
+        backend_overrides=over)
+    netj = convert(specs, in_shape, PipelineConfig(
+        tile=TileConfig(8, 8), backend="jnp"), backend_overrides=over)
+    netj_plain = convert(specs, in_shape, PipelineConfig(
+        tile=TileConfig(8, 8), backend="jnp"))
+    ysp, stp, _ = scan_video(netp, params, clip)
+    ysj, stj, _ = scan_video(netj, params, clip)
+    ysn, _, _ = scan_video(netj_plain, params, clip)
+    np.testing.assert_allclose(np.asarray(ysp), np.asarray(ysj), atol=1e-5)
+    # the flip is accuracy-neutral (superset recompute, same tau
+    # semantics): outputs match the no-override net too
+    np.testing.assert_allclose(np.asarray(ysp), np.asarray(ysn), atol=1e-5)
+    # and the flipped layer's caches agree across backends (logical lanes)
+    oc_p = np.asarray(stp[2].out_cache)[..., :8]
+    oc_j = np.asarray(stj[2].out_cache)
+    np.testing.assert_allclose(oc_p[:oc_j.shape[0], :oc_j.shape[1]], oc_j,
+                               atol=1e-5)
