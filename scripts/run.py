@@ -4,6 +4,7 @@ Examples:
   python scripts/run.py --model scene --height 360 --width 640 --frames 32
   python scripts/run.py --model seg --backend pallas --tau 0.04 --bf16
   python scripts/run.py --model scene --tune --budget 0.005
+  python scripts/run.py --video cam.y4m --model scene   # real footage
 """
 
 import argparse
@@ -44,6 +45,11 @@ def main(argv=None):
                     help="run the threshold auto-tuner first")
     ap.add_argument("--budget", type=float, default=0.005)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--video", default=None, metavar="PATH",
+                    help="real footage instead of synthetic sprites: .y4m "
+                         "(uncompressed YUV4MPEG2 — `ffmpeg -i in.mp4 "
+                         "out.y4m`) or .npy/.npz (T,H,W,3) clip; "
+                         "--height/--width are taken from the file")
     ap.add_argument("--json", action="store_true", help="JSON-only output")
     args = ap.parse_args(argv)
 
@@ -68,6 +74,15 @@ def main(argv=None):
     cfg = PipelineConfig(tile=TileConfig(args.tile, args.tile),
                          backend=backend, compute_dtype=dtype,
                          cache_dtype=dtype)
+    if args.video:
+        from cbinfer_tpu.fileio import open_video
+        video = open_video(args.video, loop=True)
+        args.height, args.width = video.height, video.width
+    else:
+        video = SpriteVideo(SpriteVideoConfig(
+            height=args.height, width=args.width, n_sprites=4,
+            sprite_size=max(16, args.height // 15), speed=4.0,
+            noise_std=0.002, seed=args.seed))
     in_shape = (args.height, args.width, 3)
     net = convert(specs, in_shape, cfg,
                   dense_layers=[0] if args.stem == "dense" else [],
@@ -77,10 +92,6 @@ def main(argv=None):
                                                    3), cfg)[0]
                       if args.stem == "flagship" else None))
     params = init_params(specs, in_shape, jax.random.PRNGKey(args.seed))
-    video = SpriteVideo(SpriteVideoConfig(
-        height=args.height, width=args.width, n_sprites=4,
-        sprite_size=max(16, args.height // 15), speed=4.0, noise_std=0.002,
-        seed=args.seed))
     clip = jnp.asarray(video.clip(args.frames))
 
     n_cb = num_cb_layers(net.specs)
