@@ -250,7 +250,8 @@ class CBGraphNet:
 
 def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
                            output: Optional[str] = None,
-                           thresholds: Optional[Sequence[float]] = None
+                           thresholds: Optional[Sequence[float]] = None,
+                           extra_overrides: Optional[Dict[str, str]] = None
                            ) -> CBGraphNet:
     """Convert a DAG with the shipped layer policy — the graph twin of
     convert.convert_flagship (VERDICT r2 missing #3), so the faithful
@@ -267,6 +268,11 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
     * aligned pools (window == stride) run hint-forwarded (fused kernel).
 
     ``thresholds`` is sized by the CONVERTED graph's CB-layer count.
+    ``extra_overrides`` maps node NAME -> backend, layered on top of the
+    policy above (extra wins) — the hook the measured per-layer policy
+    optimizer uses (scripts/optimize_policy.py; sequential twin:
+    convert.convert_flagship). Overrides never change the CB-layer count,
+    so tuned tau files stay valid.
     """
     from .layers import LANE
     from .netview import NetView
@@ -290,6 +296,13 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
             spec = dataclasses.replace(spec, forward_hint=True)
         if spec is not n.spec:
             nodes[i] = dataclasses.replace(n, spec=spec)
+    if extra_overrides:
+        by_name = {n.name: i for i, n in enumerate(nodes)}
+        for name, backend in extra_overrides.items():
+            i = by_name[name]
+            nodes[i] = dataclasses.replace(
+                nodes[i], spec=dataclasses.replace(nodes[i].spec,
+                                                   backend=backend))
     return convert_graph(nodes, in_shape, cfg, output=output,
                          thresholds=thresholds)
 

@@ -59,7 +59,17 @@ def main(argv=None):
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
     nodes, out_name = pose_graph(width=args.width_mult)
-    net = convert_graph_flagship(nodes, (H, W, 3), cfg, output=out_name)
+    # measured per-layer backend policy (scripts/optimize_policy.py),
+    # accuracy-neutral by construction — node-name-keyed overrides
+    extra, policy_src = None, "none"
+    ppath = "/root/repo/POLICY_pose_graph.json"
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            _pol = json.load(f).get("overrides") or {}
+        if _pol:
+            extra, policy_src = dict(_pol), ppath
+    net = convert_graph_flagship(nodes, (H, W, 3), cfg, output=out_name,
+                                 extra_overrides=extra)
     params = init_graph_params(nodes, (H, W, 3), jax.random.PRNGKey(0))
     weights = "random(PRNGKey 0)"
     try:
@@ -161,6 +171,7 @@ def main(argv=None):
         **gt,
         "overflow_frames": overflows,
         "backend": cfg.backend,
+        "backend_policy": policy_src,
     }
     print(json.dumps(row), flush=True)
     out = "/root/repo/RESULTS.json"

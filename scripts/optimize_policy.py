@@ -17,7 +17,9 @@ mask from the same accepted cache, and out_cache == f(in_cache) holds for
 both modes (golden.py invariant), so the tuned tau file stays valid.
 
 Writes POLICY_{model}.json: accepted overrides + before/after fps.
-Usage: python scripts/optimize_policy.py [scene|seg|pose] [--min-gain g]
+Sequential models key overrides by spec INDEX (convert_flagship
+extra_overrides); pose_graph keys by node NAME (convert_graph_flagship).
+Usage: python scripts/optimize_policy.py [scene|seg|pose|pose_graph]
 """
 
 import argparse
@@ -49,17 +51,19 @@ from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
 NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
        "seg": "/root/repo/ckpts/seg_w64.npz",
-       "pose": "/root/repo/ckpts/pose_w64.npz"}
+       "pose": "/root/repo/ckpts/pose_w64.npz",
+       "pose_graph": "/root/repo/ckpts/pose_graph_w64.npz"}
 TAU = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
        "seg": "/root/repo/ckpts/seg_w64_tau.json",
-       "pose": "/root/repo/ckpts/pose_w64_tau.json"}
-WIDTH = {"scene": 128, "seg": 64, "pose": 64}
+       "pose": "/root/repo/ckpts/pose_w64_tau.json",
+       "pose_graph": "/root/repo/ckpts/pose_graph_w64_tau.json"}
+WIDTH = {"scene": 128, "seg": 64, "pose": 64, "pose_graph": 64}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model", nargs="?", default="pose",
-                    choices=("scene", "seg", "pose"))
+                    choices=("scene", "seg", "pose", "pose_graph"))
     ap.add_argument("--h", type=int, default=720)
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--frames", type=int, default=32)
@@ -70,6 +74,10 @@ def main():
     ap.add_argument("--min-gain", type=float, default=0.03,
                     help="relative fps gain required to accept a flip "
                     "(must exceed residual window-to-window noise)")
+    ap.add_argument("--max-layers", type=int, default=None,
+                    help="try only the N deepest candidate layers (each "
+                    "trial recompiles the whole net; deep low-res layers "
+                    "are where dense_cached wins live)")
     args = ap.parse_args()
 
     from cbinfer_tpu.models import get_model
@@ -77,11 +85,6 @@ def main():
 
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     H, W, T = args.h, args.w, args.frames
-    specs = get_model(args.model, width=WIDTH[args.model]) \
-        if args.model == "pose" else \
-        get_model(args.model, num_classes=8, width=WIDTH[args.model])
-    if isinstance(specs[-1], UpsampleSpec):
-        specs = specs[:-1]  # argmax-transparent (eval_headline.py note)
     cfg = PipelineConfig(
         # capacity 0.375 = bench.py/tune_model.py parity: the policy must
         # be measured in the same overflow/buffer regime that consumes it
@@ -90,14 +93,50 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
 
-    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
-    try:
-        params = load_npz_params(NPZ[args.model], params)
-    except Exception as e:
-        print(f"WARNING: random weights ({e})", file=sys.stderr)
+    if args.model == "pose_graph":
+        from cbinfer_tpu.checkpoint import load_npz_graph_params
+        from cbinfer_tpu.graph import (convert_graph_flagship,
+                                       init_graph_params)
+        from cbinfer_tpu.models.pose import pose_graph
+        nodes, out_name = pose_graph(width=WIDTH[args.model])
 
-    base_net = convert_flagship(specs, (H, W, 3), cfg)
-    n_cb = num_cb_layers(base_net.specs)
+        def make_net(extra):
+            return convert_graph_flagship(nodes, (H, W, 3), cfg,
+                                          output=out_name,
+                                          extra_overrides=extra or None)
+        params = init_graph_params(nodes, (H, W, 3), jax.random.PRNGKey(0))
+        try:
+            params = load_npz_graph_params(NPZ[args.model], params)
+        except Exception as e:
+            print(f"WARNING: random weights ({e})", file=sys.stderr)
+        base_net = make_net(None)
+        n_cb = base_net.num_cb_layers()
+        # candidate keys: CB conv NODES the flagship policy left on the
+        # default backend, deepest (latest in topo order) first
+        convs = [n.name for n in reversed(base_net.nodes)
+                 if isinstance(n.spec, ConvSpec) and n.spec.use_cb
+                 and n.spec.backend is None]
+    else:
+        specs = get_model(args.model, width=WIDTH[args.model]) \
+            if args.model == "pose" else \
+            get_model(args.model, num_classes=8, width=WIDTH[args.model])
+        if isinstance(specs[-1], UpsampleSpec):
+            specs = specs[:-1]  # argmax-transparent (eval_headline.py note)
+
+        def make_net(extra):
+            return convert_flagship(specs, (H, W, 3), cfg,
+                                    extra_overrides=extra or None)
+        params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+        try:
+            params = load_npz_params(NPZ[args.model], params)
+        except Exception as e:
+            print(f"WARNING: random weights ({e})", file=sys.stderr)
+        base_net = make_net(None)
+        n_cb = num_cb_layers(base_net.specs)
+        convs = [i for i, s in enumerate(base_net.specs)
+                 if isinstance(s, ConvSpec) and s.use_cb
+                 and s.backend is None]  # skip stem + dense tail
+        convs.sort(reverse=True)  # deepest first: low-res = bookkeeping
     try:
         with open(TAU[args.model]) as f:
             taus = json.load(f)["thresholds"]
@@ -136,8 +175,7 @@ def main():
         refresh-prolog policy). Median-of-N because single short windows
         on this tunnel swing ±20% (bench.py RTT-jitter note) — a greedy
         ratchet on one noisy sample compounds spurious accepts."""
-        net = convert_flagship(specs, (H, W, 3), cfg,
-                               extra_overrides=extra or None)
+        net = make_net(extra)
 
         def cb_chunk(p, st, fs, refresh):
             ys, st2, _ = scan_video(net, p, fs, state=st, thresholds=taus,
@@ -159,10 +197,8 @@ def main():
         vals.sort()
         return vals[len(vals) // 2]
 
-    convs = [i for i, s in enumerate(base_net.specs)
-             if isinstance(s, ConvSpec) and s.use_cb
-             and s.backend is None]  # skip stem (dense_cached) + dense tail
-    convs.sort(reverse=True)  # deepest first: low-res = bookkeeping-bound
+    if args.max_layers is not None:
+        convs = convs[:args.max_layers]
 
     base_fps = best = measure({})
     print(f"{args.model} {H}x{W}: flagship baseline {base_fps:.1f} fps "

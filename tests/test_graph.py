@@ -164,3 +164,28 @@ def test_pose_graph_builds_and_runs():
     assert y.shape == (8, 8, 10)
     yd = net.apply_dense(params, jnp.zeros((64, 64, 3)))
     np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=3e-4)
+
+
+def test_graph_flagship_extra_overrides():
+    """Node-name-keyed measured-policy overrides (optimize_policy's DAG
+    hook): layered on top of the flagship policy, win on conflicts, and
+    keep the CB-layer count (tuned tau files stay valid)."""
+    from cbinfer_tpu.graph import convert_graph_flagship
+    nodes, out = pose_graph(num_keypoints=4, num_pafs=6, width=8, stages=2)
+    base = convert_graph_flagship(nodes, (64, 64, 3), _cfg(), output=out)
+    net = convert_graph_flagship(
+        nodes, (64, 64, 3), _cfg(), output=out,
+        extra_overrides={"s1_paf_c1": "dense_cached"})
+    byname = {n.name: n.spec for n in net.nodes}
+    assert byname["s1_paf_c1"].backend == "dense_cached"
+    assert net.num_cb_layers() == base.num_cb_layers()
+    # overridden net still streams to the same values as the base net
+    params = init_graph_params(net.nodes, (64, 64, 3), jax.random.PRNGKey(6))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=64, width=64, seed=13, n_sprites=1, sprite_size=9)).clip(3))
+    from cbinfer_tpu.runner import scan_video
+    taus = jnp.full((net.num_cb_layers(),), 0.02, jnp.float32)
+    ys_a, _, _ = scan_video(base, params, clip, thresholds=taus)
+    ys_b, _, _ = scan_video(net, params, clip, thresholds=taus)
+    np.testing.assert_allclose(np.asarray(ys_a), np.asarray(ys_b),
+                               atol=1e-5)
