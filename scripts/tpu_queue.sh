@@ -1,0 +1,30 @@
+#!/bin/bash
+# On-chip work queue for when the axon tunnel returns (r3):
+#   1. measured per-layer backend policies (optimize_policy) for the
+#      weakest rows first (pose seq 2.24x, pose DAG 2.58x), then seg/scene
+#   2. regenerate RESULTS.json at the capacity-0.375 parity config
+#   3. bench.py sanity
+# Each step is timeout-bounded and logged; a step failing does not stop
+# the queue (the chip may wedge mid-queue — see memory notes).
+set -u
+cd /root/repo
+LOG=/root/repo/.queue_logs
+mkdir -p "$LOG"
+
+run() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ==="
+  timeout "$tmo" "$@" >"$LOG/$name.log" 2>&1
+  rc=$?
+  echo "--- $name rc=$rc; tail:"
+  tail -3 "$LOG/$name.log"
+}
+
+run policy_pose     3600 python scripts/optimize_policy.py pose
+run policy_seg      2400 python scripts/optimize_policy.py seg
+run policy_scene    1800 python scripts/optimize_policy.py scene
+run policy_dag      3600 python scripts/optimize_policy.py pose_graph --max-layers 12
+run eval_all        5400 python scripts/eval_headline.py all
+run bench_dag       1800 python scripts/bench_pose_graph.py
+run bench           1200 python bench.py
+echo "=== queue done $(date -u +%H:%M:%S) ==="
