@@ -1,0 +1,192 @@
+"""Workload zoo: one-call loading of the shipped model families.
+
+The reference ships pretrained torch models plus per-model threshold
+files and expects the user to wire them together by hand (SURVEY.md C17,
+[CB19 §VI]). Here a single registry maps each workload name to its
+architecture, in-repo-trained checkpoint, tuned threshold vector, and
+measured per-layer backend policy, so user code (and the repo's own
+bench/eval/tuning scripts) builds a ready-to-stream network in one call:
+
+    wl = zoo.load("pose", (720, 1280, 3), cfg)
+    ys, st, stats = scan_video(wl.net, wl.params, clip,
+                               thresholds=wl.taus)
+
+Missing artifacts degrade loudly-but-gracefully (random weights / default
+taus / no policy), with provenance recorded on the returned Workload —
+the same contract bench.py established for the headline run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .config import PipelineConfig, UpsampleSpec
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CK = os.path.join(_REPO, "ckpts")
+
+
+@dataclasses.dataclass(frozen=True)
+class _Entry:
+    kind: str                 # "sequential" | "graph"
+    width: int
+    metric: str               # "miou" | "pck"
+    npz: str
+    tau_json: str
+    policy_json: str
+    model_kwargs: Dict[str, Any]
+
+
+REGISTRY: Dict[str, _Entry] = {
+    "scene": _Entry("sequential", 128, "miou",
+                    f"{_CK}/scene_w128.npz", f"{_CK}/scene_w128_tau.json",
+                    f"{_REPO}/POLICY_scene.json",
+                    {"num_classes": 8}),
+    "scene_hard": _Entry("sequential", 128, "miou",
+                         f"{_CK}/scene_w128_hard.npz",
+                         f"{_CK}/scene_w128_hard_tau.json",
+                         f"{_REPO}/POLICY_scene_hard.json",
+                         {"num_classes": 8}),
+    "seg": _Entry("sequential", 64, "miou",
+                  f"{_CK}/seg_w64.npz", f"{_CK}/seg_w64_tau.json",
+                  f"{_REPO}/POLICY_seg.json",
+                  {"num_classes": 8}),
+    "pose": _Entry("sequential", 64, "pck",
+                   f"{_CK}/pose_w64.npz", f"{_CK}/pose_w64_tau.json",
+                   f"{_REPO}/POLICY_pose.json", {}),
+    "pose_graph": _Entry("graph", 64, "pck",
+                         f"{_CK}/pose_graph_w64.npz",
+                         f"{_CK}/pose_graph_w64_tau.json",
+                         f"{_REPO}/POLICY_pose_graph.json", {}),
+}
+
+
+@dataclasses.dataclass
+class Workload:
+    name: str
+    kind: str                      # "sequential" | "graph"
+    net: Any                       # CBNet | CBGraphNet (flagship policy)
+    specs: Any                     # layer specs (sequential) | nodes (graph)
+    params: Any
+    taus: List[float]
+    refresh_every: Optional[int]
+    metric: str                    # "miou" | "pck"
+    # provenance (bench.py contract: a random-weights or default-tau run
+    # must be visible, never silent)
+    weights: str
+    tau_source: str
+    policy_source: str
+    warnings: List[str]
+
+    @property
+    def upsample_scale(self) -> Optional[Tuple[int, int]]:
+        """Scale of a stripped trailing upsample (see ``load``), else
+        None. Callers reproduce it as argmax-then-upsample of the class
+        map (provably identical for nearest upsample)."""
+        return getattr(self, "_up_scale", None)
+
+
+def names() -> List[str]:
+    return list(REGISTRY)
+
+
+def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
+         cfg: Optional[PipelineConfig] = None,
+         tau: Optional[float] = None,
+         apply_policy: bool = True,
+         strip_trailing_upsample: bool = True,
+         seed: int = 0) -> Workload:
+    """Build the flagship-converted network for a registered workload with
+    its trained weights, tuned thresholds, and measured backend policy.
+
+    ``tau`` overrides the tuned vector with a flat value. With
+    ``strip_trailing_upsample`` (default), a trailing nearest
+    ``UpsampleSpec`` is removed and recorded as ``upsample_scale`` — it is
+    argmax-transparent and XLA lane-pads the full-res logits stack 16x
+    (eval_headline.py note); callers that need full-res output upsample
+    the uint8 class map instead.
+    """
+    import jax
+
+    if name not in REGISTRY:
+        raise KeyError(f"unknown workload {name!r} (have: {names()})")
+    e = REGISTRY[name]
+    cfg = cfg or PipelineConfig()
+    warnings: List[str] = []
+    policy_src, extra = "none", None
+    if apply_policy and os.path.exists(e.policy_json):
+        with open(e.policy_json) as f:
+            pol = json.load(f).get("overrides") or {}
+        if pol:
+            policy_src = e.policy_json
+            extra = ({int(k): v for k, v in pol.items()}
+                     if e.kind == "sequential" else dict(pol))
+
+    if e.kind == "graph":
+        from .checkpoint import load_npz_graph_params
+        from .graph import convert_graph_flagship, init_graph_params
+        from .models.pose import pose_graph
+        nodes, out_name = pose_graph(width=e.width, **e.model_kwargs)
+        net = convert_graph_flagship(nodes, in_shape, cfg, output=out_name,
+                                     extra_overrides=extra)
+        params = init_graph_params(nodes, in_shape,
+                                   jax.random.PRNGKey(seed))
+        weights = f"random(PRNGKey {seed})"
+        try:
+            params = load_npz_graph_params(e.npz, params)
+            weights = "trained(npz)"
+        except Exception as exc:
+            warnings.append(f"no trained weights ({exc})")
+        specs = nodes
+        n_cb = net.num_cb_layers()
+        up_scale = None
+    else:
+        from .checkpoint import load_npz_params
+        from .convert import convert_flagship, num_cb_layers
+        from .models import get_model
+        base = name[:-5] if name.endswith("_hard") else name
+        specs = get_model(base, width=e.width, **e.model_kwargs)
+        up_scale = None
+        if strip_trailing_upsample and isinstance(specs[-1], UpsampleSpec):
+            up_scale = specs[-1].scale
+            specs = specs[:-1]
+        net = convert_flagship(specs, in_shape, cfg, extra_overrides=extra)
+        params = init_params_seq(specs, in_shape, seed)
+        weights = f"random(PRNGKey {seed})"
+        try:
+            params = load_npz_params(e.npz, params)
+            weights = "trained(npz)"
+        except Exception as exc:
+            warnings.append(f"no trained weights ({exc})")
+        n_cb = num_cb_layers(net.specs)
+
+    refresh = None
+    if tau is not None:
+        taus, tau_src = [float(tau)] * n_cb, f"fixed({tau})"
+    else:
+        try:
+            with open(e.tau_json) as f:
+                d = json.load(f)
+            taus = [float(t) for t in d["thresholds"]]
+            assert len(taus) == n_cb, (len(taus), n_cb)
+            refresh = d.get("metadata", {}).get("refresh_every")
+            tau_src = "tuned"
+        except Exception as exc:
+            warnings.append(f"no tuned thresholds ({exc}); tau=0.04")
+            taus, tau_src = [0.04] * n_cb, "fixed(0.04)"
+
+    wl = Workload(name=name, kind=e.kind, net=net, specs=specs,
+                  params=params, taus=taus, refresh_every=refresh,
+                  metric=e.metric, weights=weights, tau_source=tau_src,
+                  policy_source=policy_src, warnings=warnings)
+    wl._up_scale = up_scale
+    return wl
+
+
+def init_params_seq(specs: Sequence, in_shape, seed: int):
+    import jax
+    from .network import init_params
+    return init_params(specs, in_shape, jax.random.PRNGKey(seed))

@@ -27,25 +27,12 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+from cbinfer_tpu import zoo
 from cbinfer_tpu.config import PipelineConfig, TileConfig
-from cbinfer_tpu.convert import convert_flagship, num_cb_layers
-from cbinfer_tpu.checkpoint import load_npz_params, load_thresholds
 from cbinfer_tpu.metrics import effective_flops, miou, miou_labels, pck
 from cbinfer_tpu.network import out_shapes
-from cbinfer_tpu.models import get_model
-from cbinfer_tpu.network import init_params
 from cbinfer_tpu.runner import scan_video
 from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
-
-NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
-       "seg": "/root/repo/ckpts/seg_w64.npz",
-       "pose": "/root/repo/ckpts/pose_w64.npz",
-       "scene_hard": "/root/repo/ckpts/scene_w128_hard.npz"}
-TAU_JSON = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
-            "seg": "/root/repo/ckpts/seg_w64_tau.json",
-            "pose": "/root/repo/ckpts/pose_w64_tau.json",
-            "scene_hard": "/root/repo/ckpts/scene_w128_hard_tau.json"}
-
 
 def sync(v):
     return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
@@ -57,22 +44,6 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     # "<model>_hard" = same architecture, low-contrast video palette
     # (video.CLASS_PALETTE_HARD) and its own trained ckpt/taus
     palette = "hard" if name.endswith("_hard") else "default"
-    base = name[:-5] if name.endswith("_hard") else name
-    specs = get_model(base, num_classes=classes, width=width) \
-        if base != "pose" else get_model(base, width=width)
-    # Benchmark at the pre-upsample grid (see scripts/tune_model.py): a
-    # trailing nearest upsample is argmax-transparent and its full-res
-    # logits stack is lane-padded 16x by XLA (OOM at 720p x 96 frames).
-    from cbinfer_tpu.config import UpsampleSpec
-    eval_grid_note, up_scale = None, None
-    if isinstance(specs[-1], UpsampleSpec):
-        up_scale = specs[-1].scale
-        specs = specs[:-1]
-        eval_grid_note = (
-            "trailing nearest upsample executed as argmax-then-upsample "
-            "(identical class map by argmax-transparency; avoids the 16x "
-            "lane-pad of full-res logits) INSIDE the timed loop for both "
-            "paths; GT mIoU scored at full resolution")
     # capacity 0.375 = bench.py/tune_model.py parity (the tuned taus were
     # calibrated under this buffer bound; TileConfig default is 1.0)
     cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.375),
@@ -85,30 +56,23 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     # methodology helper — median of 5, see cbinfer_tpu/benchmark.py)
     from cbinfer_tpu.benchmark import measure_sync_overhead
     sync_overhead = measure_sync_overhead()
-    # Flagship config (bench.py parity); the tuned tau files were
-    # calibrated against this construction. A measured per-layer backend
-    # policy (scripts/optimize_policy.py) layers on top when present —
-    # accuracy-neutral by construction (dense_cached keeps the accepted-
-    # cache tau semantics and recomputes a superset of the CB mask), so
-    # the tuned tau files stay valid.
-    policy_src, extra = None, None
-    ppath = f"/root/repo/POLICY_{name}.json"
-    if os.path.exists(ppath):
-        with open(ppath) as f:
-            pol = json.load(f)
-        if pol.get("overrides"):
-            extra = {int(k): v for k, v in pol["overrides"].items()}
-            policy_src = ppath
-    net = convert_flagship(specs, (H, W, 3), cfg, extra_overrides=extra)
-    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
-    weights = "random(PRNGKey 0)"
-    if name in NPZ:
-        try:
-            params = load_npz_params(NPZ[name], params)
-            weights = "trained(npz)"
-        except Exception as e:
-            print(f"eval: WARNING no trained weights for {name} ({e}); "
-                  "using random init", file=sys.stderr)
+    # One-call workload build (cbinfer_tpu/zoo.py): flagship construction
+    # (bench.py parity — the tuned tau files were calibrated against it),
+    # trained weights, tuned taus, and any measured POLICY_{name}.json
+    # backend policy (scripts/optimize_policy.py; accuracy-neutral by
+    # construction). A trailing nearest upsample is stripped and rerun as
+    # argmax-then-upsample INSIDE the timed loops (argmax-transparent;
+    # the full-res logits stack is lane-padded 16x by XLA -> OOM).
+    wl = zoo.load(name, (H, W, 3), cfg, tau=tau)
+    for wmsg in wl.warnings:
+        print(f"eval: WARNING {name}: {wmsg}", file=sys.stderr)
+    net, params, weights = wl.net, wl.params, wl.weights
+    up_scale = wl.upsample_scale
+    eval_grid_note = None if up_scale is None else (
+        "trailing nearest upsample executed as argmax-then-upsample "
+        "(identical class map by argmax-transparency; avoids the 16x "
+        "lane-pad of full-res logits) INSIDE the timed loop for both "
+        "paths; GT mIoU scored at full resolution")
     # per-RUN unique seed: the runtime memoizes identical dispatches across
     # processes (bench.py), so a fixed clip inflates fps on re-runs. The
     # metric therefore varies slightly run-to-run (same sprite statistics).
@@ -131,19 +95,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     for c in clips + [warm_clip]:
         _ = float(jnp.sum(c))
 
-    n_cb = num_cb_layers(net.specs)
-    tau_list, tau_src, refresh = [tau] * n_cb, f"fixed({tau})", 32
-    if tau is None:
-        try:
-            with open(TAU_JSON[name]) as f:
-                d = json.load(f)
-            tau_list, tau_src = d["thresholds"], "tuned"
-            refresh = d.get("metadata", {}).get("refresh_every", 32)
-        except Exception as e:
-            print(f"eval: no tuned taus for {name} ({e}); tau=0.04",
-                  file=sys.stderr)
-            tau_list, tau_src = [0.04] * n_cb, "fixed(0.04)"
-    assert len(tau_list) == n_cb
+    tau_list, tau_src = wl.taus, wl.tau_source
     taus = jnp.asarray(tau_list, jnp.float32)
 
     # No host-side ops on big arrays in the timed loop (`c + eps` costs
@@ -187,7 +139,6 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     # deployment refresh policy (bench.py parity): cond-free refresh_start
     # prolog on every other chunk (interval 2T; a per-frame lax.cond on the
     # multi-GB carry costs 6-11 ms per refresh frame)
-    del refresh
     cb_refresh = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv, refresh_start=True),
@@ -272,9 +223,8 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     }
     if eval_grid_note:
         row["grid_caveat"] = eval_grid_note
-    if policy_src:
-        row["backend_policy"] = {"source": policy_src,
-                                 "overrides": pol["overrides"]}
+    if wl.policy_source != "none":
+        row["backend_policy"] = wl.policy_source
     print(json.dumps(row), flush=True)
     return row
 

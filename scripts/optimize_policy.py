@@ -41,29 +41,17 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig, \
-    UpsampleSpec
-from cbinfer_tpu.convert import convert_flagship, num_cb_layers
-from cbinfer_tpu.checkpoint import load_npz_params
-from cbinfer_tpu.network import init_params
+from cbinfer_tpu import zoo
+from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig
+from cbinfer_tpu.convert import convert_flagship
 from cbinfer_tpu.runner import scan_video
 from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
-
-NPZ = {"scene": "/root/repo/ckpts/scene_w128.npz",
-       "seg": "/root/repo/ckpts/seg_w64.npz",
-       "pose": "/root/repo/ckpts/pose_w64.npz",
-       "pose_graph": "/root/repo/ckpts/pose_graph_w64.npz"}
-TAU = {"scene": "/root/repo/ckpts/scene_w128_tau.json",
-       "seg": "/root/repo/ckpts/seg_w64_tau.json",
-       "pose": "/root/repo/ckpts/pose_w64_tau.json",
-       "pose_graph": "/root/repo/ckpts/pose_graph_w64_tau.json"}
-WIDTH = {"scene": 128, "seg": 64, "pose": 64, "pose_graph": 64}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("model", nargs="?", default="pose",
-                    choices=("scene", "seg", "pose", "pose_graph"))
+                    choices=tuple(zoo.names()))
     ap.add_argument("--h", type=int, default=720)
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--frames", type=int, default=32)
@@ -80,7 +68,6 @@ def main():
                     "are where dense_cached wins live)")
     args = ap.parse_args()
 
-    from cbinfer_tpu.models import get_model
     from cbinfer_tpu.benchmark import devices_or_die, measure_sync_overhead
 
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
@@ -93,58 +80,33 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
 
-    if args.model == "pose_graph":
-        from cbinfer_tpu.checkpoint import load_npz_graph_params
-        from cbinfer_tpu.graph import (convert_graph_flagship,
-                                       init_graph_params)
-        from cbinfer_tpu.models.pose import pose_graph
-        nodes, out_name = pose_graph(width=WIDTH[args.model])
+    # zoo gives architecture + trained weights + tuned taus in one call;
+    # apply_policy=False — THIS script is what writes the policy
+    wl = zoo.load(args.model, (H, W, 3), cfg, apply_policy=False)
+    for wmsg in wl.warnings:
+        print(f"WARNING: {wmsg}", file=sys.stderr)
+    params, base_net = wl.params, wl.net
+    if wl.kind == "graph":
+        from cbinfer_tpu.graph import convert_graph_flagship
 
         def make_net(extra):
-            return convert_graph_flagship(nodes, (H, W, 3), cfg,
-                                          output=out_name,
-                                          extra_overrides=extra or None)
-        params = init_graph_params(nodes, (H, W, 3), jax.random.PRNGKey(0))
-        try:
-            params = load_npz_graph_params(NPZ[args.model], params)
-        except Exception as e:
-            print(f"WARNING: random weights ({e})", file=sys.stderr)
-        base_net = make_net(None)
-        n_cb = base_net.num_cb_layers()
+            return convert_graph_flagship(
+                wl.specs, (H, W, 3), cfg, output=base_net.output,
+                extra_overrides=extra or None)
         # candidate keys: CB conv NODES the flagship policy left on the
         # default backend, deepest (latest in topo order) first
         convs = [n.name for n in reversed(base_net.nodes)
                  if isinstance(n.spec, ConvSpec) and n.spec.use_cb
                  and n.spec.backend is None]
     else:
-        specs = get_model(args.model, width=WIDTH[args.model]) \
-            if args.model == "pose" else \
-            get_model(args.model, num_classes=8, width=WIDTH[args.model])
-        if isinstance(specs[-1], UpsampleSpec):
-            specs = specs[:-1]  # argmax-transparent (eval_headline.py note)
-
         def make_net(extra):
-            return convert_flagship(specs, (H, W, 3), cfg,
+            return convert_flagship(wl.specs, (H, W, 3), cfg,
                                     extra_overrides=extra or None)
-        params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
-        try:
-            params = load_npz_params(NPZ[args.model], params)
-        except Exception as e:
-            print(f"WARNING: random weights ({e})", file=sys.stderr)
-        base_net = make_net(None)
-        n_cb = num_cb_layers(base_net.specs)
         convs = [i for i, s in enumerate(base_net.specs)
                  if isinstance(s, ConvSpec) and s.use_cb
                  and s.backend is None]  # skip stem + dense tail
         convs.sort(reverse=True)  # deepest first: low-res = bookkeeping
-    try:
-        with open(TAU[args.model]) as f:
-            taus = json.load(f)["thresholds"]
-        assert len(taus) == n_cb, (len(taus), n_cb)
-    except Exception as e:
-        print(f"WARNING: fixed tau 0.04 ({e})", file=sys.stderr)
-        taus = [0.04] * n_cb
-    taus = jnp.asarray(taus, jnp.float32)
+    taus = jnp.asarray(wl.taus, jnp.float32)
 
     sync_overhead = measure_sync_overhead() if on_tpu else 0.0
     run_seed = int(time.time() * 1e3) % 100000
@@ -233,7 +195,7 @@ def main():
            "chunks": args.chunks, "reps": args.reps,
            "backend": cfg.backend,
            "capacity_fraction": cfg.tile.capacity_fraction,
-           "tau_source": TAU[args.model], "seed": run_seed,
+           "tau_source": wl.tau_source, "seed": run_seed,
            "baseline_fps": round(base2, 1), "final_fps": round(final_fps, 1),
            "greedy_fps": {"baseline": round(base_fps, 1),
                           "best": round(best, 1)},

@@ -1,0 +1,68 @@
+"""Workload zoo: one-call loading of the shipped model families."""
+
+import dataclasses
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cbinfer_tpu import zoo
+from cbinfer_tpu.config import PipelineConfig, TileConfig
+
+
+def _cfg():
+    return PipelineConfig(tile=TileConfig(8, 8), backend="jnp",
+                          compute_dtype="float32", cache_dtype="float32")
+
+
+@pytest.mark.parametrize("name", zoo.names())
+def test_load_all_registered(name):
+    wl = zoo.load(name, (96, 128, 3), _cfg())
+    assert wl.kind in ("sequential", "graph")
+    assert len(wl.taus) > 0 and wl.metric in ("miou", "pck")
+    # trained ckpts + tuned taus exist in-repo for every registered family
+    assert wl.weights == "trained(npz)", wl.warnings
+    assert wl.tau_source == "tuned", wl.warnings
+
+
+def test_zoo_scene_streams():
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    wl = zoo.load("scene", (96, 128, 3), _cfg())
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=96, width=128, seed=5, n_sprites=2)).clip(3))
+    ys, st, stats = scan_video(wl.net, wl.params, clip,
+                               thresholds=jnp.asarray(wl.taus, jnp.float32))
+    assert ys.shape[0] == 3
+
+
+def test_zoo_flat_tau_and_upsample_strip():
+    wl = zoo.load("seg", (96, 128, 3), _cfg(), tau=0.02)
+    assert wl.tau_source == "fixed(0.02)"
+    assert all(t == 0.02 for t in wl.taus)
+    # seg's trailing nearest upsample is stripped and recorded
+    assert wl.upsample_scale is not None
+    full = zoo.load("seg", (96, 128, 3), _cfg(),
+                    strip_trailing_upsample=False)
+    assert full.upsample_scale is None
+
+
+def test_zoo_policy_applied(tmp_path, monkeypatch):
+    pol = tmp_path / "POLICY_scene.json"
+    pol.write_text(json.dumps({"overrides": {"4": "dense_cached"}}))
+    e = zoo.REGISTRY["scene"]
+    monkeypatch.setitem(zoo.REGISTRY, "scene",
+                        dataclasses.replace(e, policy_json=str(pol)))
+    wl = zoo.load("scene", (96, 128, 3), _cfg())
+    assert wl.policy_source == str(pol)
+    assert wl.net.specs[4].backend == "dense_cached"
+    off = zoo.load("scene", (96, 128, 3), _cfg(), apply_policy=False)
+    assert off.policy_source == "none"
+    assert off.net.specs[4].backend is None
+
+
+def test_zoo_unknown_name():
+    with pytest.raises(KeyError, match="unknown workload"):
+        zoo.load("resnet50")
