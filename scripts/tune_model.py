@@ -26,23 +26,9 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-MODELS = {
-    # name -> (width, npz weights, tau json)
-    "scene": (128, "/root/repo/ckpts/scene_w128.npz",
-              "/root/repo/ckpts/scene_w128_tau.json"),
-    "seg": (64, "/root/repo/ckpts/seg_w64.npz",
-            "/root/repo/ckpts/seg_w64_tau.json"),
-    "pose": (64, "/root/repo/ckpts/pose_w64.npz",
-             "/root/repo/ckpts/pose_w64_tau.json"),
-    # the faithful concat-DAG topology (graph.CBGraphNet)
-    "pose_graph": (64, "/root/repo/ckpts/pose_graph_w64.npz",
-                   "/root/repo/ckpts/pose_graph_w64_tau.json"),
-    # scene trained on the LOW-CONTRAST palette (video.CLASS_PALETTE_HARD):
-    # the calibration task whose margins are narrow enough that the tuned
-    # tau vector is non-trivial (below grid saturation, non-uniform)
-    "scene_hard": (128, "/root/repo/ckpts/scene_w128_hard.npz",
-                   "/root/repo/ckpts/scene_w128_hard_tau.json"),
-}
+# registry (paths/widths) lives in cbinfer_tpu/zoo.py — one source of
+# truth shared with bench/eval/optimize_policy
+from cbinfer_tpu import zoo
 
 
 def main():
@@ -57,7 +43,8 @@ def main():
 
     name = sys.argv[1] if len(sys.argv) > 1 else "scene"
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 0.005
-    width, npz, tau_json = MODELS[name]
+    e = zoo.REGISTRY[name]
+    width, npz, tau_json = e.width, e.npz, e.tau_json
     NUM_CLASSES = 8
 
     # T=96: the calibration horizon must cover STEADY-STATE drift — the
