@@ -66,3 +66,17 @@ def test_zoo_policy_applied(tmp_path, monkeypatch):
 def test_zoo_unknown_name():
     with pytest.raises(KeyError, match="unknown workload"):
         zoo.load("resnet50")
+
+
+def test_zoo_missing_artifacts_degrade_loudly(tmp_path, monkeypatch):
+    """Missing checkpoint/tau files fall back to random weights / default
+    taus with provenance + warnings recorded — never silently."""
+    e = zoo.REGISTRY["scene"]
+    monkeypatch.setitem(
+        zoo.REGISTRY, "scene",
+        dataclasses.replace(e, npz=str(tmp_path / "missing.npz"),
+                            tau_json=str(tmp_path / "missing.json")))
+    wl = zoo.load("scene", (96, 128, 3), _cfg())
+    assert wl.weights.startswith("random")
+    assert wl.tau_source == "fixed(0.04)"
+    assert len(wl.warnings) == 2
