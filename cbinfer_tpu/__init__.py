@@ -12,5 +12,7 @@ ops/delta_conv.py).
 """
 
 from . import config  # noqa: F401
+from . import fileio  # noqa: F401  (numpy-only; real-footage readers)
+from . import zoo     # noqa: F401  (registry only; models load lazily)
 
 __version__ = "0.1.0"
