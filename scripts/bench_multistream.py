@@ -50,7 +50,8 @@ def main(argv=None):
     import bench as _bench
 
     H, W, T, S = args.height, args.width, args.frames, args.streams
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     specs = get_model("scene", num_classes=8, width=128)
     cfg = PipelineConfig(
         tile=TileConfig(8, 8, capacity_fraction=0.375),

@@ -52,7 +52,8 @@ def main(argv=None):
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
     H, W, T = args.height, args.width, args.frames
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     cfg = PipelineConfig(
         tile=TileConfig(8, 8, capacity_fraction=0.375),
         backend="pallas" if on_tpu else "jnp",

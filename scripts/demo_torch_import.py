@@ -62,7 +62,8 @@ def main():
     print("walked specs:", [type(s).__name__ for s in specs])
 
     # --- convert + stream ---
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.5),
                          backend="pallas" if on_tpu else "jnp")
     net = convert_flagship(specs, (H, W, 3), cfg)

@@ -40,7 +40,8 @@ def sync(v):
 
 def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
                 classes=8, width=128, chunks=2, cache_dtype=None):
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     # "<model>_hard" = same architecture, low-contrast video palette
     # (video.CLASS_PALETTE_HARD) and its own trained ckpt/taus
     palette = "hard" if name.endswith("_hard") else "default"

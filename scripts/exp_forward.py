@@ -48,7 +48,8 @@ def main():
     W = int(sys.argv[3]) if len(sys.argv) > 3 else 1280
     T, chunks = 32, 2
     width = {"seg": 64, "pose": 64, "scene": 128}[name]
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     specs = (get_model(name, width=width) if name == "pose"
              else get_model(name, num_classes=8, width=width))
     if isinstance(specs[-1], UpsampleSpec):

@@ -38,7 +38,8 @@ def main():
 
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     H, W, T, CHUNKS = 720, 1280, 32, 2
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     backend = "pallas" if on_tpu else "jnp"
     specs = get_model("scene", num_classes=8, width=128)
     params, wsrc = _bench._load_params(specs, (H, W, 3))

@@ -70,7 +70,8 @@ def main(argv=None):
     import bench as _bench  # weight/threshold loaders (repo root on path)
 
     H, W, T = args.height, args.width, args.frames
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     backend = "pallas" if on_tpu else "jnp"
     specs = get_model(args.model, num_classes=8, width=args.width_mult)
     cfg = PipelineConfig(

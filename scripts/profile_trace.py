@@ -89,7 +89,8 @@ def main():
     width = int(sys.argv[2]) if len(sys.argv) > 2 else (
         128 if name == "scene" else 64)
     H, W, T = (720, 1280, 12) if name == "pose" else (720, 1280, 24)
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     specs = (get_model(name, width=width) if name == "pose"
              else get_model(name, num_classes=8, width=width))
     if isinstance(specs[-1], UpsampleSpec):

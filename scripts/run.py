@@ -63,7 +63,8 @@ def main(argv=None):
     from cbinfer_tpu.tuner import tune
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     backend = args.backend or ("pallas" if on_tpu else "jnp")
     dtype = "bfloat16" if args.bf16 else "float32"
     # pose_cnn has a fixed two-branch head (PAF + heatmap), no num_classes

@@ -55,7 +55,8 @@ def main():
     H, W, T = 720, 1280, 96
     if name.startswith("pose"):
         H, W = 360, 640  # 21+ CB layers: 720p sweeps take hours
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
+    on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     backend = "pallas" if on_tpu else "jnp"
 
     cfg = PipelineConfig(
