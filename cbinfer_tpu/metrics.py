@@ -390,3 +390,52 @@ def change_rate_histogram(stats: List[Dict]) -> List[Dict[str, float]]:
             "overflow_rate": float(np.mean(np.asarray(s["overflow"]))),
         })
     return out
+
+
+def drift_bound(specs: Sequence, params, thresholds) -> float:
+    """Analytic worst-case steady-state output drift of the CB network vs
+    its dense twin, in per-channel max-abs units.
+
+    The accepted-cache rule (arXiv 1704.04313 §3.1: the comparison
+    baseline is the last ACCEPTED value) bounds each CB layer's input
+    error by its threshold: any pixel whose drift exceeds tau_l is
+    recomputed, so accepted per-channel drift is <= tau_l on top of
+    whatever error the producer already carries. Error propagates through
+    a conv as the max-over-outputs L1 norm of the kernel (ReLU and
+    max-pool are 1-Lipschitz in the max norm; nearest upsample is exact):
+
+        e_out = gain_l * (e_in + tau_l)   [conv]
+        e_out = e_in + tau_l              [pool]
+
+    The bound is loose (worst case aligns all signs) but sound — useful
+    for sanity-checking a tau budget and for choosing ``refresh_every``
+    (a periodic dense refresh resets e to 0). Dense layers
+    (use_cb=False) contribute gain only, no tau.
+    """
+    from .config import ConvSpec, PoolSpec, UpsampleSpec
+
+    taus = list(np.asarray(thresholds, dtype=np.float64).ravel())
+    ti = 0
+    e = 0.0
+    for spec, p in zip(specs, params):
+        if isinstance(spec, ConvSpec):
+            w = np.asarray(p[0], dtype=np.float64)  # (kh, kw, cin, cout)
+            gain = float(np.abs(w).sum(axis=(0, 1, 2)).max())
+            tau = 0.0
+            if spec.use_cb:
+                tau = max(0.0, taus[ti])
+                ti += 1
+            e = gain * (e + tau)
+        elif isinstance(spec, PoolSpec):
+            tau = 0.0
+            if spec.use_cb:
+                tau = max(0.0, taus[ti])
+                ti += 1
+            e = e + tau
+        elif isinstance(spec, UpsampleSpec):
+            pass
+        else:
+            raise ValueError(f"drift_bound: unsupported spec {spec}")
+    if ti != len(taus):
+        raise ValueError(f"{len(taus)} thresholds for {ti} CB layers")
+    return float(e)

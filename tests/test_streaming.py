@@ -252,3 +252,40 @@ def test_conv_forward_hint_equals_tau_minus_one():
         if backend == "pallas":
             assert (np.asarray(st_f[1]["detect_tiles"])
                     <= np.asarray(st_r[1]["detect_tiles"])).all()
+
+
+def test_drift_bound_dominates_measured_drift():
+    """metrics.drift_bound is an upper bound on streamed CB-vs-dense
+    drift (the papers' bounded-error property of the accepted-cache
+    rule), zero at tau=0, and monotone in tau."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cbinfer_tpu.config import ConvSpec, PipelineConfig, PoolSpec, \
+        TileConfig
+    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.metrics import drift_bound
+    from cbinfer_tpu.network import dense_apply, init_params
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    specs = [ConvSpec(features=8), PoolSpec(),
+             ConvSpec(features=8), ConvSpec(features=4, kernel=(1, 1),
+                                            activation=None)]
+    in_shape = (24, 32, 3)
+    params = init_params(specs, in_shape, jax.random.PRNGKey(0))
+    assert drift_bound(specs, params, [0.0] * 4) == 0.0
+    b_small = drift_bound(specs, params, [0.01] * 4)
+    b_big = drift_bound(specs, params, [0.05] * 4)
+    assert 0 < b_small < b_big
+
+    cfg = PipelineConfig(tile=TileConfig(4, 4), backend="jnp")
+    net = convert(specs, in_shape, cfg)
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=24, width=32, seed=3, n_sprites=1, sprite_size=6,
+        noise_std=0.004)).clip(12))
+    ys, _, _ = scan_video(net, params, clip,
+                          thresholds=jnp.asarray([0.05] * 4, jnp.float32))
+    dense = jnp.stack([dense_apply(specs, params, f) for f in clip])
+    measured = float(jnp.max(jnp.abs(ys - dense)))
+    assert measured <= b_big, (measured, b_big)
