@@ -296,8 +296,15 @@ def specs_from_torch(module, fuse_relu: bool = True):
     specs: List = []
     prefixes: List[str] = []
     bn_folds: List = []  # (spec index, bn qualified name, eps)
+    flatten_at: List[str] = []  # a Flatten is only a no-op at the TAIL
 
     def leaf(name: str, m):
+        if flatten_at and not isinstance(
+                m, (nn.Identity, nn.Dropout, nn.Dropout2d, nn.Flatten)):
+            raise TypeError(
+                f"{name}: spatial module after Flatten "
+                f"({flatten_at[0]}) — Flatten is only supported as a "
+                "trailing no-op (the layer IR is spatial throughout)")
         if isinstance(m, nn.Conv2d):
             if m.groups != 1:
                 raise ValueError(f"{name}: grouped conv unsupported")
@@ -368,8 +375,9 @@ def specs_from_torch(module, fuse_relu: bool = True):
                 raise ValueError(f"{name}: non-integer scale {sf}")
             specs.append(UpsampleSpec(scale=(int(sh), int(sw)),
                                       method=m.mode))
-        elif isinstance(m, (nn.Identity, nn.Dropout, nn.Dropout2d,
-                            nn.Flatten)):
+        elif isinstance(m, nn.Flatten):
+            flatten_at.append(name)  # no-op ONLY if nothing spatial follows
+        elif isinstance(m, (nn.Identity, nn.Dropout, nn.Dropout2d)):
             pass  # inference no-ops
         else:
             raise TypeError(f"{name}: unsupported module {type(m).__name__}")

@@ -47,7 +47,37 @@ from .config import ConvSpec, PoolSpec, UpsampleSpec
 
 # shared with the pipeline geometry (ops/geometry.py): SAME/VALID plus
 # explicit symmetric int padding (torch semantics, config._as_padding)
-from .ops.geometry import conv_out_size, conv_pads, pad_dim
+
+# Geometry helpers are deliberately REIMPLEMENTED here rather than
+# imported from ops/geometry.py: this module is the independent oracle,
+# and sharing the pipeline's own padding/size formulas would let a
+# geometry regression pass every golden-equivalence test (both sides
+# computing the same wrong shapes). tests/test_golden.py cross-checks
+# these twins against ops.geometry on a shape sweep.
+
+def pad_dim(padding, axis: int):
+    return padding if isinstance(padding, str) else int(padding[axis])
+
+
+def conv_out_size(n: int, k: int, s: int, d: int, padding) -> int:
+    keff = (k - 1) * d + 1
+    if padding == "SAME":
+        return -(-n // s)
+    p = 0 if padding == "VALID" else int(padding)
+    return (n + 2 * p - keff) // s + 1
+
+
+def conv_pads(n: int, k: int, s: int, d: int, padding):
+    if padding == "SAME":
+        keff = (k - 1) * d + 1
+        out = -(-n // s)
+        total = max(0, (out - 1) * s + keff - n)
+        lo = total // 2
+        return lo, total - lo
+    if padding == "VALID":
+        return 0, 0
+    p = int(padding)
+    return p, p
 
 
 def _pads2(H, W, kh, kw, sh, sw, dh, dw, padding):

@@ -45,6 +45,15 @@ def _cat(xs, axis):
     return jnp.concatenate(xs, axis=axis)
 
 
+@functools.partial(jax.jit, static_argnames="axis")
+def _stack(xs, axis):
+    """Jitted stack, same rationale as _cat: an EAGER stack of scan
+    outputs fails TPU backend compilation with INVALID_ARGUMENT (the
+    while-loop outputs carry non-default layouts); under jit XLA inserts
+    the layout normalization itself."""
+    return jnp.stack(xs, axis=axis)
+
+
 def make_stream_mesh(n_devices: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
@@ -178,8 +187,8 @@ class MultiStreamRunner:
                 y, self.states[s_], st = self._plain_step(
                     self.params, self.states[s_], frames[s_])
                 outs.append((y, st))
-            y = jnp.stack([o[0] for o in outs])
-            st = jax.tree.map(lambda *xs: jnp.stack(xs),
+            y = _stack([o[0] for o in outs], 0)
+            st = jax.tree.map(lambda *xs: _stack(list(xs), 0),
                               *[o[1] for o in outs])
             return y, st
         ys, stats = [], []
@@ -201,8 +210,10 @@ class MultiStreamRunner:
                 ys, self.states[s_], st = self._plain_scan(
                     self.params, self.states[s_], clips[s_])
                 outs.append((ys, st))
-            y = jnp.stack([o[0] for o in outs])
-            st = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+            # jitted stack (see _stack): eager stack of scan outputs
+            # trips the TPU non-default-layout INVALID_ARGUMENT
+            y = _stack([o[0] for o in outs], 0)
+            st = jax.tree.map(lambda *xs: _stack(list(xs), 1),
                               *[o[1] for o in outs])
             return y, st
         ys, stats = [], []

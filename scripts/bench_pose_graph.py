@@ -135,12 +135,13 @@ def main(argv=None):
     scalar_sync(ys)
     ys, st, stats = cb_plain(params, warm, st)
     scalar_sync(ys)
-    cb_outs = []
+    cb_outs, all_stats = [], []
     t0 = time.perf_counter()
     for i, c in enumerate(chunks):
         f = cb_refresh if i % 2 == 0 else cb_plain
         ys, st, stats = f(params, c, st)
         cb_outs.append(ys)
+        all_stats.append(stats)
     scalar_sync(ys)
     cb_fps = (args.chunks * T
               / max(1e-9, time.perf_counter() - t0 - sync_overhead))
@@ -158,8 +159,12 @@ def main(argv=None):
         p_dn = pck_gt(dn_np, kps, valid, stride)
         gt = {"pck_gt_dense": round(p_dn, 4), "pck_gt_cb": round(p_cb, 4),
               "pck_degradation": round(p_dn - p_cb, 5)}
+    # ALL timed chunks — the last chunk alone is the refresh-free one
+    # under the alternating policy (same bias class as the FLOP
+    # accounting fix in benchmark.py)
     overflows = sum(int(np.asarray(s["overflow"]).sum())
-                    for s in jax.device_get(stats).values() if s)
+                    for cs in jax.device_get(all_stats)
+                    for s in cs.values() if s)
 
     row = {
         "model": "pose_graph", "resolution": f"{H}x{W}",

@@ -106,13 +106,22 @@ def main():
             donate_argnums=(2,))
         ys, st, stats = run(params, warm, net.init_state(), tv)
         scalar_sync(ys)
+        all_stats = []
         t0 = time.perf_counter()
         for c in clips:
             ys, st, stats = run(params, c, st, tv)
+            all_stats.append(stats)
         scalar_sync(ys)
         fps = chunks * T / max(1e-9, time.perf_counter() - t0
                                - sync_overhead)
-        ef = effective_flops(jax.device_get(stats), net.specs, (H, W, 3),
+        # FLOP accounting over ALL timed chunks (benchmark.py parity:
+        # a single chunk's change rate over- or under-states the
+        # reduction when sprite motion varies chunk to chunk)
+        stats = jax.tree.map(
+            lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
+                                        for x in xs]),
+            *[jax.device_get(s) for s in all_stats])
+        ef = effective_flops(stats, net.specs, (H, W, 3),
                              8, 8)
         results[mode] = {"cb_fps": round(fps, 1),
                          "flop_reduction": round(ef["flop_reduction"], 2)}

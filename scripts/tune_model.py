@@ -182,7 +182,8 @@ def main():
                               "metric_def": ("1 - (pck_gt(dense) - "
                                              "pck_gt(cb)); gt = sprite "
                                              "keypoints (trained weights)"
-                                             if name == "pose" else
+                                             if name.startswith("pose")
+                                             else
                                              "1 - (miou_gt(dense) - "
                                              "miou_gt(cb)); gt = sprite "
                                              "labels at output stride"),

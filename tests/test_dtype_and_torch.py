@@ -234,3 +234,20 @@ def test_specs_from_torch_batchnorm_requires_conv():
     with pytest.raises(ValueError, match="BatchNorm2d"):
         specs_from_torch(nn.Sequential(nn.BatchNorm2d(3),
                                        nn.Conv2d(3, 4, 3)))
+
+
+def test_specs_from_torch_flatten_only_at_tail():
+    """A trailing Flatten is an inference no-op; a MID-network Flatten
+    followed by spatial modules must raise (the layer IR is spatial
+    throughout — silently dropping it would corrupt the network)."""
+    import pytest
+    import torch.nn as nn
+    from cbinfer_tpu.convert import specs_from_torch
+
+    specs, _ = specs_from_torch(nn.Sequential(
+        nn.Conv2d(3, 4, 3, padding=1), nn.ReLU(), nn.Flatten()))
+    assert len(specs) == 1  # tail Flatten dropped
+    with pytest.raises(TypeError, match="after Flatten"):
+        specs_from_torch(nn.Sequential(
+            nn.Conv2d(3, 4, 3, padding=1), nn.Flatten(),
+            nn.Conv2d(4, 4, 3, padding=1)))

@@ -147,3 +147,24 @@ def test_drift_bounded_by_threshold():
         _, state = golden.cb_conv_step(frame, w, b, spec, state)
         err = np.max(np.abs(frame - state.in_cache))
         assert err <= spec.threshold + 1e-6
+
+
+def test_golden_geometry_twins_match_pipeline_geometry():
+    """golden.py reimplements padding/size geometry independently of
+    ops/geometry.py (oracle independence); the twins must agree across a
+    shape sweep so neither can silently drift."""
+    from cbinfer_tpu import golden as g
+    from cbinfer_tpu.ops import geometry as og
+
+    for n in (7, 8, 15, 16, 31, 97):
+        for k in (1, 2, 3, 5):
+            for s in (1, 2, 3):
+                for d in (1, 2):
+                    for pad in ("SAME", "VALID", (0, 0), (1, 1), (2, 2)):
+                        p0 = g.pad_dim(pad, 0)
+                        assert p0 == og.pad_dim(pad, 0)
+                        assert g.conv_out_size(n, k, s, d, p0) == \
+                            og.conv_out_size(n, k, s, d, p0), \
+                            (n, k, s, d, pad)
+                        assert g.conv_pads(n, k, s, d, p0) == \
+                            og.conv_pads(n, k, s, d, p0), (n, k, s, d, pad)
