@@ -259,9 +259,8 @@ def main():
     m_agree = merge_iu(*sums["agree"])
     m_cb_gt = merge_iu(*sums["cb_gt"])
     m_dense_gt = merge_iu(*sums["dense_gt"])
-    stats = jax.tree.map(
-        lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
-                                    for x in xs]), *acc_stats)
+    from cbinfer_tpu.benchmark import concat_stats
+    stats = concat_stats(acc_stats)
     ef = effective_flops(stats, net.specs, (H, W, 3),
                          cfg.tile.tile_h, cfg.tile.tile_w)
 

@@ -11,6 +11,17 @@ exact per-pixel change-detection semantics (see SURVEY.md and
 ops/delta_conv.py).
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Restore documented JAX behavior on boxes where a sitecustomize shim
+    # registers an experimental TPU platform regardless of JAX_PLATFORMS
+    # (observed: the env var is ignored once the shim runs, and device
+    # enumeration then hangs indefinitely when the TPU tunnel is down).
+    # Setting the config BEFORE the first device query is authoritative.
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 from . import config  # noqa: F401
 from . import fileio  # noqa: F401  (numpy-only; real-footage readers)
 from . import zoo     # noqa: F401  (registry only; models load lazily)

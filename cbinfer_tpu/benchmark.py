@@ -40,6 +40,19 @@ def scalar_sync(v) -> float:
     return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
 
 
+def concat_stats(chunk_stats: Sequence):
+    """Concatenate per-chunk scan stats along the frame axis (host side).
+
+    FLOP/overflow accounting must cover ALL timed chunks: under the
+    alternating refresh-prolog policy the last chunk alone is refresh-free
+    and over-states the reduction (the r2 bias eval_headline fixed; this
+    is the shared helper so scripts cannot drift)."""
+    return jax.tree.map(
+        lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
+                                    for x in xs]),
+        *[jax.device_get(s) for s in chunk_stats])
+
+
 def devices_or_die(timeout_s: int = 180):
     """Backend init with a watchdog: the axon-tunneled runtime can hang
     indefinitely at device enumeration when the tunnel is down (observed
@@ -182,13 +195,19 @@ def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
     y0, s0, _ = step(params, net.init_state(), clips[0][0])
     scalar_sync(y0)
     cold_samples = []
+    n_frames_total = len(clips) * int(clips[0].shape[0])
     for r in range(3):
         # a DISTINCT frame per sample: repeating identical (executable,
         # args) dispatches would be served from the runtime's dispatch
         # cache and time cached-replay RTT, not cold-start compute (the
         # memoization rule this module's docstring documents). Fresh
-        # state each time keeps every sample a true cold start.
-        frame = clips[r % len(clips)][(r + 1) % clips[0].shape[0]]
+        # state each time keeps every sample a true cold start. Frames
+        # enumerate (chunk, offset) pairs starting at flat index 1 (pair
+        # (0,0) was the warm-up dispatch above); collisions only recur
+        # in the degenerate < 4-total-frames case.
+        idx = (r + 1) % n_frames_total
+        frame = clips[idx // clips[0].shape[0] % len(clips)][
+            idx % clips[0].shape[0]]
         t0 = time.perf_counter()
         y0, s0, _ = step(params, net.init_state(), frame)
         scalar_sync(y0)

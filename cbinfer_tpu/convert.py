@@ -245,6 +245,12 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     """
     overrides, dense = flagship_layers(specs, in_shape, cfg)
     if extra_overrides:
+        bad = [k for k in extra_overrides if not 0 <= k < len(specs)]
+        if bad:
+            raise ValueError(
+                f"extra_overrides: layer index(es) {bad} out of range for "
+                f"{len(specs)} specs (stale POLICY file measured on an "
+                "older architecture?)")
         overrides = {**overrides, **extra_overrides}
     net = convert(specs, in_shape, cfg, dense_layers=dense,
                   backend_overrides=overrides)

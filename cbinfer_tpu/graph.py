@@ -299,6 +299,11 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
     if extra_overrides:
         by_name = {n.name: i for i, n in enumerate(nodes)}
         for name, backend in extra_overrides.items():
+            if name not in by_name:
+                raise ValueError(
+                    f"extra_overrides: unknown node {name!r} (stale "
+                    f"POLICY file measured on an older topology?); "
+                    f"nodes: {sorted(by_name)}")
             i = by_name[name]
             nodes[i] = dataclasses.replace(
                 nodes[i], spec=dataclasses.replace(nodes[i].spec,

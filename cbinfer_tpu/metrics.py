@@ -417,21 +417,24 @@ def drift_bound(specs: Sequence, params, thresholds) -> float:
     taus = list(np.asarray(thresholds, dtype=np.float64).ravel())
     ti = 0
     e = 0.0
+
+    def next_tau():
+        nonlocal ti
+        if ti >= len(taus):
+            raise ValueError(
+                f"{len(taus)} thresholds for >{ti} CB layers")
+        t = max(0.0, taus[ti])
+        ti += 1
+        return t
+
     for spec, p in zip(specs, params):
         if isinstance(spec, ConvSpec):
             w = np.asarray(p[0], dtype=np.float64)  # (kh, kw, cin, cout)
             gain = float(np.abs(w).sum(axis=(0, 1, 2)).max())
-            tau = 0.0
-            if spec.use_cb:
-                tau = max(0.0, taus[ti])
-                ti += 1
+            tau = next_tau() if spec.use_cb else 0.0
             e = gain * (e + tau)
         elif isinstance(spec, PoolSpec):
-            tau = 0.0
-            if spec.use_cb:
-                tau = max(0.0, taus[ti])
-                ti += 1
-            e = e + tau
+            e = e + (next_tau() if spec.use_cb else 0.0)
         elif isinstance(spec, UpsampleSpec):
             pass
         else:

@@ -80,13 +80,10 @@ class Workload:
     tau_source: str
     policy_source: str
     warnings: List[str]
-
-    @property
-    def upsample_scale(self) -> Optional[Tuple[int, int]]:
-        """Scale of a stripped trailing upsample (see ``load``), else
-        None. Callers reproduce it as argmax-then-upsample of the class
-        map (provably identical for nearest upsample)."""
-        return getattr(self, "_up_scale", None)
+    # scale of a stripped trailing upsample (see ``load``), else None;
+    # callers reproduce it as argmax-then-upsample of the class map
+    # (provably identical for nearest upsample)
+    upsample_scale: Optional[Tuple[int, int]] = None
 
 
 def names() -> List[str]:
@@ -125,13 +122,27 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
             extra = ({int(k): v for k, v in pol.items()}
                      if e.kind == "sequential" else dict(pol))
 
+    def _with_policy_fallback(build):
+        """A stale policy file (wrong node names / layer indexes after an
+        architecture change) degrades to a no-policy build with a warning
+        — the same loudly-but-gracefully contract as weights/taus."""
+        nonlocal policy_src, extra
+        try:
+            return build(extra)
+        except ValueError as exc:
+            if extra is None:
+                raise
+            warnings.append(f"backend policy NOT applied ({exc})")
+            policy_src, extra = "none", None
+            return build(None)
+
     if e.kind == "graph":
         from .checkpoint import load_npz_graph_params
         from .graph import convert_graph_flagship, init_graph_params
         from .models.pose import pose_graph
         nodes, out_name = pose_graph(width=e.width, **e.model_kwargs)
-        net = convert_graph_flagship(nodes, in_shape, cfg, output=out_name,
-                                     extra_overrides=extra)
+        net = _with_policy_fallback(lambda x: convert_graph_flagship(
+            nodes, in_shape, cfg, output=out_name, extra_overrides=x))
         params = init_graph_params(nodes, in_shape,
                                    jax.random.PRNGKey(seed))
         weights = f"random(PRNGKey {seed})"
@@ -153,7 +164,8 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
         if strip_trailing_upsample and isinstance(specs[-1], UpsampleSpec):
             up_scale = specs[-1].scale
             specs = specs[:-1]
-        net = convert_flagship(specs, in_shape, cfg, extra_overrides=extra)
+        net = _with_policy_fallback(lambda x: convert_flagship(
+            specs, in_shape, cfg, extra_overrides=x))
         params = init_params_seq(specs, in_shape, seed)
         weights = f"random(PRNGKey {seed})"
         try:
@@ -167,23 +179,32 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
     if tau is not None:
         taus, tau_src = [float(tau)] * n_cb, f"fixed({tau})"
     else:
+        d = None
         try:
             with open(e.tau_json) as f:
                 d = json.load(f)
-            taus = [float(t) for t in d["thresholds"]]
-            assert len(taus) == n_cb, (len(taus), n_cb)
-            refresh = d.get("metadata", {}).get("refresh_every")
-            tau_src = "tuned"
         except Exception as exc:
             warnings.append(f"no tuned thresholds ({exc}); tau=0.04")
             taus, tau_src = [0.04] * n_cb, "fixed(0.04)"
+        if d is not None:
+            # a PRESENT tau file that no longer matches the architecture
+            # is a hard error, not a silent flat-tau fallback: publishing
+            # rows benchmarked at uncalibrated taus would be worse than
+            # crashing
+            taus = [float(t) for t in d["thresholds"]]
+            if len(taus) != n_cb:
+                raise ValueError(
+                    f"{e.tau_json}: {len(taus)} thresholds for {n_cb} CB "
+                    "layers (stale tau file after an architecture "
+                    "change? re-run scripts/tune_model.py)")
+            refresh = d.get("metadata", {}).get("refresh_every")
+            tau_src = "tuned"
 
-    wl = Workload(name=name, kind=e.kind, net=net, specs=specs,
-                  params=params, taus=taus, refresh_every=refresh,
-                  metric=e.metric, weights=weights, tau_source=tau_src,
-                  policy_source=policy_src, warnings=warnings)
-    wl._up_scale = up_scale
-    return wl
+    return Workload(name=name, kind=e.kind, net=net, specs=specs,
+                    params=params, taus=taus, refresh_every=refresh,
+                    metric=e.metric, weights=weights, tau_source=tau_src,
+                    policy_source=policy_src, warnings=warnings,
+                    upsample_scale=up_scale)
 
 
 def init_params_seq(specs: Sequence, in_shape, seed: int):

@@ -26,28 +26,25 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-NPZ = "/root/repo/ckpts/pose_graph_w64.npz"
-TAU_JSON = "/root/repo/ckpts/pose_graph_w64_tau.json"
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--chunks", type=int, default=2)
-    ap.add_argument("--width-mult", type=int, default=64)
     ap.add_argument("--tau", type=float, default=None,
                     help="fixed tau override (default: tuned tau file)")
+    ap.add_argument("--no-write", action="store_true",
+                    help="print the row but do not touch RESULTS.json "
+                         "(smoke runs at toy shapes must not clobber "
+                         "measured rows)")
     args = ap.parse_args(argv)
 
+    from cbinfer_tpu import zoo
     from cbinfer_tpu.benchmark import measure_sync_overhead, scalar_sync
-    from cbinfer_tpu.checkpoint import load_npz_graph_params
     from cbinfer_tpu.config import PipelineConfig, TileConfig
-    from cbinfer_tpu.graph import (convert_graph_flagship, init_graph_params,
-                                   node_out_shapes)
+    from cbinfer_tpu.graph import node_out_shapes
     from cbinfer_tpu.metrics import pck, pck_gt
-    from cbinfer_tpu.models.pose import pose_graph
     from cbinfer_tpu.runner import scan_video
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
@@ -59,38 +56,16 @@ def main(argv=None):
         backend="pallas" if on_tpu else "jnp",
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    nodes, out_name = pose_graph(width=args.width_mult)
-    # measured per-layer backend policy (scripts/optimize_policy.py),
-    # accuracy-neutral by construction — node-name-keyed overrides
-    extra, policy_src = None, "none"
-    ppath = "/root/repo/POLICY_pose_graph.json"
-    if os.path.exists(ppath):
-        with open(ppath) as f:
-            _pol = json.load(f).get("overrides") or {}
-        if _pol:
-            extra, policy_src = dict(_pol), ppath
-    net = convert_graph_flagship(nodes, (H, W, 3), cfg, output=out_name,
-                                 extra_overrides=extra)
-    params = init_graph_params(nodes, (H, W, 3), jax.random.PRNGKey(0))
-    weights = "random(PRNGKey 0)"
-    try:
-        params = load_npz_graph_params(NPZ, params)
-        weights = "trained(npz)"
-    except Exception as e:
-        print(f"WARNING: no trained DAG weights ({e})", file=sys.stderr)
-
-    n_cb = net.num_cb_layers()
-    if args.tau is not None:
-        taus, tau_src = [args.tau] * n_cb, f"fixed({args.tau})"
-    else:
-        try:
-            with open(TAU_JSON) as f:
-                taus, tau_src = json.load(f)["thresholds"], "tuned"
-            assert len(taus) == n_cb, (len(taus), n_cb)
-        except Exception as e:
-            print(f"WARNING: no tuned taus ({e}); tau=0.04", file=sys.stderr)
-            taus, tau_src = [0.04] * n_cb, "fixed(0.04)"
-    tv = jnp.asarray(taus, jnp.float32)
+    # one-call workload build (zoo): trained DAG weights + tuned taus +
+    # measured POLICY_pose_graph.json backend policy, with provenance
+    wl = zoo.load("pose_graph", (H, W, 3), cfg, tau=args.tau)
+    for wmsg in wl.warnings:
+        print(f"WARNING: {wmsg}", file=sys.stderr)
+    net, params = wl.net, wl.params
+    nodes, out_name = wl.specs, wl.net.output
+    weights, tau_src, policy_src = wl.weights, wl.tau_source, \
+        wl.policy_source
+    tv = jnp.asarray(wl.taus, jnp.float32)
 
     base = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
@@ -180,6 +155,8 @@ def main(argv=None):
         "backend_policy": policy_src,
     }
     print(json.dumps(row), flush=True)
+    if args.no_write:
+        return
     out = "/root/repo/RESULTS.json"
     results = {"rows": []}
     if os.path.exists(out):

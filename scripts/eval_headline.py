@@ -38,13 +38,18 @@ def sync(v):
     return float(jnp.sum(v[-1] if hasattr(v, "ndim") and v.ndim > 3 else v))
 
 
-def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
-                classes=8, width=128, chunks=2, cache_dtype=None):
+def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
+                cache_dtype=None):
     from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     # "<model>_hard" = same architecture, low-contrast video palette
     # (video.CLASS_PALETTE_HARD) and its own trained ckpt/taus
     palette = "hard" if name.endswith("_hard") else "default"
+    # metric + class count come from the zoo registry — a mismatched
+    # caller-supplied class count would silently skew miou_gt_*
+    entry = zoo.REGISTRY[name]
+    metric = entry.metric
+    classes = entry.model_kwargs.get("num_classes", 8)
     # capacity 0.375 = bench.py/tune_model.py parity (the tuned taus were
     # calibrated under this buffer bound; TileConfig default is 1.0)
     cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.375),
@@ -171,10 +176,8 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, metric="miou",
     # FLOP accounting over ALL timed chunks: the last chunk alone is
     # refresh-free under the every-other-chunk policy and would overstate
     # the reduction by excluding the full-recompute refresh frames
-    stats = jax.tree.map(
-        lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
-                                    for x in xs]),
-        *[jax.device_get(s) for s in cb_stats])
+    from cbinfer_tpu.benchmark import concat_stats
+    stats = concat_stats(cb_stats)
 
     mfn = functools.partial(miou, num_classes=classes) if metric == "miou" \
         else pck
@@ -246,11 +249,9 @@ def main():
     if which in ("scene_hard", "all"):
         results["rows"].append(bench_model("scene_hard", tau=None))
     if which in ("seg", "all"):
-        results["rows"].append(bench_model("seg", tau=None, classes=8,
-                                           width=64))
+        results["rows"].append(bench_model("seg", tau=None))
     if which in ("pose", "all"):
-        results["rows"].append(bench_model("pose", tau=None, metric="pck",
-                                           width=64, T=12))
+        results["rows"].append(bench_model("pose", tau=None, T=12))
     out = "/root/repo/RESULTS.json"
     # merge: replace same-model rows, keep everything else (incl. the
     # multistream / pose_graph rows other scripts contribute)

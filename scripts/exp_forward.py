@@ -117,10 +117,8 @@ def main():
         # FLOP accounting over ALL timed chunks (benchmark.py parity:
         # a single chunk's change rate over- or under-states the
         # reduction when sprite motion varies chunk to chunk)
-        stats = jax.tree.map(
-            lambda *xs: np.concatenate([np.atleast_1d(np.asarray(x))
-                                        for x in xs]),
-            *[jax.device_get(s) for s in all_stats])
+        from cbinfer_tpu.benchmark import concat_stats
+        stats = concat_stats(all_stats)
         ef = effective_flops(stats, net.specs, (H, W, 3),
                              8, 8)
         results[mode] = {"cb_fps": round(fps, 1),

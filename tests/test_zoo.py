@@ -80,3 +80,29 @@ def test_zoo_missing_artifacts_degrade_loudly(tmp_path, monkeypatch):
     assert wl.weights.startswith("random")
     assert wl.tau_source == "fixed(0.04)"
     assert len(wl.warnings) == 2
+
+
+def test_zoo_stale_policy_degrades_gracefully(tmp_path, monkeypatch):
+    """A policy file measured on an older architecture (out-of-range
+    layer index) must not kill the load: warn, record policy 'none'."""
+    pol = tmp_path / "POLICY_scene.json"
+    pol.write_text(json.dumps({"overrides": {"99": "dense_cached"}}))
+    e = zoo.REGISTRY["scene"]
+    monkeypatch.setitem(zoo.REGISTRY, "scene",
+                        dataclasses.replace(e, policy_json=str(pol)))
+    wl = zoo.load("scene", (96, 128, 3), _cfg())
+    assert wl.policy_source == "none"
+    assert any("policy NOT applied" in w for w in wl.warnings)
+
+
+def test_zoo_stale_tau_file_hard_fails(tmp_path, monkeypatch):
+    """A PRESENT tau file whose count no longer matches the architecture
+    is a hard error (publishing rows at uncalibrated flat taus would be
+    worse than crashing); a MISSING file still degrades."""
+    tj = tmp_path / "tau.json"
+    tj.write_text(json.dumps({"thresholds": [0.1, 0.1]}))
+    e = zoo.REGISTRY["scene"]
+    monkeypatch.setitem(zoo.REGISTRY, "scene",
+                        dataclasses.replace(e, tau_json=str(tj)))
+    with pytest.raises(ValueError, match="stale tau file"):
+        zoo.load("scene", (96, 128, 3), _cfg())
