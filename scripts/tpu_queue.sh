@@ -20,10 +20,12 @@ run() {
   tail -3 "$LOG/$name.log"
 }
 
-run policy_pose     3600 python scripts/optimize_policy.py pose
-run policy_seg      2400 python scripts/optimize_policy.py seg
-run policy_scene    1800 python scripts/optimize_policy.py scene
-run policy_dag      3600 python scripts/optimize_policy.py pose_graph --max-layers 12
+# each trial recompiles the whole net (~1-2 min at 720p): bound the
+# candidate count so a queue step fits its timeout
+run policy_pose     5400 python scripts/optimize_policy.py pose --max-layers 12
+run policy_seg      3600 python scripts/optimize_policy.py seg
+run policy_scene    2400 python scripts/optimize_policy.py scene
+run policy_dag      5400 python scripts/optimize_policy.py pose_graph --max-layers 10
 run eval_all        5400 python scripts/eval_headline.py all
 run bench_dag       1800 python scripts/bench_pose_graph.py
 run bench           1200 python bench.py
