@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import TileGeometry
+from .common import hint_origin
 
 HINT = 8
 NBUF = 4
@@ -45,11 +46,8 @@ def _accept_kernel(idx_ref, m_ref,            # scalar prefetch
     m = m_ref[0]
 
     def origins(i):
-        t = idx_ref[i]
-        hi = t // hint_tiles_w
-        hj = t - hi * hint_tiles_w
-        oy = jnp.minimum(hi * HINT, H - HINT)  # clamped H edge (idempotent)
-        return oy, hj * HINT
+        oy, ox, _ = hint_origin(idx_ref[i], hint_tiles_w, H, HINT)
+        return oy, ox
 
     def copy_in(slot, i):
         oy, ox = origins(i)

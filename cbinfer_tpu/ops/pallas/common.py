@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 from jax import lax
 
 
@@ -21,3 +22,17 @@ def phase_slice(win, dy: int, dx: int, th: int, tw: int, sh: int, sw: int):
     if sw > 1:
         c = c.reshape(th, tw, sw, C)[:, :, 0]
     return c
+
+
+def hint_origin(t, hint_tiles_w: int, H: int, hint: int = 8):
+    """Decode a flat hint-tile id into its clamped logical pixel origin.
+
+    Shared by the hint-driven kernels (detect._sparse_kernel,
+    accept._accept_kernel): the H edge clamps to ``H - hint`` (overlapping
+    reads/writes are idempotent per pixel); W needs no clamp because the
+    callers assert ``W % hint == 0``. Returns (oy, ox, hi).
+    """
+    hi = t // hint_tiles_w
+    hj = t - hi * hint_tiles_w
+    oy = jnp.minimum(hi * hint, H - hint)
+    return oy, hj * hint, hi

@@ -47,8 +47,8 @@ def _delta_conv_kernel(idx_ref, m_ref,  # scalar prefetch (SMEM)
     m = m_ref[0]
 
     # Lane-unaligned cin keeps UNPADDED lanes: Mosaic cannot slot-slice a
-    # VMEM buffer whose minor dim is not a 128-multiple, so the double
-    # buffer is ROW-stacked (2*win_h, win_w, C) and selected by a
+    # VMEM buffer whose minor dim is not a 128-multiple, so the pipeline
+    # buffer is ROW-stacked (nbuf*win_h_dma, win_w, C) and selected by a
     # leading-dim offset instead of win_buf[slot]. NOTE: on the current
     # hardware generation this path only runs under interpret=True (kernel
     # unit tests) — Mosaic rejects DMA-slicing of small-lane HBM memrefs
@@ -187,8 +187,10 @@ def delta_conv_pallas(xp: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_cache.shape, cache_dtype),
-        input_output_aliases={5: 0},  # out_cache (3rd tensor arg after 2
-                                      # scalar-prefetch args) -> output 0
+        input_output_aliases={5: 0},  # out_cache -> output 0: flat
+                                      # operand index 5 = 2 scalar-prefetch
+                                      # args (idx, m) + tensor args
+                                      # (xp, w, b, OUT_CACHE)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_tile) * capacity,

@@ -73,7 +73,10 @@ def _delta_pool_kernel(idx_ref, m_ref, xp_ref, out_in_ref, out_ref,
         def _():
             out_copy(slot, i - NBUF).wait()
 
-        y_buf[slot] = y
+        # explicit cast (conv-twin discipline): xp and out_cache dtypes
+        # are independent in the signature, and a dtype-mismatched ref
+        # store is a trace-time Pallas error
+        y_buf[slot] = y.astype(y_buf.dtype)
 
         out_copy(slot, i).start()
 
@@ -90,7 +93,7 @@ def _fused_pool_kernel(idx_ref, m_ref,         # scalar prefetch
                   x_ref, out_in_ref,           # tensors (HBM, HBM aliased)
                   out_ref, mask_ref,           # outputs (HBM alias, VMEM)
                   xbuf, ybuf, in_sems, out_sems,  # scratch
-                  *, H: int, W: int, hint_h: int, hint_w: int,
+                  *, hint_h: int, hint_w: int,
                   blocks_w: int, tiles_h: int, tiles_w: int, pool: int):
     """Hint-forwarded pool (CB17 mask-forwarding at the pool layer): per
     producer-dirty input BLOCK (hint_h x hint_w — two adjacent 8x8 hint
@@ -160,7 +163,7 @@ def _fused_pool_kernel(idx_ref, m_ref,         # scalar prefetch
         def _():
             out_copy(slot, i - NBUF).wait()
 
-        ybuf[slot] = y
+        ybuf[slot] = y.astype(ybuf.dtype)  # x/out dtypes are independent
         out_copy(slot, i).start()
 
         # mark the touched out tile of THIS layer's (tiles_h, tiles_w)
@@ -206,9 +209,18 @@ def detect_pool_fused(x: jnp.ndarray, out_cache: jnp.ndarray,
     assert hint_h % pool == 0 and hint_w % pool == 0
     assert (hint_w // pool) % 8 == 0, hint_w
     assert W % hint_w == 0 and H % hint_h == 0
+    # one-cell mask invariant: the kernel marks a SINGLE (8,8) out-tile
+    # cell per dirty block, so each block's pooled extent must tile the
+    # out grid — the pooled dims must DIVIDE 8 (1/2/4/8). A hint_w=32,
+    # pool=2 geometry passes the %8 Mosaic rule above with a 16-col
+    # extent spanning TWO out tiles, leaving the second unmarked (stale
+    # consumers). In-repo callers (layers.py fused gate) satisfy this;
+    # asserted here so other callers cannot violate it silently.
+    assert 8 % (hint_h // pool) == 0, (hint_h, pool)
+    assert hint_w // pool == 8, (hint_w, pool)
     blocks_w = W // hint_w
 
-    kern = functools.partial(_fused_pool_kernel, H=H, W=W, hint_h=hint_h,
+    kern = functools.partial(_fused_pool_kernel, hint_h=hint_h,
                              hint_w=hint_w, blocks_w=blocks_w,
                              tiles_h=g.tiles_h, tiles_w=g.tiles_w, pool=pool)
     out_h = hint_h // pool

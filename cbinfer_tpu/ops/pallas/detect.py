@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry import TileGeometry
+from .common import hint_origin
 
 HINT = 8  # hint tile side (pixels); fixed across the framework
 
@@ -44,7 +45,7 @@ HINT = 8  # hint tile side (pixels); fixed across the framework
 def _band_kernel(x_ref, cache_in_ref, tau_ref,        # inputs (HBM, HBM, SMEM)
                  cache_ref, mask_ref, npix_ref,       # outputs
                  xbuf, cbuf, wbuf, macc, in_sems, out_sems,
-                 *, g: TileGeometry, W: int, Wc: int, nbands: int,
+                 *, g: TileGeometry, Wc: int, nbands: int,
                  nchunks: int):
     """Full-map detect+update+dilate, swept in (8, Wc) tiles with
     double-buffered DMA. Used when a layer has no producer hint."""
@@ -149,13 +150,17 @@ def detect_full_pallas(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     assert W % 8 == 0 and H % HINT == 0, (H, W)
     nbands = H // HINT
     itemsize = jnp.dtype(in_cache.dtype).itemsize
-    Wc = W
-    while 6 * HINT * Wc * C * itemsize > vmem_budget and Wc % 16 == 0:
-        Wc //= 2
+    # largest divisor-of-W chunk width (multiple of 8) whose band fits the
+    # VMEM budget. Halving alone dead-ends on odd multiples of 8 (W=520
+    # can never halve to a lane-valid 260); Wc=8 always exists (W%8==0),
+    # so the fallback is a narrow chunk, never a VMEM blowout.
+    Wc = next(c for c in range(W, 7, -8)
+              if W % c == 0
+              and 6 * HINT * c * C * itemsize <= vmem_budget) \
+        if 6 * HINT * 8 * C * itemsize <= vmem_budget else 8
     nchunks = W // Wc
-    import functools as _ft
-    kern = _ft.partial(_band_kernel, g=g, W=W, Wc=Wc, nbands=nbands,
-                       nchunks=nchunks)
+    kern = functools.partial(_band_kernel, g=g, Wc=Wc, nbands=nbands,
+                             nchunks=nchunks)
     new_cache, mask, npix = pl.pallas_call(
         kern,
         in_specs=[
@@ -204,12 +209,9 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
     sh, sw = g.stride
 
     def origins(i):
-        """Logical pixel origin of hint tile i (clamped H edge; W aligned)."""
-        t = idx_ref[i]
-        hi = t // hint_tiles_w
-        hj = t - hi * hint_tiles_w
-        oy = jnp.minimum(hi * HINT, H - HINT)  # clamped H edge (overlap ok)
-        ox = hj * HINT                          # W % 8 == 0 (caller asserts)
+        """Logical pixel origin of hint tile i (clamped H edge; W aligned —
+        shared decode, see common.hint_origin)."""
+        oy, ox, _ = hint_origin(idx_ref[i], hint_tiles_w, H, HINT)
         return oy, ox
 
     def copy_in(slot, i, which):
@@ -259,7 +261,16 @@ def _sparse_kernel(idx_ref, m_ref,                    # scalar prefetch
         diff = jnp.max(jnp.abs(x8.astype(jnp.float32)
                                - c8.astype(jnp.float32)), axis=-1)  # (8, 8)
         changed = diff > tau_ref[0]
-        npix_ref[0] += jnp.sum(changed.astype(jnp.int32))
+        # count only rows in THIS tile's nominal range: a clamped
+        # bottom-edge tile overlaps the previous tile's rows, and whether
+        # the overlap diff sees pre- or post-update cache bytes depends
+        # on DMA timing — counting it would make npix nondeterministic
+        # on hardware (cache bytes and the mask stay exact either way)
+        _oy, _ox, _hi = hint_origin(idx_ref[i], hint_tiles_w, H, HINT)
+        skip = _hi * HINT - _oy
+        own_rows = jax.lax.broadcasted_iota(jnp.int32, (HINT, HINT), 0) \
+            >= skip
+        npix_ref[0] += jnp.sum((changed & own_rows).astype(jnp.int32))
 
         # ---- cache update (write-back through a separate buffer) ----
         @pl.when(i >= NBUF)
@@ -342,7 +353,10 @@ def detect_sparse(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
             pl.BlockSpec(memory_space=pltpu.SMEM),             # changed px
         ],
         scratch_shapes=[
-            pltpu.VMEM((NBUF, HINT, HINT, C), x.dtype),
+            # in_cache.dtype, NOT x.dtype: the x operand below is
+            # x.astype(in_cache.dtype), so a float32 x into a bf16 cache
+            # would otherwise declare a mismatched DMA destination
+            pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),
             pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),
             pltpu.VMEM((NBUF, HINT, HINT, C), in_cache.dtype),
             pltpu.SemaphoreType.DMA((NBUF, 2)),

@@ -288,3 +288,31 @@ def test_forward_hint_pool_layer_matches_redetect():
     pf = [s for s in st_f if s][1]
     assert np.all(np.asarray(pf["detect_tiles"])[1:]
                   < np.max(np.asarray(pf["n_tiles"])))
+
+
+def test_detect_sparse_clamped_edge_count_exact():
+    """Clamped bottom-edge hint tiles overlap the previous tile's rows;
+    npix must count each changed pixel exactly once (nominal-row
+    ownership), not once-or-twice depending on DMA timing."""
+    from cbinfer_tpu.ops.pallas.detect import detect_sparse
+    from cbinfer_tpu.ops.delta_conv import make_storage, \
+        storage_update_interior, storage_interior
+
+    rng = np.random.default_rng(17)
+    H, W, C = 20, 16, 8  # H % 8 != 0 -> tile row 2 clamps to oy=12
+    g = conv_tile_geometry((H, W, C), (3, 3), (1, 1), (1, 1), "SAME", 8, 8)
+    prev = rng.standard_normal((H, W, C)).astype(np.float32)
+    x = prev.copy()
+    x[10:18, 2:9] += 1.0  # changes straddle the overlap rows 12..16
+    st = make_storage(g, 0.0, 0.0, jnp.float32)
+    st = storage_update_interior(st, jnp.asarray(prev), g)
+    hint = np.ones((-(-H // 8), W // 8), bool)  # all hint tiles dirty
+    comp = compact_mask(jnp.asarray(hint), hint.size)
+    st2, maskf, npix = detect_sparse(jnp.asarray(x), st, 0.5, comp.idx,
+                                     comp.count, g, interpret=True)
+    exact = int((np.abs(x - prev).max(-1) > 0.5).sum())
+    assert int(npix[0]) == exact > 0
+    # cache: changed pixels accepted, others untouched
+    got = np.asarray(storage_interior(st2, g))
+    want = np.where((np.abs(x - prev).max(-1) > 0.5)[..., None], x, prev)
+    np.testing.assert_allclose(got, want, atol=0)
