@@ -123,6 +123,14 @@ class PoolSpec:
     conservative superset of what re-detection would recompute. Requires
     window == stride and a producer hint; falls back to re-detection
     otherwise.
+
+    ``elide_in_cache=True`` (set by the flagship converters ONLY when the
+    fused gate provably holds at this layer's static shapes AND the
+    producer always emits a hint) replaces the layer's input cache with a
+    (1, 1, 1) placeholder: the fused path never reads it, and carrying it
+    wastes ~hundreds of MB of donated scan-carry HBM at 720p. With this
+    flag the re-detection fallback is statically unreachable
+    (cb_pool_apply asserts so).
     """
 
     window: Tuple[int, int] = (2, 2)
@@ -132,6 +140,7 @@ class PoolSpec:
     use_cb: bool = True
     backend: Optional[str] = None  # see ConvSpec.backend
     forward_hint: bool = False
+    elide_in_cache: bool = False
     kind: str = "pool"
 
     def __post_init__(self):

@@ -256,13 +256,28 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
                   backend_overrides=overrides)
     # aligned pools run hint-forwarded (one fused kernel, no detection /
     # input-cache traffic; see PoolSpec.forward_hint) — they keep their
-    # tau slot for tau-vector compatibility, but the tau is unused
-    new_specs = tuple(
-        dataclasses.replace(s, forward_hint=True)
-        if isinstance(s, PoolSpec) and s.use_cb
-        and s.window == s.stride else s
-        for s in net.specs)
-    net = dataclasses.replace(net, specs=new_specs)
+    # tau slot for tau-vector compatibility, but the tau is unused.
+    # Where the fused gate PROVABLY holds at static shapes and the
+    # producer always emits a hint, the pool's never-read input cache is
+    # elided to a placeholder (PoolSpec.elide_in_cache — ~hundreds of MB
+    # of donated-carry HBM per forward pool at 720p).
+    from .layers import _geometry, _layer_cfg, fused_pool_gate, lane_pad
+    from .network import out_shapes
+    shapes = [in_shape] + list(out_shapes(net.specs, in_shape))
+    new_specs = []
+    for i, s in enumerate(net.specs):
+        if isinstance(s, PoolSpec) and s.use_cb and s.window == s.stride:
+            prev = net.specs[i - 1] if i > 0 else None
+            hinted = (isinstance(prev, (ConvSpec, PoolSpec))
+                      and prev.use_cb)
+            s = dataclasses.replace(s, forward_hint=True)
+            lcfg = _layer_cfg(s, cfg)
+            cpad = lane_pad(shapes[i][2], lcfg)
+            g = _geometry(s, (shapes[i][0], shapes[i][1], cpad), lcfg)
+            if hinted and fused_pool_gate(s, g, lcfg, cpad):
+                s = dataclasses.replace(s, elide_in_cache=True)
+        new_specs.append(s)
+    net = dataclasses.replace(net, specs=tuple(new_specs))
     if thresholds is not None:
         net = convert(net.specs, in_shape, cfg, thresholds=thresholds)
     return net

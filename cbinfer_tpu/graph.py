@@ -294,6 +294,20 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
             cb_capable[i] = False
         elif isinstance(spec, PoolSpec) and spec.window == spec.stride:
             spec = dataclasses.replace(spec, forward_hint=True)
+            # elide the never-read input cache when the fused gate
+            # provably holds and the (single) producer always hints —
+            # sequential twin: convert.convert_flagship
+            from .layers import _geometry, _layer_cfg, fused_pool_gate, \
+                lane_pad
+            src = n.inputs[0]
+            by_name = {m.name: k for k, m in enumerate(nodes)}
+            hinted = src in by_name and cb_capable[by_name[src]]
+            lcfg = _layer_cfg(spec, cfg)
+            cpad = lane_pad(row.in_shape[2], lcfg)
+            g = _geometry(spec, (row.in_shape[0], row.in_shape[1], cpad),
+                          lcfg)
+            if hinted and fused_pool_gate(spec, g, lcfg, cpad):
+                spec = dataclasses.replace(spec, elide_in_cache=True)
         if spec is not n.spec:
             nodes[i] = dataclasses.replace(n, spec=spec)
     if extra_overrides:

@@ -166,13 +166,26 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
         g = _geometry(spec, in_shape, cfg)
         return CBLayerState(
             in_cache=jnp.full((H, W * C), detect.COLD_START_FILL, dtype),
+            # lane width gated on the PIPELINE backend (dense_cached
+            # parity above): a flat stem in a pure-jnp pipeline keeps
+            # logical channels — padding there wastes memory and makes
+            # the jnp consumer crop pad lanes every frame
             out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad,
-                                 -(-cout // LANE) * LANE), dtype=dtype),
+                                 lane_pad(cout, pipe_cfg)), dtype=dtype),
         )
     cin_pad = lane_pad(in_shape[2], cfg)
     cout_pad = lane_pad(cout, cfg)
     padded_in = (in_shape[0], in_shape[1], cin_pad)
     g = _geometry(spec, padded_in, cfg)
+    if isinstance(spec, PoolSpec) and spec.elide_in_cache:
+        # fused forward-hint pool, gate statically proven by the flagship
+        # converter: the input cache is never read — a (1,1,1) placeholder
+        # instead of ~hundreds of MB of dead donated-carry HBM at 720p
+        return CBLayerState(
+            in_cache=jnp.zeros((1, 1, 1), dtype=dtype),
+            out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad, cout_pad),
+                                dtype=dtype),
+        )
     margin = NEG_FILL if isinstance(spec, PoolSpec) else 0.0
     return CBLayerState(
         in_cache=make_storage(g, detect.COLD_START_FILL, margin, dtype),
@@ -246,8 +259,15 @@ def _accept_hinted(x: jnp.ndarray, in_cache: jnp.ndarray,
     xi = x[:H, :W] if x.shape[:2] != (H, W) else x
     new_interior = jnp.where(pix[..., None], xi.astype(interior.dtype),
                              interior)
-    return storage_update_interior(in_cache, new_interior, g), \
-        jnp.sum(hint.mask, dtype=jnp.int32)
+    # fresh constant-margin pad, NOT storage_update_interior: a
+    # full-interior dynamic-update-slice into the donated scan carry is
+    # the measured DUS-in-carry pathology (_detect_and_mask note);
+    # margins are constant zeros by make_storage's contract
+    new_storage = jnp.pad(
+        new_interior, ((g.store_lo_h, g.store_hi_h),
+                       (g.store_lo_w, g.store_hi_w), (0, 0))
+    ).astype(in_cache.dtype)
+    return new_storage, jnp.sum(hint.mask, dtype=jnp.int32)
 
 
 # ------------------------------ detection -----------------------------------
@@ -412,10 +432,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         mask = detect.changed_tile_mask(changed, g)
         npix = jnp.sum(changed, dtype=jnp.int32).reshape(1)
         from . import network as _net
-        cout_pad = state.out_cache.shape[-1]
-        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0),
-                         (0, cout_pad - w.shape[3])))
-        bp = None if b is None else jnp.pad(b, (0, cout_pad - b.shape[0]))
+        wp, bp = _pad_wb(w, b, state.out_cache.shape[-1])
         y = _net.dense_conv(storage.reshape(H, W, xc), wp, bp, spec,
                             compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
@@ -454,11 +471,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         # weights + zero bias) and the consumer's pad_lanes is a no-op.
         from . import network as _net
         cout_pad = state.out_cache.shape[-1]
-        if w.shape[3] < cout_pad:
-            w = jnp.pad(w, ((0, 0), (0, 0), (0, 0),
-                            (0, cout_pad - w.shape[3])))
-            if b is not None:
-                b = jnp.pad(b, (0, cout_pad - b.shape[0]))
+        w, b = _pad_wb(w, b, cout_pad)
         interior = storage_interior(storage, g).astype(compute_dtype)
         y = _net.dense_conv(interior, w, b, spec, compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
@@ -502,6 +515,17 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                                         dense_fn, tau, hint,
                                         forward=forward)
     return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint
+
+
+def _pad_wb(w, b, cout_pad: int):
+    """Pad conv weights/bias out-channels to the stored lane width (the
+    one contract behind every lane-padded out cache; apply and refresh
+    branches of the same layer MUST agree on it — lax.cond pytree rule)."""
+    if w.shape[3] < cout_pad:
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad - w.shape[3])))
+        if b is not None:
+            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
+    return w, b
 
 
 def _layer_cfg(spec, cfg: PipelineConfig) -> PipelineConfig:
@@ -609,10 +633,7 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
         g = _geometry(spec, (H, W, xc), cfg)
         storage = xarr.reshape(H, W * xc).astype(state.in_cache.dtype)
         from . import network as _net
-        cout_pad = state.out_cache.shape[-1]
-        wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0),
-                         (0, cout_pad - w.shape[3])))
-        bp = None if b is None else jnp.pad(b, (0, cout_pad - b.shape[0]))
+        wp, bp = _pad_wb(w, b, state.out_cache.shape[-1])
         y = _net.dense_conv(storage.reshape(H, W, xc), wp, bp, spec,
                             compute_dtype)
         y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
@@ -625,11 +646,7 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
     x, w, b, g = _conv_prep(params, x, spec, cfg, crop=True)
     # match the out cache's stored lane width (dense_cached stems write
     # lane-padded output via padded weights; cb_layer_init doc)
-    cout_pad = state.out_cache.shape[-1]
-    if w.shape[3] < cout_pad:
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cout_pad - w.shape[3])))
-        if b is not None:
-            b = jnp.pad(b, (0, cout_pad - b.shape[0]))
+    w, b = _pad_wb(w, b, state.out_cache.shape[-1])
 
     # Rebuild the padded storage from scratch (margins are CONSTANT zeros
     # by make_storage's contract) instead of dynamic-update-slicing the
@@ -662,8 +679,36 @@ def cb_pool_refresh(state: CBLayerState, x, spec: PoolSpec,
                       constant_values=NEG_FILL)
     out_cache = dense_pool(storage, g).astype(state.out_cache.dtype)
     yl = Feature(out_cache, g.out_h, g.out_w, cout)
-    return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+    # elided-input-cache pools (fused forward mode) keep their (1,1,1)
+    # placeholder: the transient storage above is compute-only
+    new_in = state.in_cache if spec.elide_in_cache else storage
+    return yl, CBLayerState(in_cache=new_in, out_cache=out_cache), \
         _full_stats(g), _full_hint(g)
+
+
+def fused_pool_gate(spec: PoolSpec, g, cfg: PipelineConfig,
+                    channels: int) -> bool:
+    """STATIC eligibility of the hint-forwarded fused pool kernel — the
+    single source of truth shared by the runtime (cb_pool_apply) and the
+    tuner's dead-tau analysis (tuner._tau_is_dead); the two copies
+    diverging mis-tunes thresholds (bitten once, commit 2b3f121).
+
+    Conditions: pallas backend; aligned window==stride==(p,p) with p>=2
+    (p=1 would pool an 8x16 block spanning two out tiles while the kernel
+    marks one mask cell — stale-hint hole); pooled paired-block width
+    8-sublane-aligned (Mosaic HBM slicing rule); full 8x8 compute tiles;
+    full 128 lanes; exact block-grid divisibility (a clamped edge block's
+    pooled region would span two out tiles)."""
+    if not (isinstance(spec, PoolSpec) and cfg.backend == "pallas"):
+        return False
+    p = spec.stride[0]
+    return (spec.window == spec.stride == (p, p)
+            and p >= 2 and HINT_TILE % p == 0
+            and (2 * HINT_TILE // p) % 8 == 0
+            and g.th == HINT_TILE and g.tw == HINT_TILE
+            and channels % 128 == 0
+            and g.in_w % (2 * HINT_TILE) == 0
+            and g.in_h % HINT_TILE == 0)
 
 
 def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
@@ -675,21 +720,8 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
     cfg = _layer_cfg(spec, cfg)
     x, g, cout = _pool_prep(x, spec, cfg)
 
-    p = spec.stride[0]
-    if (spec.forward_hint and hint is not None and cfg.backend == "pallas"
-            and spec.window == spec.stride == (p, p)
-            and HINT_TILE % p == 0 and p >= 2
-            # pooled block width (2 paired hint tiles) must be 8-sublane
-            # aligned for the HBM output slice (Mosaic rule); p >= 2 keeps
-            # a dirty block's pooled extent within ONE 8-wide out tile
-            # (p=1 would pool an 8x16 block spanning two tiles while
-            # _fused_pool_kernel marks one mask cell — stale-hint hole)
-            and (2 * HINT_TILE // p) % 8 == 0
-            and g.th == HINT_TILE and g.tw == HINT_TILE
-            and x.shape[-1] % 128 == 0
-            # exact block-grid divisibility: a clamped edge block's pooled
-            # region would span TWO out tiles and break the one-cell mask
-            and g.in_w % (2 * HINT_TILE) == 0 and g.in_h % HINT_TILE == 0):
+    if (spec.forward_hint and hint is not None
+            and fused_pool_gate(spec, g, cfg, x.shape[-1])):
         # CB17 mask-forwarding pool: ONE fused kernel over the producer's
         # dirty list — no detection, no input-cache traffic, tau unused
         # (PoolSpec.forward_hint doc; value-exact superset recompute).
@@ -719,6 +751,16 @@ def cb_pool_apply(state: CBLayerState, x: jnp.ndarray, spec: PoolSpec,
         yl = Feature(out_cache, g.out_h, g.out_w, cout)
         return yl, CBLayerState(in_cache=state.in_cache,
                                 out_cache=out_cache), stats, out_hint
+
+    if spec.elide_in_cache:
+        # the converter only sets this when the fused gate above provably
+        # holds and the producer always hints — reaching the re-detection
+        # fallback means the net was built inconsistently (the input
+        # cache here is a (1,1,1) placeholder and cannot serve detection)
+        raise AssertionError(
+            "elide_in_cache pool fell through the fused gate "
+            f"(hint={'present' if hint is not None else 'MISSING'}, "
+            f"backend={cfg.backend}); rebuild via the flagship converter")
 
     if cfg.backend == "pallas":
         from .ops.pallas.delta_pool import delta_pool_pallas

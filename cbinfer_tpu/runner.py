@@ -78,6 +78,11 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
     if refresh_start:
         assert refresh_every is None, \
             "refresh_start replaces refresh_every; use one"
+        if frames.shape[0] == 0:
+            # a chunked driver's final chunk can be empty; frames[0]
+            # below would be an opaque trace-time OOB error
+            raise ValueError("scan_video(refresh_start=True) needs at "
+                             "least one frame (got an empty clip)")
         y0, state, stats0 = net.apply_refresh(params, state, frames[0],
                                               thresholds)
         if not collect_stats:

@@ -112,7 +112,7 @@ def _tau_is_dead(view: NetView, ri: int) -> bool:
     grid, hint-producing predecessor. Judged conservatively: any unmet
     condition means the pool falls back to re-detection, where tau is
     live."""
-    from .layers import HINT_TILE, _geometry, _layer_cfg, lane_pad
+    from .layers import _geometry, _layer_cfg, fused_pool_gate, lane_pad
     spec = view.rows[ri].spec
     if isinstance(spec, ConvSpec) and spec.forward_hint:
         # forwarding convs skip detection whenever a hint exists — tau is
@@ -120,23 +120,16 @@ def _tau_is_dead(view: NetView, ri: int) -> bool:
         return _hint_reaches(view, ri)
     if not (isinstance(spec, PoolSpec) and spec.forward_hint):
         return False
+    # The SHARED static gate (layers.fused_pool_gate) with the runtime's
+    # own TileGeometry (layers._pool_prep): g.th/g.tw are min(cfg.tile,
+    # out-extent), so a deep low-res pool with out_h < tile_h fails the
+    # gate and re-detects — its tau is LIVE even when cfg.tile is 8x8.
+    # Channel width uses the lane-padded storage width, as at runtime.
     lcfg = _layer_cfg(spec, view.cfg)
-    if lcfg.backend != "pallas":
-        return False
-    p = spec.stride[0]
-    if not (spec.window == spec.stride == (p, p) and p >= 2
-            and HINT_TILE % p == 0 and (2 * HINT_TILE // p) % 8 == 0):
-        return False
-    # Mirror the runtime gate EXACTLY by rebuilding the same TileGeometry
-    # (layers._pool_prep): g.th/g.tw are min(cfg.tile, out-extent), so a
-    # deep low-res pool with out_h < tile_h fails the runtime gate and
-    # re-detects — its tau is LIVE even when cfg.tile is 8x8. Channel
-    # width uses the lane-padded storage width, as at runtime.
     in_h, in_w, in_c = view.rows[ri].in_shape
     cpad = lane_pad(in_c, lcfg)
     g = _geometry(spec, (in_h, in_w, cpad), lcfg)
-    if not (g.th == HINT_TILE and g.tw == HINT_TILE and cpad % 128 == 0
-            and g.in_h % HINT_TILE == 0 and g.in_w % (2 * HINT_TILE) == 0):
+    if not fused_pool_gate(spec, g, lcfg, cpad):
         return False
     return _hint_reaches(view, ri)
 

@@ -246,3 +246,42 @@ def test_mid_layer_dense_cached_pallas_interpret_matches_jnp():
     oc_j = np.asarray(stj[2].out_cache)
     np.testing.assert_allclose(oc_p[:oc_j.shape[0], :oc_j.shape[1]], oc_j,
                                atol=1e-5)
+
+
+def test_elided_pool_in_cache_flagship_pallas():
+    """Flagship nets elide the never-read input cache of fused forward
+    pools (PoolSpec.elide_in_cache): placeholder state, identical
+    streamed values vs the jnp twin, and a working refresh prolog."""
+    from cbinfer_tpu.config import PoolSpec as PS
+    from cbinfer_tpu.convert import convert_flagship
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    specs = get_model("scene", num_classes=8, width=16)
+    in_shape = (32, 32, 3)
+    cfg_p = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
+                           interpret=True)
+    cfg_j = PipelineConfig(tile=TileConfig(8, 8), backend="jnp")
+    net_p = convert_flagship(specs, in_shape, cfg_p)
+    net_j = convert_flagship(specs, in_shape, cfg_j)
+    pools_p = [s for s in net_p.specs if isinstance(s, PS)]
+    assert pools_p and all(s.elide_in_cache for s in pools_p)
+    assert not any(s.elide_in_cache for s in net_j.specs
+                   if isinstance(s, PS))
+    st = net_p.init_state()
+    pool_idx = [i for i, s in enumerate(net_p.specs) if isinstance(s, PS)]
+    for i in pool_idx:
+        assert st[i].in_cache.shape == (1, 1, 1), st[i].in_cache.shape
+
+    params = init_params(specs, in_shape, jax.random.PRNGKey(4))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=32, seed=21, n_sprites=1, sprite_size=7)).clip(4))
+    taus = jnp.full((sum(1 for s in net_p.specs
+                         if getattr(s, "use_cb", False)),), 0.02)
+    ys_p, _, _ = scan_video(net_p, params, clip, thresholds=taus,
+                            refresh_start=True)
+    ys_j, _, _ = scan_video(net_j, params, clip, thresholds=taus,
+                            refresh_start=True)
+    np.testing.assert_allclose(np.asarray(ys_p), np.asarray(ys_j),
+                               atol=1e-5)
