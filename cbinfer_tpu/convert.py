@@ -243,6 +243,7 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     measured per-layer policy optimizer (scripts/optimize_policy.py) uses
     to flip bookkeeping-bound layers to dense_cached.
     """
+    cfg = cfg or PipelineConfig()  # the elide pass below reads cfg fields
     overrides, dense = flagship_layers(specs, in_shape, cfg)
     if extra_overrides:
         bad = [k for k in extra_overrides if not 0 <= k < len(specs)]
@@ -262,19 +263,18 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     # elided to a placeholder (PoolSpec.elide_in_cache — ~hundreds of MB
     # of donated-carry HBM per forward pool at 720p).
     from .layers import _geometry, _layer_cfg, fused_pool_gate, lane_pad
-    from .network import out_shapes
-    shapes = [in_shape] + list(out_shapes(net.specs, in_shape))
+    from .netview import NetView, hint_reaches
+    view = NetView.from_specs(net.specs, in_shape, cfg)
     new_specs = []
     for i, s in enumerate(net.specs):
         if isinstance(s, PoolSpec) and s.use_cb and s.window == s.stride:
-            prev = net.specs[i - 1] if i > 0 else None
-            hinted = (isinstance(prev, (ConvSpec, PoolSpec))
-                      and prev.use_cb)
             s = dataclasses.replace(s, forward_hint=True)
             lcfg = _layer_cfg(s, cfg)
-            cpad = lane_pad(shapes[i][2], lcfg)
-            g = _geometry(s, (shapes[i][0], shapes[i][1], cpad), lcfg)
-            if hinted and fused_pool_gate(s, g, lcfg, cpad):
+            h, w, c = view.rows[i].in_shape
+            cpad = lane_pad(c, lcfg)
+            g = _geometry(s, (h, w, cpad), lcfg)
+            if fused_pool_gate(s, g, lcfg, cpad) \
+                    and hint_reaches(view, i):
                 s = dataclasses.replace(s, elide_in_cache=True)
         new_specs.append(s)
     net = dataclasses.replace(net, specs=tuple(new_specs))

@@ -294,20 +294,6 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
             cb_capable[i] = False
         elif isinstance(spec, PoolSpec) and spec.window == spec.stride:
             spec = dataclasses.replace(spec, forward_hint=True)
-            # elide the never-read input cache when the fused gate
-            # provably holds and the (single) producer always hints —
-            # sequential twin: convert.convert_flagship
-            from .layers import _geometry, _layer_cfg, fused_pool_gate, \
-                lane_pad
-            src = n.inputs[0]
-            by_name = {m.name: k for k, m in enumerate(nodes)}
-            hinted = src in by_name and cb_capable[by_name[src]]
-            lcfg = _layer_cfg(spec, cfg)
-            cpad = lane_pad(row.in_shape[2], lcfg)
-            g = _geometry(spec, (row.in_shape[0], row.in_shape[1], cpad),
-                          lcfg)
-            if hinted and fused_pool_gate(spec, g, lcfg, cpad):
-                spec = dataclasses.replace(spec, elide_in_cache=True)
         if spec is not n.spec:
             nodes[i] = dataclasses.replace(n, spec=spec)
     if extra_overrides:
@@ -322,6 +308,27 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
             nodes[i] = dataclasses.replace(
                 nodes[i], spec=dataclasses.replace(nodes[i].spec,
                                                    backend=backend))
+    # Elide the never-read input cache of fused forward pools — decided on
+    # the FINAL specs (after extra_overrides: a backend override on a pool
+    # must veto elision or the runtime's placeholder assert fires) with a
+    # fresh NetView so hint analysis follows concat merges exactly like
+    # CBGraphNet.apply (netview.hint_reaches; sequential twin:
+    # convert.convert_flagship).
+    from .layers import _geometry, _layer_cfg, fused_pool_gate, lane_pad
+    from .netview import hint_reaches
+    view2 = NetView.from_nodes(nodes, in_shape, cfg)
+    for i, n in enumerate(nodes):
+        spec = n.spec
+        if not (isinstance(spec, PoolSpec) and spec.use_cb
+                and spec.forward_hint):
+            continue
+        lcfg = _layer_cfg(spec, cfg)
+        h, w, c = view2.rows[i].in_shape
+        cpad = lane_pad(c, lcfg)
+        g = _geometry(spec, (h, w, cpad), lcfg)
+        if fused_pool_gate(spec, g, lcfg, cpad) and hint_reaches(view2, i):
+            nodes[i] = dataclasses.replace(
+                n, spec=dataclasses.replace(spec, elide_in_cache=True))
     return convert_graph(nodes, in_shape, cfg, output=output,
                          thresholds=thresholds)
 

@@ -53,8 +53,7 @@ from jax import lax
 from .config import ConvSpec, PipelineConfig, PoolSpec
 from .ops import compact, detect
 from .ops.delta_conv import (delta_conv_jnp, dense_conv_shifted,
-                             make_storage, storage_interior,
-                             storage_update_interior)
+                             make_storage, storage_interior)
 from .ops.delta_pool import delta_pool_jnp, dense_pool
 from .ops.geometry import TileGeometry, cdiv, conv_tile_geometry
 

@@ -138,3 +138,26 @@ class NetView:
         """The single producer of row i's primary input, if any."""
         ps = self.rows[i].producers
         return self.rows[ps[0]] if ps else None
+
+
+def hint_reaches(view: "NetView", ri: int) -> bool:
+    """True iff row ri's PRODUCER side always delivers a dirty hint to it:
+    every producer is CB, following transitively through concat rows
+    (graph.CBGraphNet merges hints at concats and drops the merged hint if
+    ANY input lacks one — mirror that exactly). Rows with no producer read
+    the network input, which carries no hint. Shared by the tuner's
+    dead-tau analysis and the flagship converters' in-cache elision."""
+    from .graph import ConcatSpec
+    row = view.rows[ri]
+    if not row.producers:
+        return False
+    for p in row.producers:
+        prow = view.rows[p]
+        if prow.is_cb:
+            continue
+        if isinstance(prow.spec, ConcatSpec):
+            if not hint_reaches(view, p):
+                return False
+            continue
+        return False  # plain-dense / upsample: hint cleared
+    return True

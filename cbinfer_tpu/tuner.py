@@ -84,25 +84,8 @@ def _make_device_runner(net: CBNet, params, device_metric_fn, skip_frames,
 
 
 def _hint_reaches(view: NetView, ri: int) -> bool:
-    """True iff row ri's PRODUCER side always delivers a dirty hint to it:
-    every producer is CB, following transitively through concat rows
-    (graph.CBGraphNet merges hints at concats and drops the merged hint if
-    ANY input lacks one — mirror that exactly). Rows with no producer read
-    the network input, which carries no hint."""
-    from .graph import ConcatSpec
-    row = view.rows[ri]
-    if not row.producers:
-        return False
-    for p in row.producers:
-        prow = view.rows[p]
-        if prow.is_cb:
-            continue
-        if isinstance(prow.spec, ConcatSpec):
-            if not _hint_reaches(view, p):
-                return False
-            continue
-        return False  # plain-dense / upsample: hint cleared
-    return True
+    from .netview import hint_reaches
+    return hint_reaches(view, ri)
 
 
 def _tau_is_dead(view: NetView, ri: int) -> bool:
