@@ -81,8 +81,14 @@ def load_npz_params(path: str, params_like):
                 "(checkpoint trained at a different width/architecture?)")
         b = None
         if f"b{i}" in flat:
+            if p[1] is None:
+                raise ValueError(
+                    f"{path}: b{i} present for a BIAS-FREE layer — "
+                    "attaching it would silently change the computed "
+                    "function vs the spec (checkpoint from a use_bias "
+                    "variant?)")
             b = jnp.asarray(flat[f"b{i}"])
-            if p[1] is not None and b.shape != p[1].shape:
+            if b.shape != p[1].shape:
                 raise ValueError(f"{path}: b{i} shape {b.shape} != model "
                                  f"shape {p[1].shape}")
         elif p[1] is not None:
@@ -106,15 +112,42 @@ def save_npz_graph_params(path: str, params: dict) -> None:
 
 
 def load_npz_graph_params(path: str, params_like: dict) -> dict:
-    """Load a ``w:{node}``/``b:{node}`` npz into a graph params dict."""
+    """Load a ``w:{node}``/``b:{node}`` npz into a graph params dict.
+
+    Validates key presence and shapes against ``params_like`` exactly like
+    the sequential ``load_npz_params`` — a width-mismatched or
+    missing-node checkpoint must fail HERE with the file named, not later
+    with an opaque negative-pad trace in the conv preamble."""
     import jax.numpy as jnp
     import numpy as np
     flat = np.load(path)
-    return {
-        name: (jnp.asarray(flat[f"w:{name}"]),
-               jnp.asarray(flat[f"b:{name}"]) if f"b:{name}" in flat
-               else None)
-        for name in params_like}
+    out = {}
+    for name, p in params_like.items():
+        if p is None:
+            out[name] = None
+            continue
+        if f"w:{name}" not in flat:
+            raise ValueError(f"{path}: missing w:{name} (checkpoint from "
+                             "a different topology?)")
+        w = jnp.asarray(flat[f"w:{name}"])
+        if w.shape != p[0].shape:
+            raise ValueError(
+                f"{path}: w:{name} shape {w.shape} != model shape "
+                f"{p[0].shape} (checkpoint trained at a different width?)")
+        b = None
+        if f"b:{name}" in flat:
+            if p[1] is None:
+                raise ValueError(f"{path}: b:{name} present for a "
+                                 "bias-free node")
+            b = jnp.asarray(flat[f"b:{name}"])
+            if b.shape != p[1].shape:
+                raise ValueError(f"{path}: b:{name} shape {b.shape} != "
+                                 f"model shape {p[1].shape}")
+        elif p[1] is not None:
+            raise ValueError(f"{path}: missing b:{name} for a node "
+                             "with bias")
+        out[name] = (w, b)
+    return out
 
 
 def save_thresholds(path: str, thresholds, metadata: Optional[dict] = None):

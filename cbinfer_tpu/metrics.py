@@ -15,7 +15,6 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from .config import ConvSpec
-from .network import out_shapes
 
 
 # ------------------------------- accuracy -----------------------------------
@@ -88,6 +87,10 @@ def pck(pred_heatmaps: np.ndarray, ref_heatmaps: np.ndarray,
     keypoint. Accepts (H, W, K) or (T, H, W, K).
     """
     if pred_heatmaps.ndim == 4:
+        if len(pred_heatmaps) != len(ref_heatmaps):
+            raise ValueError(
+                f"frame-count mismatch: {len(pred_heatmaps)} vs "
+                f"{len(ref_heatmaps)} (zip would silently truncate)")
         vals = [pck(p, r, alpha) for p, r in zip(pred_heatmaps, ref_heatmaps)]
         return float(np.mean(vals))
     H, W, _ = pred_heatmaps.shape
@@ -129,21 +132,40 @@ def pck_gt(pred: np.ndarray, kps: np.ndarray, valid: np.ndarray,
 # ~10 s/eval over this host<->TPU link (measured r2).
 
 
+def _iu_device(pred_ids, ref_ids, num_classes: int, dtype):
+    """Shared per-class (intersection, union) pixel counts — the ONE
+    implementation behind the four device twins below (a fix here must
+    not need repeating; the host oracles are miou/miou_labels)."""
+    import jax.numpy as jnp
+    c = jnp.arange(num_classes)
+    pc = (pred_ids.reshape(-1)[None, :] == c[:, None])
+    rc = (ref_ids.reshape(-1)[None, :] == c[:, None])
+    inter = jnp.sum(pc & rc, axis=1).astype(dtype)
+    union = jnp.sum(pc | rc, axis=1).astype(dtype)
+    return inter, union
+
+
+def _miou_from_iu(inter, union):
+    """Reduce per-class counts to mIoU with HOST-ORACLE edge semantics:
+    union==0 classes are skipped, and if NO class is present the result
+    is the vacuous 1.0 exactly like miou/miou_labels (returning 0.0 here
+    was a 100 pp host/device divergence — same class of edge pck_gt's
+    device twin patches)."""
+    import jax.numpy as jnp
+    present = union > 0
+    iou = jnp.where(present, inter / jnp.maximum(union, 1.0), 0.0)
+    n = jnp.sum(present)
+    return jnp.where(n > 0, jnp.sum(iou) / jnp.maximum(n, 1), 1.0)
+
+
 def miou_device(pred_logits, ref_logits, num_classes: int):
     """jnp mean-IoU of argmax maps; classes absent from BOTH maps are
     excluded from the mean exactly as in `miou` (union==0 => skipped)."""
     import jax.numpy as jnp
-    pred = jnp.argmax(pred_logits, axis=-1).reshape(-1)
-    ref = jnp.argmax(ref_logits, axis=-1).reshape(-1)
-    c = jnp.arange(num_classes)
-    pc = (pred[None, :] == c[:, None])
-    rc = (ref[None, :] == c[:, None])
-    inter = jnp.sum(pc & rc, axis=1).astype(jnp.float32)
-    union = jnp.sum(pc | rc, axis=1).astype(jnp.float32)
-    present = union > 0
-    iou = jnp.where(present, inter / jnp.maximum(union, 1.0), 0.0)
-    n = jnp.maximum(jnp.sum(present), 1)
-    return jnp.sum(iou) / n
+    inter, union = _iu_device(jnp.argmax(pred_logits, axis=-1),
+                              jnp.argmax(ref_logits, axis=-1),
+                              num_classes, jnp.float32)
+    return _miou_from_iu(inter, union)
 
 
 def miou_iu_device(pred_logits, ref_logits, num_classes: int):
@@ -155,43 +177,25 @@ def miou_iu_device(pred_logits, ref_logits, num_classes: int):
     scan's footprint (a single 720p program holding CB + dense 64-frame
     scans OOM'd the 16 GB chip, BENCH_r02)."""
     import jax.numpy as jnp
-    pred = jnp.argmax(pred_logits, axis=-1).reshape(-1)
-    ref = jnp.argmax(ref_logits, axis=-1).reshape(-1)
-    c = jnp.arange(num_classes)
-    pc = (pred[None, :] == c[:, None])
-    rc = (ref[None, :] == c[:, None])
-    inter = jnp.sum(pc & rc, axis=1).astype(jnp.int32)
-    union = jnp.sum(pc | rc, axis=1).astype(jnp.int32)
-    return inter, union
+    return _iu_device(jnp.argmax(pred_logits, axis=-1),
+                      jnp.argmax(ref_logits, axis=-1),
+                      num_classes, jnp.int32)
 
 
 def miou_labels_device(pred_logits, labels, num_classes: int):
     """jnp twin of `miou_labels` (ground-truth mIoU as one device scalar)."""
     import jax.numpy as jnp
-    pred = jnp.argmax(pred_logits, axis=-1).reshape(-1)
-    ref = labels.reshape(-1)
-    c = jnp.arange(num_classes)
-    pc = (pred[None, :] == c[:, None])
-    rc = (ref[None, :] == c[:, None])
-    inter = jnp.sum(pc & rc, axis=1).astype(jnp.float32)
-    union = jnp.sum(pc | rc, axis=1).astype(jnp.float32)
-    present = union > 0
-    iou = jnp.where(present, inter / jnp.maximum(union, 1.0), 0.0)
-    return jnp.sum(iou) / jnp.maximum(jnp.sum(present), 1)
+    inter, union = _iu_device(jnp.argmax(pred_logits, axis=-1), labels,
+                              num_classes, jnp.float32)
+    return _miou_from_iu(inter, union)
 
 
 def miou_labels_iu_device(pred_logits, labels, num_classes: int):
     """Per-class (intersection, union) counts vs ground truth — chunked
     accumulation twin of miou_labels (see miou_iu_device)."""
     import jax.numpy as jnp
-    pred = jnp.argmax(pred_logits, axis=-1).reshape(-1)
-    ref = labels.reshape(-1)
-    c = jnp.arange(num_classes)
-    pc = (pred[None, :] == c[:, None])
-    rc = (ref[None, :] == c[:, None])
-    inter = jnp.sum(pc & rc, axis=1).astype(jnp.int32)
-    union = jnp.sum(pc | rc, axis=1).astype(jnp.int32)
-    return inter, union
+    return _iu_device(jnp.argmax(pred_logits, axis=-1), labels,
+                      num_classes, jnp.int32)
 
 
 def merge_iu(inter: np.ndarray, union: np.ndarray) -> float:
@@ -412,7 +416,7 @@ def drift_bound(specs: Sequence, params, thresholds) -> float:
     (a periodic dense refresh resets e to 0). Dense layers
     (use_cb=False) contribute gain only, no tau.
     """
-    from .config import ConvSpec, PoolSpec, UpsampleSpec
+    from .config import PoolSpec, UpsampleSpec
 
     taus = list(np.asarray(thresholds, dtype=np.float64).ravel())
     ti = 0

@@ -151,7 +151,7 @@ class SpriteVideo:
                                (cfg.n_sprites, 2)).astype(np.float32)
         ang = rng.uniform(0, 2 * np.pi, cfg.n_sprites)
         self.vel = (cfg.speed * np.stack([np.sin(ang), np.cos(ang)], -1)).astype(np.float32)
-        self._noise_rng = np.random.default_rng(cfg.seed + 1)
+        self.frame_index = 0
 
     def frame(self) -> np.ndarray:
         cfg = self.cfg
@@ -160,12 +160,19 @@ class SpriteVideo:
             y, x = int(self.pos[i, 0]), int(self.pos[i, 1])
             img[y:y + cfg.sprite_size, x:x + cfg.sprite_size, :] = self.colors[i]
         if cfg.noise_std > 0:
-            img += self._noise_rng.normal(
-                0.0, cfg.noise_std, img.shape).astype(np.float32)
+            # noise keyed by (seed, timestep), not a mutated generator:
+            # frame() must be an IDEMPOTENT read (callers render the same
+            # timestep for CB and dense paths); clipped so frames keep the
+            # documented [0, 1] range
+            nrng = np.random.default_rng((cfg.seed + 1, self.frame_index))
+            img += nrng.normal(0.0, cfg.noise_std, img.shape
+                               ).astype(np.float32)
+            np.clip(img, 0.0, 1.0, out=img)
         return img
 
     def step(self):
         cfg = self.cfg
+        self.frame_index += 1
         self.pos += self.vel
         # bounce off edges
         for d, lim in ((0, cfg.height - cfg.sprite_size),
@@ -197,7 +204,14 @@ class SpriteVideo:
         sprite (parts: 0=center, 1=tl corner, 2=br corner). Types whose
         class is absent from this video (or > POSE_CLASSES) are invalid.
         With distinct_classes=True every valid type has exactly one
-        instance."""
+        instance.
+
+        Coordinate convention: the sprite spans pixel rows [y, y+s-1];
+        'center' is y+s/2 (half a pixel below-right of the span midpoint)
+        while 'br' is y+s-1 (last covered pixel). Training targets
+        (pose_targets) and evaluation (pck_gt) both use THESE definitions
+        so the offsets self-cancel in-repo — comparing against externally
+        defined keypoints carries a systematic 0.5 px bias."""
         cfg = self.cfg
         kps = np.zeros((NUM_KEYPOINTS, 2), np.float32)
         valid = np.zeros((NUM_KEYPOINTS,), bool)
