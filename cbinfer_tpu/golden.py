@@ -27,7 +27,8 @@ of the current cache. The approximation error of CBinfer therefore lives
 entirely in ``in_cache != x``; masks only decide how much compute is spent.
 The tiled TPU pipeline shares the identical per-pixel cache-update rule and a
 superset recompute mask, so its results are bit-identical (up to float
-reassociation) to this golden model.
+reassociation) to this golden model — PROVIDED the golden run uses the same
+cache dtype (``cache_dtype="bfloat16"`` for bf16 pipelines; quantize_cache).
 
 All feature maps are HWC float arrays; weights are HWIO (kh, kw, cin, cout).
 """
@@ -83,6 +84,22 @@ def conv_pads(n: int, k: int, s: int, d: int, padding):
 def _pads2(H, W, kh, kw, sh, sw, dh, dw, padding):
     return (conv_pads(H, kh, sh, dh, pad_dim(padding, 0)),
             conv_pads(W, kw, sw, dw, pad_dim(padding, 1)))
+
+
+
+def quantize_cache(x: np.ndarray, cache_dtype: str) -> np.ndarray:
+    """Round accepted values through the pipeline's cache dtype.
+
+    The TPU pipeline stores accepted values as ``x.astype(cache_dtype)``;
+    an oracle keeping full-precision accepts diverges from it at the tau
+    boundary (sub-ulp drift accumulates differently), so mask/cache
+    parity claims only hold when the golden run quantizes the SAME way.
+    float32 (the default and what CPU CI runs) is a no-op."""
+    if cache_dtype in ("float32", "f32"):
+        return x
+    import ml_dtypes
+    return x.astype(ml_dtypes.bfloat16).astype(np.float32) \
+        if cache_dtype in ("bfloat16", "bf16") else x.astype(cache_dtype)
 
 
 def dense_conv2d(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
@@ -182,10 +199,12 @@ class GoldenLayerState:
 
 
 def cb_conv_step(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
-                 spec: ConvSpec, state: GoldenLayerState
+                 spec: ConvSpec, state: GoldenLayerState,
+                 cache_dtype: str = "float32"
                  ) -> Tuple[np.ndarray, GoldenLayerState]:
     """One frame through a change-based conv layer, exact per-pixel semantics."""
     if state.in_cache is None:
+        x = quantize_cache(x, cache_dtype)
         # Frame 0 cold start: full dense pass populates both caches
         # (SURVEY.md §3.2 "frame 0: all changed").
         y = dense_conv2d(x, w, b, spec.stride, spec.dilation, spec.padding,
@@ -197,12 +216,17 @@ def cb_conv_step(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
             total_out=y.shape[0] * y.shape[1])
 
     # Stage 1: per-pixel change detection against the last accepted value.
-    # Detection runs in float32 — matching the TPU pipeline bit-for-bit so
-    # masks never diverge at the tau boundary (tau itself is rounded to f32).
+    # Detection runs in float32 on the RAW input — matching the TPU
+    # pipeline bit-for-bit (it diffs x at compute precision against the
+    # cache) so masks never diverge at the tau boundary (tau itself is
+    # rounded to f32). Only the ACCEPTED write is rounded through the
+    # pipeline's cache dtype (quantize_cache): a full-precision accept
+    # would drift from a bf16 pipeline by more than reassociation.
     diff = np.max(np.abs(x.astype(np.float32) - state.in_cache.astype(np.float32)),
                   axis=-1)
     changed_in = diff > np.float32(spec.threshold)
-    in_cache = np.where(changed_in[..., None], x, state.in_cache)
+    in_cache = np.where(changed_in[..., None],
+                        quantize_cache(x, cache_dtype), state.in_cache)
 
     # Stage 2: receptive-field propagation to the changed-output map.
     changed_out = propagate_mask(changed_in, spec.kernel, spec.stride,
@@ -221,10 +245,12 @@ def cb_conv_step(x: np.ndarray, w: np.ndarray, b: Optional[np.ndarray],
     return out_cache.copy(), new_state
 
 
-def cb_pool_step(x: np.ndarray, spec: PoolSpec, state: GoldenLayerState
+def cb_pool_step(x: np.ndarray, spec: PoolSpec, state: GoldenLayerState,
+                 cache_dtype: str = "float32"
                  ) -> Tuple[np.ndarray, GoldenLayerState]:
     """One frame through a change-based max-pool layer (CB19 §IV-F semantics)."""
     if state.in_cache is None:
+        x = quantize_cache(x, cache_dtype)
         y = dense_maxpool2d(x, spec.window, spec.stride, spec.padding)
         return y.copy(), GoldenLayerState(
             in_cache=x.copy(), out_cache=y.copy(),
@@ -235,7 +261,8 @@ def cb_pool_step(x: np.ndarray, spec: PoolSpec, state: GoldenLayerState
     diff = np.max(np.abs(x.astype(np.float32) - state.in_cache.astype(np.float32)),
                   axis=-1)
     changed_in = diff > np.float32(spec.threshold)
-    in_cache = np.where(changed_in[..., None], x, state.in_cache)
+    in_cache = np.where(changed_in[..., None],
+                        quantize_cache(x, cache_dtype), state.in_cache)
     changed_out = propagate_mask(changed_in, spec.window, spec.stride, (1, 1),
                                  spec.padding)
     y_full = dense_maxpool2d(in_cache, spec.window, spec.stride, spec.padding)
@@ -256,8 +283,13 @@ class GoldenCBNet:
     params for ConvSpec is (w, b); PoolSpec/UpsampleSpec take None.
     """
 
-    def __init__(self, layers: List[Tuple[object, object]]):
+    def __init__(self, layers: List[Tuple[object, object]],
+                 cache_dtype: str = "float32"):
         self.layers = layers
+        # cache_dtype: quantize accepted values like the pipeline's
+        # caches (quantize_cache doc) — required for mask/cache parity
+        # claims against a bf16 pipeline; float32 default matches CPU CI
+        self.cache_dtype = cache_dtype
         self.states: List[GoldenLayerState] = [GoldenLayerState() for _ in layers]
 
     def reset(self):
@@ -267,14 +299,16 @@ class GoldenCBNet:
         for i, (spec, params) in enumerate(self.layers):
             if isinstance(spec, ConvSpec):
                 if spec.use_cb:
-                    x, self.states[i] = cb_conv_step(x, params[0], params[1],
-                                                     spec, self.states[i])
+                    x, self.states[i] = cb_conv_step(
+                        x, params[0], params[1], spec, self.states[i],
+                        self.cache_dtype)
                 else:
                     x = dense_conv2d(x, params[0], params[1], spec.stride,
                                      spec.dilation, spec.padding, spec.activation)
             elif isinstance(spec, PoolSpec):
                 if spec.use_cb:
-                    x, self.states[i] = cb_pool_step(x, spec, self.states[i])
+                    x, self.states[i] = cb_pool_step(
+                        x, spec, self.states[i], self.cache_dtype)
                 else:
                     x = dense_maxpool2d(x, spec.window, spec.stride, spec.padding)
             elif isinstance(spec, UpsampleSpec):
@@ -293,4 +327,8 @@ class GoldenCBNet:
                 x = dense_maxpool2d(x, spec.window, spec.stride, spec.padding)
             elif isinstance(spec, UpsampleSpec):
                 x = dense_upsample(x, spec.scale, spec.method)
+            else:
+                raise TypeError(f"dense(): unsupported spec {spec} — a "
+                                "silent pass-through would corrupt the "
+                                "oracle")
         return x

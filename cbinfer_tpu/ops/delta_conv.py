@@ -54,7 +54,7 @@ def gather_windows(storage: jnp.ndarray, idx: jnp.ndarray, g: TileGeometry
     from the padded storage (tile (i, j)'s window starts at storage coords
     (i*th*sh, j*tw*sw + dx0)).
 
-    Sentinel ids (n_tiles) are clamped to tile 0 — their results are dropped
+    Sentinel ids (n_tiles) are clamped to the LAST tile (n_tiles - 1) — their results are dropped
     at scatter, so the gathered garbage is harmless.
     """
     safe = jnp.minimum(idx, g.n_tiles - 1)
@@ -80,6 +80,40 @@ def use_im2col(g: TileGeometry) -> bool:
     return g.cin * g.kernel[0] * g.kernel[1] <= 128
 
 
+def _accumulate(tap, n_rows: int, w, b, g: TileGeometry,
+                activation: Optional[str], compute_dtype):
+    """The ONE shifted/im2col accumulation epilogue shared by conv_tiles
+    and dense_conv_shifted: fp32 accumulate, (dy, dx) visit order, bias,
+    relu. Sharing it makes the overflow fallback's value-exactness
+    structural — a divergence between the tile path and the dense
+    fallback silently breaks the lax.cond bit-alignment contract
+    (module doc), the class of bug the tuner/runtime gate split hit once
+    (commit 2b3f121)."""
+    kh, kw = g.kernel
+    cout = w.shape[-1]
+    if use_im2col(g):
+        # one K=cin*k^2 matmul: k^2 separate K=cin matmuls re-walk the
+        # fp32 accumulator k^2 times and starve the MXU (use_im2col doc)
+        patches = jnp.concatenate(
+            [tap(dy, dx) for dy in range(kh) for dx in range(kw)],
+            axis=-1).reshape(n_rows, kh * kw * g.cin)
+        acc = jnp.dot(patches,
+                      w.astype(compute_dtype).reshape(kh * kw * g.cin, cout),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((n_rows, cout), jnp.float32)
+        for dy in range(kh):
+            for dx in range(kw):
+                patch = tap(dy, dx).reshape(n_rows, g.cin)
+                acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
+                               preferred_element_type=jnp.float32)
+    if b is not None:
+        acc += b.astype(jnp.float32)
+    if activation == "relu":
+        acc = jnp.maximum(acc, 0.0)
+    return acc
+
+
 def conv_tiles(windows: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
                g: TileGeometry, activation: Optional[str],
                compute_dtype=jnp.float32) -> jnp.ndarray:
@@ -89,11 +123,9 @@ def conv_tiles(windows: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     windows: (cap, win_h, win_w, cin) -> (cap, th, tw, cout).
     Accumulates in fp32 regardless of compute dtype.
     """
-    kh, kw = g.kernel
     sh, sw = g.stride
     dh, dw = g.dilation
     cap = windows.shape[0]
-    cout = w.shape[-1]
     wd = windows.astype(compute_dtype)
 
     def tap(dy, dx):
@@ -105,25 +137,9 @@ def conv_tiles(windows: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
             (1, sh, sw, 1),
         )
 
-    if use_im2col(g):
-        patches = jnp.concatenate(
-            [tap(dy, dx) for dy in range(kh) for dx in range(kw)],
-            axis=-1).reshape(cap * g.th * g.tw, kh * kw * g.cin)
-        acc = jnp.dot(patches,
-                      w.astype(compute_dtype).reshape(kh * kw * g.cin, cout),
-                      preferred_element_type=jnp.float32)
-    else:
-        acc = jnp.zeros((cap * g.th * g.tw, cout), jnp.float32)
-        for dy in range(kh):
-            for dx in range(kw):
-                patch = tap(dy, dx).reshape(cap * g.th * g.tw, g.cin)
-                acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
-                               preferred_element_type=jnp.float32)
-    if b is not None:
-        acc += b.astype(jnp.float32)
-    if activation == "relu":
-        acc = jnp.maximum(acc, 0.0)
-    return acc.reshape(cap, g.th, g.tw, cout)
+    acc = _accumulate(tap, cap * g.th * g.tw, w, b, g, activation,
+                      compute_dtype)
+    return acc.reshape(cap, g.th, g.tw, w.shape[-1])
 
 
 def scatter_tiles(out_cache: jnp.ndarray, idx: jnp.ndarray,
@@ -167,10 +183,8 @@ def dense_conv_shifted(storage: jnp.ndarray, w: jnp.ndarray,
     layer mode; value-exact vs the tile path because fp32 accumulation
     visits (dy, dx) in the same order over the same cin contractions.
     """
-    kh, kw = g.kernel
     sh, sw = g.stride
     dh, dw = g.dilation
-    cout = w.shape[-1]
     xd = storage.astype(compute_dtype)
 
     def tap(dy, dx):
@@ -182,25 +196,6 @@ def dense_conv_shifted(storage: jnp.ndarray, w: jnp.ndarray,
             (sh, sw, 1),
         )
 
-    if use_im2col(g):
-        # one K=cin*k^2 matmul (same accumulation order as conv_tiles'
-        # im2col branch): k^2 separate K=cin matmuls re-walk the full-map
-        # fp32 accumulator k^2 times (~GBs at 720p) and starve the MXU
-        patches = jnp.concatenate(
-            [tap(dy, dx) for dy in range(kh) for dx in range(kw)],
-            axis=-1).reshape(g.out_h_pad * g.out_w_pad, kh * kw * g.cin)
-        acc = jnp.dot(patches,
-                      w.astype(compute_dtype).reshape(kh * kw * g.cin, cout),
-                      preferred_element_type=jnp.float32)
-    else:
-        acc = jnp.zeros((g.out_h_pad * g.out_w_pad, cout), jnp.float32)
-        for dy in range(kh):
-            for dx in range(kw):
-                patch = tap(dy, dx).reshape(g.out_h_pad * g.out_w_pad, g.cin)
-                acc += jnp.dot(patch, w[dy, dx].astype(compute_dtype),
-                               preferred_element_type=jnp.float32)
-    if b is not None:
-        acc += b.astype(jnp.float32)
-    if activation == "relu":
-        acc = jnp.maximum(acc, 0.0)
-    return acc.reshape(g.out_h_pad, g.out_w_pad, cout)
+    acc = _accumulate(tap, g.out_h_pad * g.out_w_pad, w, b, g, activation,
+                      compute_dtype)
+    return acc.reshape(g.out_h_pad, g.out_w_pad, w.shape[-1])

@@ -168,3 +168,46 @@ def test_golden_geometry_twins_match_pipeline_geometry():
                             (n, k, s, d, pad)
                         assert g.conv_pads(n, k, s, d, p0) == \
                             og.conv_pads(n, k, s, d, p0), (n, k, s, d, pad)
+
+
+def test_golden_bf16_cache_parity_with_pipeline():
+    """With cache_dtype='bfloat16' the golden oracle quantizes ACCEPTED
+    values like the pipeline's caches, so detection masks stay identical
+    even when sub-threshold drift straddles bf16 rounding (a
+    full-precision golden accept diverges here — the exact case the
+    quantize_cache doc describes)."""
+    import jax
+    import jax.numpy as jnp
+    from cbinfer_tpu import golden as g
+    from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.runner import scan_video
+
+    rng = np.random.default_rng(29)
+    H, W, C, T = 16, 16, 3, 6
+    tau = 0.004  # near bf16 ulp at O(1) values: rounding decides masks
+    base = rng.random((H, W, C)).astype(np.float32) * 0.5 + 0.5
+    frames = np.stack([base + 0.0017 * t * rng.random((H, W, C)
+                                                      ).astype(np.float32)
+                       for t in range(T)])
+    spec = ConvSpec(features=8, threshold=tau)
+    params = init_params([spec], (H, W, C), jax.random.PRNGKey(0))
+    cfg = PipelineConfig(tile=TileConfig(4, 4), backend="jnp",
+                         compute_dtype="float32", cache_dtype="bfloat16")
+    net = convert([spec], (H, W, C), cfg)
+    _, _, stats = scan_video(net, params, jnp.asarray(frames),
+                             thresholds=jnp.asarray([tau]))
+    w, b = params[0]
+    gnet = g.GoldenCBNet([(spec, (np.asarray(w), np.asarray(b)))],
+                         cache_dtype="bfloat16")
+    golden_changed = []
+    for t in range(T):
+        gnet(frames[t])
+        golden_changed.append(gnet.states[0].changed_in)
+    pipe_changed = np.asarray(stats[0]["changed_pixels"])
+    # frame 0 counts full-frame on both sides; later frames must agree
+    # exactly — only possible if both quantize accepts identically
+    np.testing.assert_array_equal(pipe_changed[1:],
+                                  np.asarray(golden_changed[1:]))
+    assert any(0 < c < H * W for c in golden_changed[1:])  # non-trivial
