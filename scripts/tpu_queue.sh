@@ -20,6 +20,13 @@ run() {
   tail -3 "$LOG/$name.log"
 }
 
+# 0. smoke FIRST: the r3 session edited the Pallas kernels after the last
+#    on-chip run (detect scratch dtype, divisor chunking, pool store casts,
+#    shared hint_origin, pool input-cache elision) — re-verify Mosaic
+#    compile + on-chip correctness + flagship margin before burning hours
+#    on policy search against possibly-broken kernels.
+run smoke           2400 env CBINFER_TPU_TESTS=1 python -m pytest tests/test_tpu_perf.py -x -q
+
 # each trial recompiles the whole net (~1-2 min at 720p): bound the
 # candidate count so a queue step fits its timeout
 run policy_pose     5400 python scripts/optimize_policy.py pose --max-layers 12
