@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import layers as L
@@ -68,32 +69,38 @@ class CBNet:
         def as_array(v):
             return v.crop() if isinstance(v, L.Feature) else v
 
-        for spec, p, st in zip(self.specs, params, state):
+        for k, (spec, p, st) in enumerate(zip(self.specs, params, state)):
             tau = None
             if (thresholds is not None
                     and isinstance(spec, (ConvSpec, PoolSpec)) and spec.use_cb):
                 tau = thresholds[cb_i]
                 cb_i += 1
-            if isinstance(spec, ConvSpec):
-                if spec.use_cb:
-                    x, st, s, hint = L.cb_conv_apply(p, st, x, spec, self.cfg,
-                                                     tau, hint)
-                else:
-                    x = network.dense_conv(as_array(x), p[0], p[1], spec,
-                                           jnp.dtype(self.cfg.compute_dtype))
+            # named scope -> xprof/HLO op_name carries the layer identity
+            # (profile_trace.py joins trace ops against it)
+            scope = f"L{k}_{spec.kind}" + (
+                f"_{spec.backend}" if getattr(spec, "backend", None) else "")
+            with jax.named_scope(scope):
+                if isinstance(spec, ConvSpec):
+                    if spec.use_cb:
+                        x, st, s, hint = L.cb_conv_apply(
+                            p, st, x, spec, self.cfg, tau, hint)
+                    else:
+                        x = network.dense_conv(
+                            as_array(x), p[0], p[1], spec,
+                            jnp.dtype(self.cfg.compute_dtype))
+                        s, hint = {}, None
+                elif isinstance(spec, PoolSpec):
+                    if spec.use_cb:
+                        x, st, s, hint = L.cb_pool_apply(st, x, spec,
+                                                         self.cfg, tau, hint)
+                    else:
+                        x = network.dense_pool(as_array(x), spec)
+                        s, hint = {}, None
+                elif isinstance(spec, UpsampleSpec):
+                    x = network.upsample(as_array(x), spec)
                     s, hint = {}, None
-            elif isinstance(spec, PoolSpec):
-                if spec.use_cb:
-                    x, st, s, hint = L.cb_pool_apply(st, x, spec, self.cfg,
-                                                     tau, hint)
                 else:
-                    x = network.dense_pool(as_array(x), spec)
-                    s, hint = {}, None
-            elif isinstance(spec, UpsampleSpec):
-                x = network.upsample(as_array(x), spec)
-                s, hint = {}, None
-            else:
-                raise TypeError(spec)
+                    raise TypeError(spec)
             new_state.append(st)
             stats.append(s)
         return as_array(x), new_state, stats

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from . import layers as L
@@ -133,46 +134,51 @@ class CBGraphNet:
                     and n.spec.use_cb):
                 tau = thresholds[cb_i]
                 cb_i += 1
-            if isinstance(n.spec, ConcatSpec):
-                vals[n.name] = jnp.concatenate(
-                    [as_array(vals[i]) for i in n.inputs], axis=-1)
-                in_hints = [hints[i] for i in n.inputs]
-                if any(h is None for h in in_hints):
+            # named scope -> xprof/HLO op_name carries the node identity
+            # (profile_trace.py joins trace ops against it)
+            with jax.named_scope(n.name):
+                if isinstance(n.spec, ConcatSpec):
+                    vals[n.name] = jnp.concatenate(
+                        [as_array(vals[i]) for i in n.inputs], axis=-1)
+                    in_hints = [hints[i] for i in n.inputs]
+                    if any(h is None for h in in_hints):
+                        hints[n.name] = None
+                    else:
+                        m = in_hints[0].mask
+                        for h in in_hints[1:]:
+                            m = jnp.logical_or(m, h.mask)
+                        hints[n.name] = L.DirtyHint(mask=m)
+                    new_state[n.name] = None
+                    stats[n.name] = {}
+                elif isinstance(n.spec, ConvSpec):
+                    if n.spec.use_cb:
+                        y, st, s, h = L.cb_conv_apply(
+                            params[n.name], state[n.name], xin, n.spec,
+                            self.cfg, tau, hint)
+                    else:
+                        y = network.dense_conv(
+                            as_array(xin), params[n.name][0],
+                            params[n.name][1], n.spec,
+                            jnp.dtype(self.cfg.compute_dtype))
+                        st, s, h = None, {}, None
+                    vals[n.name], hints[n.name] = y, h
+                    new_state[n.name], stats[n.name] = st, s
+                elif isinstance(n.spec, PoolSpec):
+                    if n.spec.use_cb:
+                        y, st, s, h = L.cb_pool_apply(state[n.name], xin,
+                                                      n.spec, self.cfg,
+                                                      tau, hint)
+                    else:
+                        y = network.dense_pool(as_array(xin), n.spec)
+                        st, s, h = None, {}, None
+                    vals[n.name], hints[n.name] = y, h
+                    new_state[n.name], stats[n.name] = st, s
+                elif isinstance(n.spec, UpsampleSpec):
+                    vals[n.name] = network.upsample(as_array(xin), n.spec)
                     hints[n.name] = None
+                    new_state[n.name], stats[n.name] = None, {}
                 else:
-                    m = in_hints[0].mask
-                    for h in in_hints[1:]:
-                        m = jnp.logical_or(m, h.mask)
-                    hints[n.name] = L.DirtyHint(mask=m)
-                new_state[n.name] = None
-                stats[n.name] = {}
-            elif isinstance(n.spec, ConvSpec):
-                if n.spec.use_cb:
-                    y, st, s, h = L.cb_conv_apply(
-                        params[n.name], state[n.name], xin, n.spec, self.cfg,
-                        tau, hint)
-                else:
-                    y = network.dense_conv(
-                        as_array(xin), params[n.name][0], params[n.name][1],
-                        n.spec, jnp.dtype(self.cfg.compute_dtype))
-                    st, s, h = None, {}, None
-                vals[n.name], hints[n.name] = y, h
-                new_state[n.name], stats[n.name] = st, s
-            elif isinstance(n.spec, PoolSpec):
-                if n.spec.use_cb:
-                    y, st, s, h = L.cb_pool_apply(state[n.name], xin, n.spec,
-                                                  self.cfg, tau, hint)
-                else:
-                    y = network.dense_pool(as_array(xin), n.spec)
-                    st, s, h = None, {}, None
-                vals[n.name], hints[n.name] = y, h
-                new_state[n.name], stats[n.name] = st, s
-            elif isinstance(n.spec, UpsampleSpec):
-                vals[n.name] = network.upsample(as_array(xin), n.spec)
-                hints[n.name] = None
-                new_state[n.name], stats[n.name] = None, {}
-            else:
-                raise TypeError(n.spec)
+                    raise TypeError(n.spec)
         return as_array(vals[self.output]), new_state, stats
 
     def apply_refresh(self, params: Dict[str, Any], state: Dict[str, Any],

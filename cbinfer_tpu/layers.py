@@ -354,16 +354,19 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
     """
     if forward:
         assert hint is not None
-        in_cache, n_detect = _accept_hinted(x, state.in_cache, hint, g, cfg)
-        mask = _forward_mask(hint.mask, g)
+        with jax.named_scope("accept_hinted"):
+            in_cache, n_detect = _accept_hinted(x, state.in_cache, hint,
+                                                g, cfg)
+            mask = _forward_mask(hint.mask, g)
         # forwarding never inspects pixels; visited = hinted area
         n_pix = n_detect * (HINT_TILE * HINT_TILE)
     else:
         if tau is None:
             tau = spec.threshold
-        in_cache, mask, n_pix, n_detect = _detect_and_mask(
-            x, state.in_cache, tau, g, cfg, hint,
-            margin_fill=NEG_FILL if isinstance(spec, PoolSpec) else 0.0)
+        with jax.named_scope("detect"):
+            in_cache, mask, n_pix, n_detect = _detect_and_mask(
+                x, state.in_cache, tau, g, cfg, hint,
+                margin_fill=NEG_FILL if isinstance(spec, PoolSpec) else 0.0)
     # Pallas: capacity is free — the kernel loop is bounded by the dynamic
     # count, so a full-size index buffer costs only SMEM bytes, and the
     # overflow cond (whose branch boundaries force whole-cache copies)
@@ -371,19 +374,22 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
     # it keeps the configured bound + dense fallback.
     capacity = (g.n_tiles if cfg.backend == "pallas"
                 else cfg.tile.capacity(g.n_tiles))
-    comp = compact.compact_mask(mask, capacity)
+    with jax.named_scope("compact"):
+        comp = compact.compact_mask(mask, capacity)
 
-    if capacity >= g.n_tiles:
-        out_cache = tile_fn(in_cache, comp.idx, comp.count, state.out_cache)
-        overflow = jnp.zeros((), bool)
-    else:
-        out_cache = lax.cond(
-            comp.overflow,
-            lambda args: dense_fn(*args),
-            lambda args: tile_fn(*args),
-            (in_cache, comp.idx, comp.count, state.out_cache),
-        )
-        overflow = comp.overflow
+    with jax.named_scope("delta_kernel"):
+        if capacity >= g.n_tiles:
+            out_cache = tile_fn(in_cache, comp.idx, comp.count,
+                                state.out_cache)
+            overflow = jnp.zeros((), bool)
+        else:
+            out_cache = lax.cond(
+                comp.overflow,
+                lambda args: dense_fn(*args),
+                lambda args: tile_fn(*args),
+                (in_cache, comp.idx, comp.count, state.out_cache),
+            )
+            overflow = comp.overflow
 
     computed = jnp.where(overflow, g.n_tiles, comp.count)
     stats = {
@@ -460,8 +466,9 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         # layers where CB bookkeeping outweighs the conv (e.g. cin=3 stems).
         if tau is None:
             tau = spec.threshold
-        storage, mask, n_pix, n_detect = _detect_and_mask(
-            x, state.in_cache, tau, g, cfg, hint)
+        with jax.named_scope("detect"):
+            storage, mask, n_pix, n_detect = _detect_and_mask(
+                x, state.in_cache, tau, g, cfg, hint)
         # XLA-native conv on the interior: the k^2 shifted-matmul form is
         # right for tiles but materializes the full fp32 accumulator k^2
         # times on a full map (~GBs of traffic); lax.conv fuses it.
@@ -469,13 +476,15 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         # conv writes padded channels directly (zero pad lanes: zero
         # weights + zero bias) and the consumer's pad_lanes is a no-op.
         from . import network as _net
-        cout_pad = state.out_cache.shape[-1]
-        w, b = _pad_wb(w, b, cout_pad)
-        interior = storage_interior(storage, g).astype(compute_dtype)
-        y = _net.dense_conv(interior, w, b, spec, compute_dtype)
-        y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
-                        (0, g.out_w_pad - g.out_w), (0, 0)))
-        out_cache = y.astype(state.out_cache.dtype)
+        with jax.named_scope("cached_conv"):
+            cout_pad = state.out_cache.shape[-1]
+            w, b = _pad_wb(w, b, cout_pad)
+            interior = storage_interior(storage, g).astype(compute_dtype)
+            y = _net.dense_conv(interior, w, b, spec, compute_dtype)
+        with jax.named_scope("out_pad"):
+            y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                            (0, g.out_w_pad - g.out_w), (0, 0)))
+            out_cache = y.astype(state.out_cache.dtype)
         stats = {
             "changed_tiles": jnp.sum(mask, dtype=jnp.int32),
             "computed_tiles": jnp.asarray(g.n_tiles, jnp.int32),

@@ -27,8 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache here: its key strips HLO metadata, so a
+# metadata-only change (named scopes, source lines) silently serves a stale
+# executable whose as_text()/trace op_names lack the new attribution.
+jax.config.update("jax_enable_compilation_cache", False)
 
 STAGE_OF = [
     ("_sparse_kernel", "detect"),
@@ -76,6 +78,39 @@ def collect_trace_events(logdir):
     return evs
 
 
+def parse_hlo_metadata(hlo_text: str):
+    """HLO instruction name -> "source_file:line  op_name" attribution map.
+
+    The trace's device-op names are the optimized-HLO instruction names
+    (modulo '-' vs '_'), so joining against the compiled module's metadata
+    pins each anonymous ``fusion.N`` / ``dynamic-update-slice.N`` glue op
+    to the jaxpr op_name and the cbinfer_tpu source line that emitted it —
+    the missing half of the stage attribution (kernels are named; glue
+    was not)."""
+    import re
+    attr = {}
+    inst_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=")
+    for line in hlo_text.splitlines():
+        m = inst_re.match(line)
+        if not m or "metadata={" not in line:
+            continue
+        name = m.group(1).replace("-", "_")
+        op = re.search(r'op_name="([^"]*)"', line)
+        sf = re.search(r'source_file="([^"]*)"', line)
+        sl = re.search(r"source_line=(\d+)", line)
+        parts = []
+        if sf:
+            parts.append(sf.group(1).replace("/root/repo/", "")
+                         + (f":{sl.group(1)}" if sl else ""))
+        if op:
+            # keep the tail of the jaxpr path — the leading jit/while
+            # scaffolding is identical for every op in the scan body
+            parts.append(op.group(1)[-80:])
+        if parts:
+            attr[name] = "  ".join(parts)
+    return attr
+
+
 def main():
     from cbinfer_tpu.config import PipelineConfig, TileConfig, UpsampleSpec
     from cbinfer_tpu.convert import convert_flagship, num_cb_layers
@@ -89,6 +124,8 @@ def main():
     width = int(sys.argv[2]) if len(sys.argv) > 2 else (
         128 if name == "scene" else 64)
     H, W, T = (720, 1280, 12) if name == "pose" else (720, 1280, 24)
+    if os.environ.get("CBINFER_TRACE_SHAPE"):  # CPU smoke: "H,W,T"
+        H, W, T = map(int, os.environ["CBINFER_TRACE_SHAPE"].split(","))
     from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     specs = (get_model(name, width=width) if name == "pose"
@@ -125,7 +162,18 @@ def main():
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv),
         donate_argnums=(2,))
-    ys, st, _ = step(params, warm, net.init_state(), taus)
+    st0 = net.init_state()
+    hlo_attr = {}
+    try:
+        absargs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            (params, warm, st0, taus))
+        hlo_attr = parse_hlo_metadata(
+            step.lower(*absargs).compile().as_text())
+        print(f"{len(hlo_attr)} HLO instructions with source metadata")
+    except Exception as e:  # attribution is best-effort; keep the timings
+        print(f"WARNING hlo attribution failed: {e}", file=sys.stderr)
+    ys, st, _ = step(params, warm, st0, taus)
     _ = float(jnp.sum(ys[-1, :, 0]))
 
     logdir = "/tmp/cbinfer_trace"
@@ -137,15 +185,34 @@ def main():
 
     evs = collect_trace_events(logdir)
     print(f"{len(evs)} trace events")
+
+    def classify_attr(nm: str) -> str:
+        """Stage from the HLO op_name scopes (layers.py named_scope) when
+        available — bins the anonymous XLA glue (pads/copies/DUS) under
+        the stage that emitted it instead of 'xla_other'."""
+        a = hlo_attr.get(nm.replace("-", "_").split(":")[-1].strip(), "")
+        for scope, stage in (("/detect/", "detect"),
+                             ("/accept_hinted/", "detect"),
+                             ("/compact/", "compact"),
+                             ("/delta_kernel/", "delta_conv"),
+                             ("/cached_conv/", "cached_conv"),
+                             ("/out_pad/", "cached_conv")):
+            if scope in a or a.endswith(scope.rstrip("/")):
+                return stage
+        return classify(nm)
+
     # aggregate by stage; also keep the top raw names for inspection
     by_stage, by_name = {}, {}
     for nm, dur, pid, tid in evs:
-        st_ = classify(nm)
+        st_ = classify_attr(nm)
         by_stage[st_] = by_stage.get(st_, 0.0) + dur
         by_name[nm] = by_name.get(nm, 0.0) + dur
+    def attribution(nm):
+        return hlo_attr.get(nm.replace("-", "_").split(":")[-1].strip(), "")
+
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:25]
     for nm, dur in top:
-        print(f"{dur / T:9.1f} us/frame  {nm[:90]}")
+        print(f"{dur / T:9.1f} us/frame  {nm[:60]:60s}  {attribution(nm)[:100]}")
     stages_us = {k: v / T for k, v in sorted(by_stage.items())}
     print("per-frame stage split (us):", json.dumps(stages_us, indent=2))
 
@@ -157,7 +224,8 @@ def main():
     prof.setdefault("stages", {})[name] = {
         "shape": [H, W], "frames": T, "tau_source": "tuned",
         "per_frame_us": stages_us,
-        "top_ops_us_per_frame": [[nm, d / T] for nm, d in top[:12]],
+        "top_ops_us_per_frame": [[nm, d / T, attribution(nm)]
+                                 for nm, d in top[:12]],
         "note": ("device-op durations aggregated from a jax.profiler "
                  "trace of one 24-frame scan; names classified by Pallas "
                  "kernel (detect vs delta_conv vs pool) vs XLA glue"),
