@@ -34,6 +34,9 @@ run policy_seg      3600 python scripts/optimize_policy.py seg
 run policy_scene    2400 python scripts/optimize_policy.py scene
 run policy_dag      5400 python scripts/optimize_policy.py pose_graph --max-layers 10
 run eval_all        5400 python scripts/eval_headline.py all
+# regenerate the per-stage trace WITH the new source attribution (named
+# scopes + HLO-metadata join) — the instrument for the next glue hunt
+run trace_scene     1800 python scripts/profile_trace.py scene
 run bench_dag       1800 python scripts/bench_pose_graph.py
 run bench           1200 python bench.py
 echo "=== queue done $(date -u +%H:%M:%S) ==="
