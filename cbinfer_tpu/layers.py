@@ -99,9 +99,15 @@ def _unwrap(x):
 def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
               ) -> TileGeometry:
     if isinstance(spec, ConvSpec):
+        tw = cfg.tile.tile_w
+        if cfg.backend == "band_cached":
+            # full-width row bands: ONE tile per row of tiles (tw clamps
+            # to out_w inside conv_tile_geometry) — contiguous gathers and
+            # scatters, no per-8x8-tile slicing (cb_conv_apply band branch)
+            tw = 1 << 30
         return conv_tile_geometry(in_shape, spec.kernel, spec.stride,
                                   spec.dilation, spec.padding,
-                                  cfg.tile.tile_h, cfg.tile.tile_w)
+                                  cfg.tile.tile_h, tw)
     return conv_tile_geometry(in_shape, spec.window, spec.stride, (1, 1),
                               spec.padding, cfg.tile.tile_h, cfg.tile.tile_w)
 
@@ -143,9 +149,10 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
     cfg = _layer_cfg(spec, cfg)
     dtype = jnp.dtype(cfg.cache_dtype)
     cout = spec.features if isinstance(spec, ConvSpec) else in_shape[2]
-    if cfg.backend == "dense_cached" and isinstance(spec, ConvSpec):
-        # dense_cached stems on a pallas PIPELINE write their out cache
-        # LANE-padded (via padded weights, cb_conv_apply) so the
+    if (cfg.backend in ("dense_cached", "band_cached")
+            and isinstance(spec, ConvSpec)):
+        # dense_cached/band_cached stems on a pallas PIPELINE write their
+        # out cache LANE-padded (via padded weights, cb_conv_apply) so the
         # consumer's pad_lanes is a no-op — the per-frame pad of an
         # unpadded 64-ch stem output measured 0.70 ms at 720p (xprof r3)
         H, W, C = in_shape
@@ -305,7 +312,21 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
         new_storage, maskf, npix = detect_full_pallas(
             x, in_cache, tau, g, interpret=cfg.interpret)
         return new_storage, maskf > 0.5, npix[0], n_detect
-    # XLA path: detect against the storage interior, write back the interior
+    new_storage, changed, n_pix, n_detect = _detect_xla(
+        x, in_cache, tau, g, hint, margin_fill)
+    mask = detect.changed_tile_mask(changed, g)
+    return new_storage, mask, n_pix, n_detect
+
+
+def _detect_xla(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
+                g: TileGeometry, hint: Optional[DirtyHint],
+                margin_fill=0.0):
+    """XLA full-map detect + accepted-cache update; returns the PER-PIXEL
+    changed map (callers derive tile masks at whatever granularity they
+    need — _detect_and_mask at the compute grid, the band_cached stem at
+    both the band grid and the fine hint grid)."""
+    H, W = g.in_h, g.in_w
+    # detect against the storage interior, write back the interior
     if x.shape[:2] != (H, W):
         x = x[:H, :W]
     interior = storage_interior(in_cache, g)
@@ -330,8 +351,7 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     n_detect = (jnp.sum(hint.mask, dtype=jnp.int32) if hint is not None
                 else jnp.asarray(cdiv(H, HINT_TILE) * cdiv(W, HINT_TILE),
                                  jnp.int32))
-    mask = detect.changed_tile_mask(changed, g)
-    return new_storage, mask, jnp.sum(changed, dtype=jnp.int32), n_detect
+    return new_storage, changed, jnp.sum(changed, dtype=jnp.int32), n_detect
 
 
 # ------------------------------ layer steps ---------------------------------
@@ -458,6 +478,72 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
             stats, out_hint
 
     x, w, b, g = _conv_prep(params, x, spec, cfg)
+
+    if cfg.backend == "band_cached":
+        # Full-width ROW-BAND sparse stem: per-pixel XLA detect (the fine
+        # 8x8 hint chain is preserved for consumers), then recompute ONLY
+        # the dirty (th x out_w) output bands — contiguous full-width
+        # gathers -> one batched im2col MXU matmul -> row-band scatter.
+        # Rationale: the dense_cached stem recomputes AND rewrites the
+        # full out map every frame (65% of the 720p scene frame, xprof
+        # r3); the 8x8-tile XLA sparse stem lost 3-6x to thousands of
+        # tiny scattered slices (EXP_variants 'stem=jnp'). Bands keep
+        # every HBM access contiguous. _geometry gave g tiles_w == 1, so
+        # compacted flat tile ids ARE band (tile-row) indices.
+        if tau is None:
+            tau = spec.threshold
+        with jax.named_scope("detect"):
+            storage, changed, n_pix, n_detect = _detect_xla(
+                x, state.in_cache, tau, g, hint)
+            band_mask = detect.changed_tile_mask(changed, g)
+        cout_pad = state.out_cache.shape[-1]
+        w, b = _pad_wb(w, b, cout_pad)
+        capacity = cfg.tile.capacity(g.n_tiles)
+        with jax.named_scope("compact"):
+            comp = compact.compact_mask(band_mask, capacity)
+        with jax.named_scope("band_conv"):
+            if capacity >= g.n_tiles:
+                out_cache = delta_conv_jnp(
+                    storage, comp.idx, w, b, state.out_cache, g,
+                    spec.activation, compute_dtype)
+                overflow = jnp.zeros((), bool)
+            else:
+                # overflow -> dense fallback; dense_conv_shifted shares
+                # conv_tiles' _accumulate epilogue, so the fallback stays
+                # bit-aligned with the band path (lax.cond contract)
+                out_cache = lax.cond(
+                    comp.overflow,
+                    lambda a: dense_conv_shifted(
+                        a[0], w, b, g, spec.activation,
+                        compute_dtype).astype(a[1].dtype),
+                    lambda a: delta_conv_jnp(
+                        a[0], a[2], w, b, a[1], g, spec.activation,
+                        compute_dtype),
+                    (storage, state.out_cache, comp.idx))
+                overflow = comp.overflow
+        # hint at the FINE grid: band recompute is a value-exact superset,
+        # so consumers only need the exact dilated change region (the
+        # dense_cached argument); the band mask would 160x-overdirty them
+        g_hint = conv_tile_geometry((g.in_h, g.in_w, g.cin), spec.kernel,
+                                    spec.stride, spec.dilation, spec.padding,
+                                    HINT_TILE, HINT_TILE)
+        fine = detect.changed_tile_mask(changed, g_hint)
+        # stats in FINE-grid tile units so effective_flops prices the
+        # band overcompute honestly (a band = a full row of fine tiles)
+        fine_w = max(1, g.out_w_pad // cfg.tile.tile_w)
+        stats = {
+            "changed_tiles": jnp.sum(fine, dtype=jnp.int32),
+            "computed_tiles": jnp.where(overflow, g.n_tiles,
+                                        comp.count) * fine_w,
+            "n_tiles": g.n_tiles * fine_w,
+            "overflow": overflow,
+            "changed_pixels": n_pix,
+            "detect_tiles": n_detect,
+        }
+        out_hint = _out_hint(fine, overflow, g_hint)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+            stats, out_hint
 
     if cfg.backend == "dense_cached":
         # detect + full dense conv FROM THE ACCEPTED CACHE every frame:

@@ -95,6 +95,16 @@ def main():
         results["stem=cb_banded"] = run(
             "stem=cb_banded (fused sparse)",
             convert(specs, (H, W, 3), cfg_for()))
+        # full-width ROW-BAND sparse stem (layers.py band_cached): detect
+        # like dense_cached, but recompute only dirty 8-row output bands
+        # — contiguous gathers/one batched im2col matmul/row scatter.
+        # Sweeps capacity: smaller = bigger steady-state win, more
+        # overflow (cond->dense) exposure.
+        for cap in (0.25, 0.375, 0.5):
+            results[f"stem=band_cached cap={cap}"] = run(
+                f"stem=band_cached cap={cap}",
+                convert(specs, (H, W, 3), cfg_for(capacity=cap),
+                        backend_overrides={0: "band_cached"}))
     if which in ("sparse", "all"):
         # XLA sparse-write stem: gather/im2col/matmul/in-place scatter at a
         # fixed tile capacity (global capacity applies only to jnp layers =

@@ -27,6 +27,11 @@ run() {
 #    on policy search against possibly-broken kernels.
 run smoke           2400 env CBINFER_TPU_TESTS=1 python -m pytest tests/test_tpu_perf.py -x -q
 
+# 0b. the row-band sparse stem candidate (layers.py band_cached): the stem
+#     is 65% of the 720p scene CB frame (PROFILE r3) — measure it before
+#     the policy search so a winning stem can inform the shipped config.
+run exp_stem        3600 python scripts/exp_variants.py stem
+
 # each trial recompiles the whole net (~1-2 min at 720p): bound the
 # candidate count so a queue step fits its timeout
 run policy_pose     5400 python scripts/optimize_policy.py pose --max-layers 12
