@@ -166,6 +166,17 @@ def main():
     print(f"{args.model} {H}x{W}: flagship baseline {base_fps:.1f} fps "
           f"({len(convs)} candidate layers)", flush=True)
     accepted = {}
+    # stem form trial FIRST (independent knob): the row-band sparse stem
+    # (layers.py band_cached) vs the flagship dense_cached stem. The stem
+    # is the single largest per-frame cost on scene (65%, PROFILE r3) and
+    # identical math/hints make the flip accuracy-neutral by construction.
+    stem_key = (base_net.nodes[0].name if wl.kind == "graph" else 0)
+    fps = measure({stem_key: "band_cached"})
+    verdict = fps > best * (1 + args.min_gain)
+    print(f"  stem -> band_cached: {fps:.1f} fps "
+          f"({'ACCEPT' if verdict else 'reject'})", flush=True)
+    if verdict:
+        accepted, best = {stem_key: "band_cached"}, fps
     for k in convs:
         trial = dict(accepted)
         trial[k] = "dense_cached"
