@@ -27,7 +27,7 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
                state: Optional[List] = None, collect_stats: bool = True,
                thresholds: Optional[jnp.ndarray] = None, unroll: int = 1,
                refresh_every: Optional[int] = None, frame_offset=0,
-               refresh_start: bool = False):
+               refresh_start: bool = False, out_map=None):
     """Run a (T, H, W, C) clip through the CB net as one scan.
 
     Returns (outputs (T, ...), final_state, stats) where stats is a per-layer
@@ -56,6 +56,14 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
     per-refresh-frame cost of lax.cond on a multi-GB carry (XLA cannot
     alias the donated caches into both branches; measured ~6-11 ms per
     refresh frame via cond vs ~4 ms as a prolog).
+
+    ``out_map`` (optional callable) transforms each frame's output BEFORE
+    the scan stacks it — e.g. ``argmax(..., -1).astype(uint8)`` for a
+    deployment loop that consumes class maps: an 8-channel bf16 logits
+    frame is lane-padded 16x by TPU layouts when stacked over T, so
+    stacking the uint8 class map instead cuts the per-frame output write
+    ~30x (the same argmax-transparency argument the seg harness documents
+    for its in-loop argmax-then-upsample).
     """
     if state is None:
         state = net.init_state()
@@ -70,6 +78,8 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
                 carry, x)
         else:
             y, new_carry, stats = net.apply(params, carry, x, thresholds)
+        if out_map is not None:
+            y = out_map(y)
         if not collect_stats:
             stats = []
         return new_carry, (y, stats)
@@ -85,6 +95,8 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
                              "least one frame (got an empty clip)")
         y0, state, stats0 = net.apply_refresh(params, state, frames[0],
                                               thresholds)
+        if out_map is not None:
+            y0 = out_map(y0)
         if not collect_stats:
             stats0 = []
         frames = frames[1:]

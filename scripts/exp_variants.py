@@ -62,12 +62,13 @@ def main():
             compute_dtype="bfloat16" if on_tpu else "float32",
             cache_dtype="bfloat16" if on_tpu else "float32")
 
-    def run(name, net):
+    def run(name, net, out_map=None):
         taus = [0.15] * num_cb_layers(net.specs)  # the tuned operating point
         tv = jnp.asarray(taus, jnp.float32)
         cb = jax.jit(lambda p, fs, st: scan_video(net, p, fs, state=st,
                                                   thresholds=tv,
-                                                  collect_stats=False)[:2],
+                                                  collect_stats=False,
+                                                  out_map=out_map)[:2],
                      donate_argnums=(2,))
         ys, st = cb(params, chunks[0], net.init_state())
         _ = float(jnp.sum(jax.tree.leaves(ys)[0][-1]))
@@ -126,6 +127,18 @@ def main():
             convert(specs, (H, W, 3), cfg_for(),
                     backend_overrides={0: "dense_cached"},
                     dense_layers=[len(specs) - 1]))
+    if which in ("out", "all"):
+        # per-frame output form: stacking 8-ch bf16 logits over T is
+        # lane-padded 16x by TPU layouts; a deployment loop that consumes
+        # class maps can stack uint8 argmax instead (runner.scan_video
+        # out_map doc; same argmax-transparency as the seg harness)
+        from cbinfer_tpu.convert import convert_flagship as _cf
+        results["out=logits"] = run("out=logits (flagship)",
+                                    _cf(specs, (H, W, 3), cfg_for()))
+        results["out=argmax_u8"] = run(
+            "out=argmax_u8 (flagship)",
+            _cf(specs, (H, W, 3), cfg_for()),
+            out_map=lambda y: jnp.argmax(y, -1).astype(jnp.uint8))
     if which in ("tile", "all"):
         # flagship construction at each compute-tile size; wider tiles cut
         # the sparse kernels' serial iteration counts (tiny 8x8x128 DMAs

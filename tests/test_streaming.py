@@ -289,3 +289,36 @@ def test_drift_bound_dominates_measured_drift():
     dense = jnp.stack([dense_apply(specs, params, f) for f in clip])
     measured = float(jnp.max(jnp.abs(ys - dense)))
     assert measured <= b_big, (measured, b_big)
+
+
+def test_scan_video_out_map_argmax_u8():
+    """out_map transforms each stacked frame (incl. the refresh prolog's)
+    — uint8 class maps must equal argmax of the logits run."""
+    import numpy as np
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert, num_cb_layers
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    specs = get_model("scene", num_classes=8, width=32)
+    H, W = 96, 128
+    cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.5),
+                         backend="jnp", compute_dtype="float32",
+                         cache_dtype="float32")
+    net = convert(specs, (H, W, 3), cfg,
+                  thresholds=[0.02] * num_cb_layers(specs))
+    p = init_params(specs, (H, W, 3), jax.random.PRNGKey(1))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=3, sprite_size=16, seed=3)).clip(5))
+
+    def am(y):
+        return jnp.argmax(y, -1).astype(jnp.uint8)
+
+    y1, _, _ = jax.jit(lambda f: scan_video(net, p, f,
+                                            refresh_start=True))(clip)
+    y2, _, _ = jax.jit(lambda f: scan_video(net, p, f, refresh_start=True,
+                                            out_map=am))(clip)
+    assert y2.dtype == jnp.uint8 and y2.shape == y1.shape[:-1]
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(y1), -1).astype(np.uint8), np.asarray(y2))
