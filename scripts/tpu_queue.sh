@@ -31,6 +31,8 @@ run smoke           2400 env CBINFER_TPU_TESTS=1 python -m pytest tests/test_tpu
 #     is 65% of the 720p scene CB frame (PROFILE r3) — measure it before
 #     the policy search so a winning stem can inform the shipped config.
 run exp_stem        3600 python scripts/exp_variants.py stem
+# 0c. output-form cost: logits stacking vs uint8 argmax maps (out_map)
+run exp_out         1200 python scripts/exp_variants.py out
 
 # each trial recompiles the whole net (~1-2 min at 720p): bound the
 # candidate count so a queue step fits its timeout
