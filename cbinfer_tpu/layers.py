@@ -678,13 +678,18 @@ def _pool_prep(x, spec: PoolSpec, cfg: PipelineConfig, crop: bool = False):
     return x, g, xc
 
 
-def _full_stats(g: TileGeometry) -> Dict[str, Any]:
+def _full_stats(g: TileGeometry, tile_scale: int = 1) -> Dict[str, Any]:
     """Stats pytree for a full (refresh) recompute — same structure/dtypes
-    as _run_gated's stats so lax.cond branches match."""
+    as _run_gated's stats so lax.cond branches match.
+
+    ``tile_scale``: band_cached layers report in FINE-grid tile units
+    (one band = a full row of fine tiles; cb_conv_apply band branch), so
+    their refresh stats must scale the same way or effective_flops
+    underprices refresh frames for that layer."""
     return {
-        "changed_tiles": jnp.asarray(g.n_tiles, jnp.int32),
-        "computed_tiles": jnp.asarray(g.n_tiles, jnp.int32),
-        "n_tiles": g.n_tiles,
+        "changed_tiles": jnp.asarray(g.n_tiles * tile_scale, jnp.int32),
+        "computed_tiles": jnp.asarray(g.n_tiles * tile_scale, jnp.int32),
+        "n_tiles": g.n_tiles * tile_scale,
         "overflow": jnp.zeros((), bool),
         "changed_pixels": jnp.asarray(g.in_h * g.in_w, jnp.int32),
         "detect_tiles": jnp.asarray(
@@ -757,8 +762,10 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
                     (0, g.out_w_pad - g.out_w), (0, 0)))
     out_cache = y.astype(state.out_cache.dtype)
     yl = Feature(out_cache, g.out_h, g.out_w, cout)
+    tile_scale = (max(1, g.out_w_pad // cfg.tile.tile_w)
+                  if cfg.backend == "band_cached" else 1)
     return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
-        _full_stats(g), _full_hint(g)
+        _full_stats(g, tile_scale), _full_hint(g)
 
 
 def cb_pool_refresh(state: CBLayerState, x, spec: PoolSpec,

@@ -92,3 +92,25 @@ def test_band_stem_under_pallas_pipeline_interpret(setup):
     y_band, _, dense = _run(specs, params, clip, "band_cached", taus=0.0,
                             backend="pallas", interpret=True)
     np.testing.assert_allclose(y_band, dense, atol=1e-4, rtol=1e-4)
+
+
+def test_band_stem_refresh_stats_in_fine_units(setup):
+    """refresh_every runs apply_refresh in a lax.cond against apply —
+    stats pytrees must match AND the refresh frame must report the FINE
+    grid (a band = a full row of fine tiles), not band units, or
+    effective_flops underprices refresh frames."""
+    specs, params, clip = setup
+    cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.5),
+                         backend="jnp", compute_dtype="float32",
+                         cache_dtype="float32")
+    net = convert(specs, (H, W, 3), cfg,
+                  thresholds=[0.02] * num_cb_layers(specs),
+                  backend_overrides={0: "band_cached"})
+    ys, st, stats = jax.jit(lambda f: scan_video(
+        net, init_params(specs, (H, W, 3), jax.random.PRNGKey(1)), f,
+        refresh_every=3))(clip)
+    computed = np.asarray(stats[0]["computed_tiles"])
+    n_tiles = int(np.asarray(stats[0]["n_tiles"]).reshape(-1)[0])
+    assert n_tiles == (H // 8) * (W // 8)          # fine grid, not bands
+    assert computed[0] == n_tiles and computed[3] == n_tiles  # refresh
+    assert computed[1] < n_tiles                   # sparse frame skips
