@@ -112,7 +112,10 @@ def main():
     run_seed = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=run_seed))
+        noise_std=0.002, seed=run_seed,
+        # the workload's own palette: change statistics under its tuned
+        # taus must match deployment (eval_headline does the same)
+        palette="hard" if args.model.endswith("_hard") else "default"))
     warm = jnp.asarray(video.clip(T))
 
     def fresh_clip_sets(n_reps):

@@ -39,6 +39,7 @@ run exp_out         1200 python scripts/exp_variants.py out
 run policy_pose     5400 python scripts/optimize_policy.py pose --max-layers 12
 run policy_seg      3600 python scripts/optimize_policy.py seg
 run policy_scene    2400 python scripts/optimize_policy.py scene
+run policy_hard     2400 python scripts/optimize_policy.py scene_hard
 run policy_dag      5400 python scripts/optimize_policy.py pose_graph --max-layers 10
 run eval_all        5400 python scripts/eval_headline.py all
 # regenerate the per-stage trace WITH the new source attribution (named
