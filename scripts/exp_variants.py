@@ -139,6 +139,32 @@ def main():
             "out=argmax_u8 (flagship)",
             _cf(specs, (H, W, 3), cfg_for()),
             out_map=lambda y: jnp.argmax(y, -1).astype(jnp.uint8))
+        # the DENSE baseline must get the same output form for a fair
+        # speedup ratio (its logits stack pays the same 16x lane pad)
+        net_d = _cf(specs, (H, W, 3), cfg_for())
+
+        def run_dense(name, out_map=None):
+            f = (lambda x: x) if out_map is None else out_map
+            dense = jax.jit(lambda p, fs: jax.lax.map(
+                lambda x: f(net_d.apply_dense(p, x)), fs))
+            ys = dense(params, chunks[0])
+            _ = float(jnp.sum(ys[-1].astype(jnp.float32)))
+            best = float("inf")
+            for _rep in range(2):
+                t0 = time.perf_counter()
+                for ch in chunks:
+                    ys = dense(params, ch)
+                _ = float(jnp.sum(ys[-1].astype(jnp.float32)))
+                best = min(best, time.perf_counter() - t0 - sync_overhead)
+            ms = 1e3 * best / (CHUNKS * T)
+            print(f"{name:<28} {ms:7.3f} ms/frame "
+                  f"({CHUNKS * T / best:7.1f} fps)", flush=True)
+            return ms
+
+        results["out=dense_logits"] = run_dense("out=dense logits")
+        results["out=dense_argmax_u8"] = run_dense(
+            "out=dense argmax_u8",
+            out_map=lambda y: jnp.argmax(y, -1).astype(jnp.uint8))
     if which in ("tile", "all"):
         # flagship construction at each compute-tile size; wider tiles cut
         # the sparse kernels' serial iteration counts (tiny 8x8x128 DMAs
