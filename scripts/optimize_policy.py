@@ -215,10 +215,16 @@ def main():
                           "best": round(best, 1)},
            "gain": round(final_fps / max(1e-9, base2), 3),
            "overrides": {str(k): v for k, v in accepted.items()}}
+    print(json.dumps(out), flush=True)
+    if not on_tpu and not os.environ.get("CBINFER_POLICY_ALLOW_CPU"):
+        # CPU timings are meaningless for the deployed (TPU) policy and
+        # bench/zoo consume POLICY files unconditionally — don't clobber
+        print("NOT writing policy: no TPU device (set "
+              "CBINFER_POLICY_ALLOW_CPU=1 to force)", flush=True)
+        return
     path = f"/root/repo/POLICY_{args.model}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out), flush=True)
     print(f"wrote {path}", flush=True)
 
 
