@@ -521,26 +521,34 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                         compute_dtype),
                     (storage, state.out_cache, comp.idx))
                 overflow = comp.overflow
-        # hint at the FINE grid: band recompute is a value-exact superset,
-        # so consumers only need the exact dilated change region (the
-        # dense_cached argument); the band mask would 160x-overdirty them
+        # hint at the fixed HINT_TILE grid: band recompute is a value-exact
+        # superset, so consumers only need the exact dilated change region
+        # (the dense_cached argument); the band mask would overdirty them
+        # by a full row of hint tiles per band
         g_hint = conv_tile_geometry((g.in_h, g.in_w, g.cin), spec.kernel,
                                     spec.stride, spec.dilation, spec.padding,
                                     HINT_TILE, HINT_TILE)
-        fine = detect.changed_tile_mask(changed, g_hint)
-        # stats in FINE-grid tile units so effective_flops prices the
-        # band overcompute honestly (a band = a full row of fine tiles)
-        fine_w = max(1, g.out_w_pad // cfg.tile.tile_w)
+        hint_mask = detect.changed_tile_mask(changed, g_hint)
+        # stats on the CONFIGURED tile grid (cfg.tile), the unit every
+        # other layer reports in: a band = one row of that grid
+        # (identical tile_h), so counters stay comparable and
+        # effective_flops prices the band overcompute honestly. Counting
+        # changed on the HINT grid instead would disagree with
+        # computed/n_tiles whenever cfg.tile != 8x8 (review r3).
+        g_fine = conv_tile_geometry((g.in_h, g.in_w, g.cin), spec.kernel,
+                                    spec.stride, spec.dilation, spec.padding,
+                                    cfg.tile.tile_h, cfg.tile.tile_w)
         stats = {
-            "changed_tiles": jnp.sum(fine, dtype=jnp.int32),
+            "changed_tiles": jnp.sum(
+                detect.changed_tile_mask(changed, g_fine), dtype=jnp.int32),
             "computed_tiles": jnp.where(overflow, g.n_tiles,
-                                        comp.count) * fine_w,
-            "n_tiles": g.n_tiles * fine_w,
+                                        comp.count) * g_fine.tiles_w,
+            "n_tiles": g_fine.n_tiles,
             "overflow": overflow,
             "changed_pixels": n_pix,
             "detect_tiles": n_detect,
         }
-        out_hint = _out_hint(fine, overflow, g_hint)
+        out_hint = _out_hint(hint_mask, overflow, g_hint)
         yl = Feature(out_cache, g.out_h, g.out_w, cout)
         return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
             stats, out_hint
@@ -762,7 +770,9 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
                     (0, g.out_w_pad - g.out_w), (0, 0)))
     out_cache = y.astype(state.out_cache.dtype)
     yl = Feature(out_cache, g.out_h, g.out_w, cout)
-    tile_scale = (max(1, g.out_w_pad // cfg.tile.tile_w)
+    # band layers report on the configured tile grid (apply-branch stats
+    # contract): one band = cdiv(out_w, tile_w) grid tiles
+    tile_scale = (cdiv(g.out_w, cfg.tile.tile_w)
                   if cfg.backend == "band_cached" else 1)
     return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
         _full_stats(g, tile_scale), _full_hint(g)

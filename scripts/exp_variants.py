@@ -8,9 +8,13 @@ optimization-ledger entries in RESULTS.md. Variants:
   stem=dense_cached  stem detects on its 3-ch input + dense conv from the
                      accepted cache, emitting a dirty hint so L1 detects
                      sparsely (r1 measured this SLOWER pre-im2col; rematch)
+  stem=band_cached   row-band sparse stem at several capacities
+  stem=jnp cap=F     8x8-tile XLA sparse stem (the measured negative)
+  out=...            output stacking form: logits vs uint8 argmax maps,
+                     CB and dense sides (runner.scan_video out_map)
   tile=HxW           conv/pool tile size sweep (VERDICT r1 item 8)
 
-Usage: python scripts/exp_variants.py [stem|tile|all]
+Usage: python scripts/exp_variants.py [stem|sparse|out|tile|all]
 """
 
 import json
@@ -144,15 +148,26 @@ def main():
         net_d = _cf(specs, (H, W, 3), cfg_for())
 
         def run_dense(name, out_map=None):
+            # the dense net is STATELESS, so repeated dispatches on the
+            # same chunk are identical (executable, args) pairs and the
+            # runtime serves them from its dispatch-memoization cache
+            # (benchmark.py 'r2 bug': dense measured 275->377 fake fps).
+            # Every timed dispatch gets a DISTINCT fresh clip; the CB
+            # run() above is immune via its donated distinct state.
             f = (lambda x: x) if out_map is None else out_map
             dense = jax.jit(lambda p, fs: jax.lax.map(
                 lambda x: f(net_d.apply_dense(p, x)), fs))
-            ys = dense(params, chunks[0])
+            fresh = [jnp.asarray(video.clip(T))
+                     for _ in range(2 * CHUNKS + 1)]
+            for ch in fresh:
+                _ = float(jnp.sum(ch))
+            ys = dense(params, fresh[0])
             _ = float(jnp.sum(ys[-1].astype(jnp.float32)))
             best = float("inf")
-            for _rep in range(2):
+            for rep in range(2):
+                timed = fresh[1 + rep * CHUNKS:1 + (rep + 1) * CHUNKS]
                 t0 = time.perf_counter()
-                for ch in chunks:
+                for ch in timed:
                     ys = dense(params, ch)
                 _ = float(jnp.sum(ys[-1].astype(jnp.float32)))
                 best = min(best, time.perf_counter() - t0 - sync_overhead)

@@ -158,18 +158,23 @@ def main():
     clip = jnp.asarray(video.clip(T))
     _ = float(jnp.sum(warm)) + float(jnp.sum(clip))
 
-    step = jax.jit(
+    jstep = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv),
         donate_argnums=(2,))
     st0 = net.init_state()
+    # AOT-compile ONCE and execute the same object: a separate
+    # lower().compile() just for as_text() would not populate the jit
+    # dispatch cache (and the persistent cache is off here — see above),
+    # doubling a ~1-2 min 720p compile; executing the AOT executable also
+    # guarantees the traced op names match hlo_attr exactly.
+    absargs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        (params, warm, st0, taus))
+    step = jstep.lower(*absargs).compile()
     hlo_attr = {}
     try:
-        absargs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
-            (params, warm, st0, taus))
-        hlo_attr = parse_hlo_metadata(
-            step.lower(*absargs).compile().as_text())
+        hlo_attr = parse_hlo_metadata(step.as_text())
         print(f"{len(hlo_attr)} HLO instructions with source metadata")
     except Exception as e:  # attribution is best-effort; keep the timings
         print(f"WARNING hlo attribution failed: {e}", file=sys.stderr)
@@ -195,6 +200,7 @@ def main():
                              ("/accept_hinted/", "detect"),
                              ("/compact/", "compact"),
                              ("/delta_kernel/", "delta_conv"),
+                             ("/band_conv/", "band_conv"),
                              ("/cached_conv/", "cached_conv"),
                              ("/out_pad/", "cached_conv")):
             if scope in a or a.endswith(scope.rstrip("/")):

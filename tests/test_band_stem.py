@@ -1,12 +1,18 @@
 """band_cached stem backend (layers.cb_conv_apply band branch).
 
 The full-width row-band sparse stem must be VALUE-IDENTICAL to the
-dense_cached stem at any operating point (same detect, same accepted
-cache, superset recompute from that cache), emit the same fine 8x8 hint
-chain, and actually skip work on sparse frames. The overflow fallback
-(dense_conv_shifted) shares conv_tiles' accumulation epilogue, so
-overflow frames stay on the same lax.cond bit-alignment contract as the
-jnp tile path (ops/delta_conv.py module doc).
+dense_cached stem (same detect, same accepted cache, superset recompute
+from that cache), emit the same fine 8x8 hint chain, and actually skip
+work on sparse frames. Identity is EXACT in f32 (asserted below). In
+bf16 the two conv epilogues differ by final-rounding ulps — _accumulate
+does an fp32 dot + fp32 bias/relu with one final cast, dense_conv's
+small-cin im2col rounds at the bf16 dot output and adds bias in bf16 —
+which is sub-tau drift of the same class the refresh path documents;
+eval_headline re-measures ground-truth accuracy with any stem policy
+applied, so the deployed flip is never accepted on the identity claim
+alone. The overflow fallback (dense_conv_shifted) shares conv_tiles'
+accumulation epilogue, so overflow frames stay on the same lax.cond
+bit-alignment contract as the jnp tile path (ops/delta_conv.py doc).
 """
 
 import jax
