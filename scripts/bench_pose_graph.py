@@ -140,6 +140,15 @@ def main(argv=None):
     overflows = sum(int(np.asarray(s["overflow"]).sum())
                     for cs in jax.device_get(all_stats)
                     for s in cs.values() if s)
+    # effective-FLOP reduction over ALL timed chunks (refresh frames
+    # included) — topology-agnostic via NetView (C15; BASELINE ">=3x"
+    # pillar, previously unreported for the DAG row)
+    from cbinfer_tpu.benchmark import concat_stats
+    from cbinfer_tpu.metrics import effective_flops_view
+    from cbinfer_tpu.netview import NetView
+    ef = effective_flops_view(NetView.from_nodes(nodes, (H, W, 3)),
+                              concat_stats(all_stats),
+                              cfg.tile.tile_h, cfg.tile.tile_w)
 
     row = {
         "model": "pose_graph", "resolution": f"{H}x{W}",
@@ -148,6 +157,7 @@ def main(argv=None):
         "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T}",
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
+        "flop_reduction": round(ef["flop_reduction"], 2),
         "pck_vs_dense": round(pck_val, 4),
         **gt,
         "overflow_frames": overflows,
