@@ -104,7 +104,21 @@ def test_accept_kernel_on_chip_matches_jnp(on_tpu):
     concurrency — the r3 self-review found (and fixed) a buffer-sharing
     race only real hardware could expose — so the pallas/jnp equivalence
     must also hold compiled, over enough dirty tiles to exercise a deep
-    pipeline (>= 2*NBUF in flight)."""
+    pipeline (>= 2*NBUF in flight).
+
+    Runs at tau=0 on a noise-free clip: masks stay SPARSE (only sprite
+    tiles change frame-to-frame) and identical across backends, so the
+    only legitimate divergence is conv-numerics. Measured on-chip
+    (r3 diagnostics, f64 host recompute from captured caches): the two
+    backends see bit-identical accepted inputs, but TPU fp32 convs run
+    as bf16 MXU passes and the two conv ALGORITHMS (Pallas k^2 shifted
+    matmuls vs XLA conv) each deviate ~5e-3 from the f64-exact result,
+    landing ~1.1e-3 apart from each other after 3 layers. Tolerance is
+    set just above that envelope; it still separates cleanly from
+    corruption — a stale/raced sprite tile differs by the full
+    frame-to-frame output delta, O(0.1). A bitwise repeat of the pallas
+    scan guards determinism (the r3 race produced run-to-run varying
+    output)."""
     import dataclasses
     from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig
     from cbinfer_tpu.convert import convert
@@ -118,9 +132,9 @@ def test_accept_kernel_on_chip_matches_jnp(on_tpu):
                                  forward_hint=True),
              ConvSpec(features=8, kernel=(1, 1), activation=None,
                       threshold=0.0)]
-    taus = [0.02, 0.02, 0.02]
+    taus = [0.0, 0.0, 0.0]
     clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
-        height=H, width=W, n_sprites=4, seed=11)).clip(8))
+        height=H, width=W, n_sprites=4, noise_std=0.0, seed=11)).clip(8))
     params = init_params(specs, (H, W, 3), jax.random.PRNGKey(3))
     outs = {}
     for backend in ("pallas", "jnp"):
@@ -128,7 +142,18 @@ def test_accept_kernel_on_chip_matches_jnp(on_tpu):
                              compute_dtype="float32",
                              cache_dtype="float32")
         net = convert(specs, (H, W, 3), cfg, thresholds=taus)
-        ys, _, _ = scan_video(net, params, clip)
+        ys, _, stats = scan_video(net, params, clip)
         outs[backend] = np.asarray(jax.device_get(ys))
+        # steady-state frames must be sparse AND deep enough to put
+        # >= 2*NBUF accept copies in flight, else the test proves nothing
+        hinted = np.asarray(stats[1]["computed_tiles"])[1:]
+        n_tiles = int(np.max(np.asarray(stats[1]["n_tiles"])))
+        assert hinted.min() >= 8, hinted
+        assert hinted.max() < n_tiles, (hinted, n_tiles)
+        if backend == "pallas":
+            ys2, _, _ = scan_video(net, params, clip)
+            np.testing.assert_array_equal(
+                outs[backend], np.asarray(jax.device_get(ys2)),
+                err_msg="pallas scan is non-deterministic — DMA race")
     np.testing.assert_allclose(outs["pallas"], outs["jnp"],
-                               atol=1e-4, rtol=1e-4)
+                               atol=2e-3, rtol=2e-2)
