@@ -14,7 +14,9 @@ optimization-ledger entries in RESULTS.md. Variants:
                      CB and dense sides (runner.scan_video out_map)
   tile=HxW           conv/pool tile size sweep (VERDICT r1 item 8)
 
-Usage: python scripts/exp_variants.py [stem|sparse|out|tile|all]
+Usage: python scripts/exp_variants.py [stem|sparse|out|out_dense|tile|all]
+(out_dense = just the dense-baseline output-form rows; results merge into
+EXP_variants.json rather than overwriting it)
 """
 
 import json
@@ -143,8 +145,13 @@ def main():
             "out=argmax_u8 (flagship)",
             _cf(specs, (H, W, 3), cfg_for()),
             out_map=lambda y: jnp.argmax(y, -1).astype(jnp.uint8))
+    if which in ("out", "out_dense", "all"):
         # the DENSE baseline must get the same output form for a fair
-        # speedup ratio (its logits stack pays the same 16x lane pad)
+        # speedup ratio (its logits stack pays the same 16x lane pad).
+        # ``out_dense`` runs ONLY this half — the first queue run of
+        # ``out`` timed out after the CB rows, and a fair argmax-vs-argmax
+        # headline needs the dense twin without re-paying the CB compiles.
+        from cbinfer_tpu.convert import convert_flagship as _cf
         net_d = _cf(specs, (H, W, 3), cfg_for())
 
         def run_dense(name, out_map=None):
@@ -189,8 +196,19 @@ def main():
             results[f"tile={th}x{tw}"] = run(
                 f"tile={th}x{tw} (flagship)",
                 convert_flagship(specs, (H, W, 3), cfg_for(th, tw)))
-    with open("/root/repo/EXP_variants.json", "w") as f:
-        json.dump({"weights": wsrc, "ms_per_frame": results}, f, indent=2)
+    # merge, don't overwrite: each mode contributes its rows and a step
+    # that times out mid-mode must not erase earlier modes' measurements
+    path = "/root/repo/EXP_variants.json"
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f).get("ms_per_frame", {})
+        except Exception:
+            merged = {}
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump({"weights": wsrc, "ms_per_frame": merged}, f, indent=2)
     print("wrote EXP_variants.json")
 
 
