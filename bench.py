@@ -162,9 +162,20 @@ def main():
     for ch in chunks + [warm_chunk]:
         _ = float(jnp.sum(ch))  # force device-resident
 
+    # --- output form: BOTH paths emit per-frame uint8 argmax class maps ---
+    # The deployment output of a labeling CNN is the class map, and the
+    # pillar ratio must compare identical output forms. Stacking 8-channel
+    # bf16 logits over T is lane-padded 16x by TPU layouts; stacking the
+    # argmax u8 map cuts that write ~30x on the CB side (whose frame is
+    # ~1.2 ms) while the dense side barely moves (3.42 -> 3.40 ms/frame,
+    # EXP_variants out/out_dense, measured on-chip r3) — argmax-vs-argmax
+    # and logits-vs-logits are both fair; the u8 form is the faster
+    # production operating point, so the headline ships it.
+    out_u8 = lambda y: jnp.argmax(y, -1).astype(jnp.uint8)
+
     # --- dense baseline ---
     def dense_body(p, fs):
-        ys = jax.lax.map(lambda x: net.apply_dense(p, x), fs)
+        ys = jax.lax.map(lambda x: out_u8(net.apply_dense(p, x)), fs)
         return ys, jnp.sum(ys[-1]) * 0
     dense_scan = jax.jit(dense_body)
     d, _eps = dense_scan(params, warm_chunk)
@@ -187,11 +198,11 @@ def main():
     cb_refresh = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st,
                                      thresholds=tau_vec,
-                                     refresh_start=True),
+                                     refresh_start=True, out_map=out_u8),
         donate_argnums=(2,))
     cb_plain = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st,
-                                     thresholds=tau_vec),
+                                     thresholds=tau_vec, out_map=out_u8),
         donate_argnums=(2,))
 
     def cb_scan(p, fs, st, i):
@@ -225,15 +236,17 @@ def main():
     # this hardware — both paths flip near-boundary pixels of rare
     # classes under bf16 rounding — so it cannot resolve a 0.5% budget
     # (see metrics.miou_labels). Agreement is still reported.
-    from cbinfer_tpu.metrics import (merge_iu, miou_iu_device,
-                                     miou_labels_iu_device)
+    from cbinfer_tpu.metrics import iu_maps_device, merge_iu
     from cbinfer_tpu.network import out_shapes
     acc_video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=0))
     stride = H // out_shapes(net.specs, (H, W, 3))[-1][0]
-    iu_agree = jax.jit(lambda a, b: miou_iu_device(a, b, NUM_CLASSES))
-    iu_gt = jax.jit(lambda a, l: miou_labels_iu_device(a, l, NUM_CLASSES))
+    # both timed executables emit argmax u8 maps, so the accuracy pass
+    # compares maps directly (iu_maps_device) — same executables, no
+    # extra 720p compiles
+    iu_agree = jax.jit(lambda a, b: iu_maps_device(a, b, NUM_CLASSES))
+    iu_gt = jax.jit(lambda a, l: iu_maps_device(a, l, NUM_CLASSES))
     acc_state = net.init_state()
     sums = {k: (np.zeros((NUM_CLASSES,), np.int64),
                 np.zeros((NUM_CLASSES,), np.int64))
@@ -276,6 +289,8 @@ def main():
         "miou_gt_cb": round(m_cb_gt, 5),
         "miou_vs_dense": round(m_agree, 5),
         "flop_reduction": round(ef["flop_reduction"], 2),
+        "output_form": "argmax_u8 class maps (both paths; see EXP_variants"
+                       " out/out_dense for the logits-form twin)",
         "weights": weights_src,
         "tau_source": tau_src,
         "backend_policy": policy_src,

@@ -198,6 +198,16 @@ def miou_labels_iu_device(pred_logits, labels, num_classes: int):
                       num_classes, jnp.int32)
 
 
+def iu_maps_device(pred_labels, ref_labels, num_classes: int):
+    """Per-class (intersection, union) counts of two ALREADY-argmaxed class
+    maps (uint8/int) — the output-form twin of ``miou_iu_device`` for
+    deployment loops that stack argmax maps instead of logits
+    (``runner.scan_video`` ``out_map``; bench.py times both paths in that
+    form, so its accuracy pass receives maps, not logits)."""
+    import jax.numpy as jnp
+    return _iu_device(pred_labels, ref_labels, num_classes, jnp.int32)
+
+
 def merge_iu(inter: np.ndarray, union: np.ndarray) -> float:
     """Combine accumulated per-class counts into mIoU (union==0 classes are
     skipped, exactly as in `miou`)."""

@@ -165,6 +165,23 @@ def test_gt_metrics_match_host_and_chunked():
     a, b = miou_iu_device(jnp.asarray(logits), jnp.asarray(logits), 5)
     assert merge_iu(np.asarray(a), np.asarray(b)) == 1.0
     assert miou(logits, logits, 5) == 1.0
+    # map-form twin (bench.py's argmax_u8 output form) == logits twin
+    from cbinfer_tpu.metrics import iu_maps_device
+    other = rng.standard_normal(logits.shape).astype(np.float32)
+    i3, u3 = miou_iu_device(jnp.asarray(logits), jnp.asarray(other), 5)
+    i4, u4 = iu_maps_device(
+        jnp.argmax(jnp.asarray(logits), -1).astype(jnp.uint8),
+        jnp.argmax(jnp.asarray(other), -1).astype(jnp.uint8), 5)
+    assert np.array_equal(np.asarray(i3), np.asarray(i4))
+    assert np.array_equal(np.asarray(u3), np.asarray(u4))
+    # and against integer ground-truth labels directly
+    i5, u5 = miou_labels_iu_device(jnp.asarray(logits),
+                                   jnp.asarray(labels), 5)
+    i6, u6 = iu_maps_device(
+        jnp.argmax(jnp.asarray(logits), -1).astype(jnp.uint8),
+        jnp.asarray(labels), 5)
+    assert np.array_equal(np.asarray(i5), np.asarray(i6))
+    assert np.array_equal(np.asarray(u5), np.asarray(u6))
 
 
 def test_tau_minus_one_is_mask_forwarding():
