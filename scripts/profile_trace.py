@@ -111,6 +111,29 @@ def parse_hlo_metadata(hlo_text: str):
     return attr
 
 
+def parse_hlo_defs(hlo_text: str):
+    """HLO instruction name -> its definition line (shape + opcode +
+    operand names, truncated). The scheduler glue the trace surfaces
+    (``copy.N`` / ``pad.N`` / ``copy-done.N``) carries NO source metadata
+    — it is inserted by layout/memory passes, not by a jaxpr op — but its
+    definition still names the buffer shape and operands, which is enough
+    to identify WHICH cache a 80 us/frame copy is moving (r3: this is how
+    the MSA staging copies were pinned to the pool caches)."""
+    import re
+    defs = {}
+    inst_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=\s*(.*)$")
+    for line in hlo_text.splitlines():
+        m = inst_re.match(line)
+        if not m:
+            continue
+        name = m.group(1).replace("-", "_")
+        body = m.group(2)
+        # strip metadata/backend_config tails; keep shape+opcode+operands
+        body = body.split(", metadata={")[0].split(", backend_config=")[0]
+        defs[name] = body[:160]
+    return defs
+
+
 def main():
     from cbinfer_tpu.config import PipelineConfig, TileConfig, UpsampleSpec
     from cbinfer_tpu.convert import convert_flagship, num_cb_layers
@@ -172,9 +195,11 @@ def main():
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         (params, warm, st0, taus))
     step = jstep.lower(*absargs).compile()
-    hlo_attr = {}
+    hlo_attr, hlo_defs = {}, {}
     try:
-        hlo_attr = parse_hlo_metadata(step.as_text())
+        hlo_text = step.as_text()
+        hlo_attr = parse_hlo_metadata(hlo_text)
+        hlo_defs = parse_hlo_defs(hlo_text)
         print(f"{len(hlo_attr)} HLO instructions with source metadata")
     except Exception as e:  # attribution is best-effort; keep the timings
         print(f"WARNING hlo attribution failed: {e}", file=sys.stderr)
@@ -214,7 +239,13 @@ def main():
         by_stage[st_] = by_stage.get(st_, 0.0) + dur
         by_name[nm] = by_name.get(nm, 0.0) + dur
     def attribution(nm):
-        return hlo_attr.get(nm.replace("-", "_").split(":")[-1].strip(), "")
+        key = nm.replace("-", "_").split(":")[-1].strip()
+        a = hlo_attr.get(key, "")
+        if not a:
+            # scheduler-inserted glue: no source metadata, but the HLO
+            # definition (shape+operands) identifies the buffer it moves
+            a = hlo_defs.get(key, "")
+        return a
 
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:25]
     for nm, dur in top:
@@ -222,6 +253,12 @@ def main():
     stages_us = {k: v / T for k, v in sorted(by_stage.items())}
     print("per-frame stage split (us):", json.dumps(stages_us, indent=2))
 
+    if not on_tpu:
+        # CPU smoke runs exercise the plumbing only — their timings are
+        # host-lane noise and must never clobber the on-chip PROFILE.json
+        # (same guard as optimize_policy.py for POLICY files)
+        print("not on TPU: skipping PROFILE.json write")
+        return
     out_path = "/root/repo/PROFILE.json"
     prof = {}
     if os.path.exists(out_path):
