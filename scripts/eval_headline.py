@@ -79,6 +79,20 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
         "(identical class map by argmax-transparency; avoids the 16x "
         "lane-pad of full-res logits) INSIDE the timed loop for both "
         "paths; GT mIoU scored at full resolution")
+    # refresh cadence R (prolog on every R-th chunk): from
+    # REFRESH_{model}.json when a measured drift validation exists
+    # (scripts/validate_refresh.py — the largest cadence whose WORST
+    # chunk stays within the degradation budget over a long horizon),
+    # else the every-other-chunk default. The timed window must span at
+    # least one full period or the amortized refresh cost is understated.
+    cadence, cadence_src = 2, "default"
+    rpath = f"/root/repo/REFRESH_{name}.json"
+    if os.path.exists(rpath):
+        with open(rpath) as f:
+            rj = json.load(f)
+        if rj.get("refresh_every_chunks"):
+            cadence, cadence_src = int(rj["refresh_every_chunks"]), rpath
+    chunks = max(chunks, cadence)
     # per-RUN unique seed: the runtime memoizes identical dispatches across
     # processes (bench.py), so a fixed clip inflates fps on re-runs. The
     # metric therefore varies slightly run-to-run (same sprite statistics).
@@ -143,8 +157,12 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
                                  - sync_overhead)
 
     # deployment refresh policy (bench.py parity): cond-free refresh_start
-    # prolog on every other chunk (interval 2T; a per-frame lax.cond on the
-    # multi-GB carry costs 6-11 ms per refresh frame)
+    # prolog on every R-th chunk (default every other chunk, interval 2T;
+    # a per-frame lax.cond on the multi-GB carry costs 6-11 ms per refresh
+    # frame). R comes from REFRESH_{model}.json when a measured drift
+    # validation exists (scripts/validate_refresh.py: the largest cadence
+    # whose WORST chunk stays within the degradation budget over a long
+    # horizon on the calibration seeds).
     cb_refresh = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv, refresh_start=True),
@@ -162,7 +180,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
     t0 = time.perf_counter()
     cb_outs, cb_stats, cb_maps = [], [], []
     for i, c in enumerate(clips):
-        f = cb_refresh if i % 2 == 0 else cb_plain
+        f = cb_refresh if i % cadence == 0 else cb_plain
         ys, state, stats = f(params, c, state, taus)
         cb_outs.append(ys)
         cb_stats.append(stats)
@@ -218,7 +236,8 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
         "thresholds": [round(float(t), 4) for t in tau_list],
         "weights": weights,
         "cache_dtype": cfg.cache_dtype,
-        "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T}",
+        "refresh": (f"chunk-start prolog every {cadence} chunks, interval "
+                    f"{cadence * T} ({cadence_src})"),
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
         "flop_reduction": round(ef["flop_reduction"], 2),
