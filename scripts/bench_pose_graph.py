@@ -67,6 +67,18 @@ def main(argv=None):
         wl.policy_source
     tv = jnp.asarray(wl.taus, jnp.float32)
 
+    # refresh cadence (prolog every R-th chunk): measured drift validation
+    # from scripts/validate_refresh.py when present, else every 2nd chunk
+    # (eval_headline parity). The timed window must span a full period.
+    cadence, cadence_src = 2, "default"
+    rpath = "/root/repo/REFRESH_pose_graph.json"
+    if os.path.exists(rpath):
+        with open(rpath) as f:
+            rj = json.load(f)
+        if rj.get("refresh_every_chunks"):
+            cadence, cadence_src = int(rj["refresh_every_chunks"]), rpath
+    args.chunks = max(args.chunks, cadence)
+
     base = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=3, sprite_size=32, speed=4.0,
@@ -113,7 +125,7 @@ def main(argv=None):
     cb_outs, all_stats = [], []
     t0 = time.perf_counter()
     for i, c in enumerate(chunks):
-        f = cb_refresh if i % 2 == 0 else cb_plain
+        f = cb_refresh if i % cadence == 0 else cb_plain
         ys, st, stats = f(params, c, st)
         cb_outs.append(ys)
         all_stats.append(stats)
@@ -154,7 +166,8 @@ def main(argv=None):
         "model": "pose_graph", "resolution": f"{H}x{W}",
         "topology": "backbone -> 2 stages x {PAF, heatmap}, concat DAG",
         "weights": weights, "tau": tau_src,
-        "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T}",
+        "refresh": (f"chunk-start prolog every {cadence} chunks, interval "
+                    f"{cadence * T} ({cadence_src})"),
         "dense_fps": round(dense_fps, 1), "cb_fps": round(cb_fps, 1),
         "speedup": round(cb_fps / dense_fps, 2),
         "flop_reduction": round(ef["flop_reduction"], 2),

@@ -82,8 +82,12 @@ def main():
     wl = zoo.load(args.model, (H, W, 3), cfg)
     net, params = wl.net, wl.params
     taus = jnp.asarray(wl.taus, jnp.float32)
-    from cbinfer_tpu.network import out_shapes
-    stride = H // out_shapes(net.specs, (H, W, 3))[-1][0]
+    if wl.kind == "graph":
+        from cbinfer_tpu.graph import node_out_shapes
+        stride = H // node_out_shapes(net.nodes, (H, W, 3))[net.output][0]
+    else:
+        from cbinfer_tpu.network import out_shapes
+        stride = H // out_shapes(net.specs, (H, W, 3))[-1][0]
 
     # device-scalar metrics per chunk (full output fetches cost ~10 s per
     # 44 MB over this tunnel — RESULTS.md): iu count vectors for miou,
@@ -114,10 +118,14 @@ def main():
         donate_argnums=(2,))
 
     rows = []
+    # video statistics match the bench that consumes the validated
+    # cadence (eval_headline: 4 sprites/48px; bench_pose_graph: 3/32)
+    n_spr, spr_sz = (3, 32) if wl.kind == "graph" else (4, 48)
     for seed in seeds:
         video = SpriteVideo(SpriteVideoConfig(
-            height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-            noise_std=0.002, distinct_classes=(metric == "pck"),
+            height=H, width=W, n_sprites=n_spr, sprite_size=spr_sz,
+            speed=4.0, noise_std=0.002,
+            distinct_classes=(metric == "pck"),
             palette=palette, seed=seed))
         chunks, labels = [], []
         for _ in range(args.chunks):
