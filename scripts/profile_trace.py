@@ -181,9 +181,15 @@ def main():
     clip = jnp.asarray(video.clip(T))
     _ = float(jnp.sum(warm)) + float(jnp.sum(clip))
 
+    # profile the SHIPPED output form (bench.py): per-frame argmax u8
+    # class maps for miou models (the logits stack is lane-padded 16x and
+    # its DUS would dominate the glue profile with a cost the headline
+    # no longer pays); pose keeps raw heatmaps (its consumers need them)
+    out_u8 = (None if name.startswith("pose")
+              else (lambda y: jnp.argmax(y, -1).astype(jnp.uint8)))
     jstep = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
-                                         thresholds=tv),
+                                         thresholds=tv, out_map=out_u8),
         donate_argnums=(2,))
     st0 = net.init_state()
     # AOT-compile ONCE and execute the same object: a separate
