@@ -107,9 +107,12 @@ def main():
 
     H, W = 720, 1280
     T = 32          # frames per timed dispatch
-    CHUNKS = 5      # timed dispatches (distinct frames each): the window
+    CHUNKS = 8      # timed dispatches (distinct frames each): the window
     # must be large vs the tunnel RTT jitter (~±15 ms on a ~30 ms RTT,
-    # measured r3) or per-frame numbers swing ±20%
+    # measured r3) or per-frame numbers swing ±20%. At the argmax_u8
+    # operating point the CB pass runs ~900 fps, so 8x32 frames keep the
+    # timed window ~0.3 s (>=20x the jitter); device footprint is ~2.8 GB
+    # of staged clips against 16 GB HBM.
     NUM_CLASSES = 8
     on_tpu = any(d.platform == "tpu" for d in _devices_or_die())
     backend = "pallas" if on_tpu else "jnp"
