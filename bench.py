@@ -197,7 +197,20 @@ def main():
     # refresh_every=32 and re-validated at interval 64 and 128 with zero
     # measured ground-truth degradation over a 128-frame horizon on both
     # calibration seeds (r3).
-    REFRESH_EVERY_CHUNKS = 2
+    REFRESH_EVERY_CHUNKS, refresh_src = 2, "default"
+    rpath = os.path.join(REPO, "REFRESH_scene.json")
+    if os.path.exists(rpath):
+        # measured drift validation (scripts/validate_refresh.py): the
+        # largest cadence whose WORST chunk stays within the degradation
+        # budget over a 12-chunk horizon on the calibration seeds
+        with open(rpath) as f:
+            _rj = json.load(f)
+        if _rj.get("refresh_every_chunks"):
+            # clamp to the timed window so it always spans >=1 full
+            # period (else the amortized refresh cost is understated)
+            REFRESH_EVERY_CHUNKS = min(int(_rj["refresh_every_chunks"]),
+                                       CHUNKS)
+            refresh_src = "REFRESH_scene.json"
     cb_refresh = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st,
                                      thresholds=tau_vec,
@@ -297,9 +310,9 @@ def main():
         "weights": weights_src,
         "tau_source": tau_src,
         "backend_policy": policy_src,
-        "refresh": f"chunk-start prolog every 2nd chunk, interval {2 * T} "
-                   f"(tuned under refresh_every={refresh}; validated at "
-                   "64/128 with zero GT degradation)",
+        "refresh": f"chunk-start prolog every {REFRESH_EVERY_CHUNKS} "
+                   f"chunks, interval {REFRESH_EVERY_CHUNKS * T} "
+                   f"({refresh_src}; tuned under refresh_every={refresh})",
         "timing_video_seed": run_seed,
         "accuracy_video_seed": 0,
     }))
