@@ -90,6 +90,40 @@ def names() -> List[str]:
     return list(REGISTRY)
 
 
+def load_refresh_cadence(name: str, t: int, h: int, w: int,
+                         default: int = 2) -> Tuple[int, str]:
+    """Validated refresh cadence for a workload, parity-guarded.
+
+    ``REFRESH_{name}.json`` (written by scripts/validate_refresh.py on
+    TPU) records the largest refresh cadence — prolog every R-th T-frame
+    chunk — whose WORST-chunk ground-truth degradation stayed within the
+    budget over a long horizon. Drift per chunk scales with frames/chunk
+    and sprite scale, so a cadence validated at 720p/T=12 says nothing
+    about 360p/T=16: the json applies only when the caller's chunk size
+    and resolution match what was measured; otherwise the conservative
+    default (every 2nd chunk) is returned with the mismatch recorded in
+    the source string. Returns ``(cadence_in_chunks, source)``.
+    Single consumer-side implementation for bench.py / eval_headline.py /
+    bench_pose_graph.py (divergent copies produced a T/resolution parity
+    gap, review r3)."""
+    path = f"{_REPO}/REFRESH_{name}.json"
+    if not os.path.exists(path):
+        return default, "default"
+    try:
+        with open(path) as f:
+            rj = json.load(f)
+        cad = rj.get("refresh_every_chunks")
+        if not cad:
+            return default, f"default ({path}: no cadence validated)"
+        if rj.get("T") != t or rj.get("shape") != [h, w]:
+            return default, (
+                f"default ({path} measured at T={rj.get('T')} "
+                f"shape={rj.get('shape')}; caller runs T={t} {h}x{w})")
+        return int(cad), path
+    except Exception as exc:  # stale/corrupt json must not kill a bench
+        return default, f"default (unreadable {path}: {exc})"
+
+
 def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
          cfg: Optional[PipelineConfig] = None,
          tau: Optional[float] = None,

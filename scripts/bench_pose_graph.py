@@ -67,16 +67,11 @@ def main(argv=None):
         wl.policy_source
     tv = jnp.asarray(wl.taus, jnp.float32)
 
-    # refresh cadence (prolog every R-th chunk): measured drift validation
-    # from scripts/validate_refresh.py when present, else every 2nd chunk
-    # (eval_headline parity). The timed window must span a full period.
-    cadence, cadence_src = 2, "default"
-    rpath = "/root/repo/REFRESH_pose_graph.json"
-    if os.path.exists(rpath):
-        with open(rpath) as f:
-            rj = json.load(f)
-        if rj.get("refresh_every_chunks"):
-            cadence, cadence_src = int(rj["refresh_every_chunks"]), rpath
+    # refresh cadence (prolog every R-th chunk): measured drift
+    # validation via the parity-guarded zoo loader (refuses a cadence
+    # validated at a different T/resolution), else every 2nd chunk.
+    # The timed window must span a full period.
+    cadence, cadence_src = zoo.load_refresh_cadence("pose_graph", T, H, W)
     args.chunks = max(args.chunks, cadence)
 
     base = int(time.time() * 1e3) % 100000

@@ -79,19 +79,12 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
         "(identical class map by argmax-transparency; avoids the 16x "
         "lane-pad of full-res logits) INSIDE the timed loop for both "
         "paths; GT mIoU scored at full resolution")
-    # refresh cadence R (prolog on every R-th chunk): from
-    # REFRESH_{model}.json when a measured drift validation exists
-    # (scripts/validate_refresh.py — the largest cadence whose WORST
-    # chunk stays within the degradation budget over a long horizon),
-    # else the every-other-chunk default. The timed window must span at
-    # least one full period or the amortized refresh cost is understated.
-    cadence, cadence_src = 2, "default"
-    rpath = f"/root/repo/REFRESH_{name}.json"
-    if os.path.exists(rpath):
-        with open(rpath) as f:
-            rj = json.load(f)
-        if rj.get("refresh_every_chunks"):
-            cadence, cadence_src = int(rj["refresh_every_chunks"]), rpath
+    # refresh cadence R (prolog on every R-th chunk): the measured drift
+    # validation via the parity-guarded zoo loader (default: every 2nd
+    # chunk). The timed window must span at least one full period or the
+    # amortized refresh cost is understated; accuracy shares the same
+    # chunks, so it also covers the peak-drift chunk before a refresh.
+    cadence, cadence_src = zoo.load_refresh_cadence(name, T, H, W)
     chunks = max(chunks, cadence)
     # per-RUN unique seed: the runtime memoizes identical dispatches across
     # processes (bench.py), so a fixed clip inflates fps on re-runs. The

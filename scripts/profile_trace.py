@@ -79,22 +79,33 @@ def collect_trace_events(logdir):
 
 
 def parse_hlo_metadata(hlo_text: str):
-    """HLO instruction name -> "source_file:line  op_name" attribution map.
+    """One pass over the optimized HLO: instruction name ->
+    ("source_file:line  op_name" attribution, definition line).
 
     The trace's device-op names are the optimized-HLO instruction names
     (modulo '-' vs '_'), so joining against the compiled module's metadata
     pins each anonymous ``fusion.N`` / ``dynamic-update-slice.N`` glue op
-    to the jaxpr op_name and the cbinfer_tpu source line that emitted it —
-    the missing half of the stage attribution (kernels are named; glue
-    was not)."""
+    to the jaxpr op_name and the cbinfer_tpu source line that emitted it.
+    Scheduler glue (``copy.N`` / ``pad.N`` / ``copy-done.N``) carries NO
+    source metadata — it is inserted by layout/memory passes, not by a
+    jaxpr op — so for those the DEFINITION (shape + opcode + operands,
+    truncated) is kept as the fallback: it names the buffer a
+    80 us/frame copy is moving (r3: how the MSA staging copies were
+    pinned to the pool caches)."""
     import re
-    attr = {}
-    inst_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=")
+    attr, defs = {}, {}
+    inst_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=\s*(.*)$")
     for line in hlo_text.splitlines():
         m = inst_re.match(line)
-        if not m or "metadata={" not in line:
+        if not m:
             continue
         name = m.group(1).replace("-", "_")
+        # strip metadata/backend_config tails; keep shape+opcode+operands
+        body = m.group(2)
+        defs[name] = body.split(", metadata={")[0] \
+                         .split(", backend_config=")[0][:160]
+        if "metadata={" not in line:
+            continue
         op = re.search(r'op_name="([^"]*)"', line)
         sf = re.search(r'source_file="([^"]*)"', line)
         sl = re.search(r"source_line=(\d+)", line)
@@ -108,30 +119,7 @@ def parse_hlo_metadata(hlo_text: str):
             parts.append(op.group(1)[-80:])
         if parts:
             attr[name] = "  ".join(parts)
-    return attr
-
-
-def parse_hlo_defs(hlo_text: str):
-    """HLO instruction name -> its definition line (shape + opcode +
-    operand names, truncated). The scheduler glue the trace surfaces
-    (``copy.N`` / ``pad.N`` / ``copy-done.N``) carries NO source metadata
-    — it is inserted by layout/memory passes, not by a jaxpr op — but its
-    definition still names the buffer shape and operands, which is enough
-    to identify WHICH cache a 80 us/frame copy is moving (r3: this is how
-    the MSA staging copies were pinned to the pool caches)."""
-    import re
-    defs = {}
-    inst_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.-]+)\s*=\s*(.*)$")
-    for line in hlo_text.splitlines():
-        m = inst_re.match(line)
-        if not m:
-            continue
-        name = m.group(1).replace("-", "_")
-        body = m.group(2)
-        # strip metadata/backend_config tails; keep shape+opcode+operands
-        body = body.split(", metadata={")[0].split(", backend_config=")[0]
-        defs[name] = body[:160]
-    return defs
+    return attr, defs
 
 
 def main():
@@ -203,9 +191,7 @@ def main():
     step = jstep.lower(*absargs).compile()
     hlo_attr, hlo_defs = {}, {}
     try:
-        hlo_text = step.as_text()
-        hlo_attr = parse_hlo_metadata(hlo_text)
-        hlo_defs = parse_hlo_defs(hlo_text)
+        hlo_attr, hlo_defs = parse_hlo_metadata(step.as_text())
         print(f"{len(hlo_attr)} HLO instructions with source metadata")
     except Exception as e:  # attribution is best-effort; keep the timings
         print(f"WARNING hlo attribution failed: {e}", file=sys.stderr)

@@ -1,9 +1,10 @@
 #!/bin/bash
 # r3 continuation queue: runs after the catch-up queue (smoke/out_dense/
-# ms_waves) exits. Regenerates the attributed per-stage trace, runs the
-# measured backend-policy searches (weakest rows first), then the full
-# eval regen + final bench. Each step timeout-bounded; failures don't
-# stop the queue.
+# ms_waves) exits. Regenerates the attributed per-stage trace, then runs
+# the measured backend-policy searches (weakest rows first). The eval
+# regen + final bench live in tpu_queue5.sh (after the refresh
+# validations of tpu_queue4.sh). Each step timeout-bounded; failures
+# don't stop the queue.
 set -u
 cd /root/repo
 LOG=/root/repo/.queue_logs

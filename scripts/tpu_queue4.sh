@@ -1,9 +1,9 @@
 #!/bin/bash
-# r3 queue 4: runs after queue3 (trace + policy searches). Regenerates
-# the trace with the HLO-definition fallback (identifies the anonymous
-# pad/copy glue buffers), measures refresh-cadence drift for every
-# workload (validate_refresh), then regenerates all eval rows and the
-# headline bench at the final configuration.
+# r3 queue 4: runs after queue3 (policy searches). Regenerates the trace
+# with the HLO-definition fallback (identifies the anonymous pad/copy
+# glue buffers), then measures refresh-cadence drift for the sequential
+# workloads (validate_refresh). The eval regen + final bench follow in
+# tpu_queue5.sh once REFRESH/POLICY files exist.
 set -u
 cd /root/repo
 LOG=/root/repo/.queue_logs

@@ -101,10 +101,11 @@ def main():
             jnp.argmax(b, -1).astype(jnp.uint8), classes))
     else:
         from cbinfer_tpu.metrics import pck_device, pck_gt_device
+        from cbinfer_tpu.video import NUM_KEYPOINTS
         pck_gt_j = jax.jit(
             lambda y, pk: pck_gt_device(y, pk, stride))
         pck_agree = jax.jit(lambda a, b: pck_device(
-            a[..., -18:], b[..., -18:]))
+            a[..., -NUM_KEYPOINTS:], b[..., -NUM_KEYPOINTS:]))
 
     dense_scan = jax.jit(lambda p, fs: jax.lax.map(
         lambda x: net.apply_dense(p, x), fs))
@@ -204,6 +205,7 @@ def main():
     chosen = finite[-1] if finite else None
     result = {
         "model": args.model, "metric": metric, "T": T,
+        "shape": [H, W],  # consumers parity-check T+shape (zoo loader)
         "chunks": args.chunks, "budget": args.budget,
         "worst_by_cadence": {str(k): round(v, 5)
                              for k, v in ok_by_cad.items()},

@@ -106,3 +106,24 @@ def test_zoo_stale_tau_file_hard_fails(tmp_path, monkeypatch):
                         dataclasses.replace(e, tau_json=str(tj)))
     with pytest.raises(ValueError, match="stale tau file"):
         zoo.load("scene", (96, 128, 3), _cfg())
+
+
+def test_load_refresh_cadence_parity_guard(tmp_path, monkeypatch):
+    """The validated refresh cadence applies ONLY at the chunk size and
+    resolution it was measured at (drift per chunk scales with both);
+    any mismatch, absence, or corruption degrades to the conservative
+    default with the reason in the source string."""
+    monkeypatch.setattr(zoo, "_REPO", str(tmp_path))
+    assert zoo.load_refresh_cadence("m", 32, 720, 1280) == (2, "default")
+    p = tmp_path / "REFRESH_m.json"
+    p.write_text(json.dumps({"refresh_every_chunks": 4, "T": 32,
+                             "shape": [720, 1280]}))
+    cad, src = zoo.load_refresh_cadence("m", 32, 720, 1280)
+    assert cad == 4 and src == str(p)
+    cad, src = zoo.load_refresh_cadence("m", 16, 720, 1280)
+    assert cad == 2 and "measured at T=32" in src
+    cad, src = zoo.load_refresh_cadence("m", 32, 360, 640)
+    assert cad == 2 and "default" in src
+    p.write_text("{broken")
+    cad, src = zoo.load_refresh_cadence("m", 32, 720, 1280)
+    assert cad == 2 and "unreadable" in src
