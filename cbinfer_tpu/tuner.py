@@ -46,6 +46,124 @@ class TuneResult:
         return json.dumps(dataclasses.asdict(self), indent=2)
 
 
+@dataclasses.dataclass
+class StressResult:
+    """Outcome of deployment-point threshold validation (stress_validate)."""
+    thresholds: List[float]            # the vector that should ship
+    source: str                        # candidate name it came from
+    passed: bool                       # worst-clip degradation <= budget
+    rows: List[Dict]                   # per-candidate measured degradation
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+
+def stress_validate(net: CBNet, params, candidates: Dict[str, Sequence],
+                    clips, metric_fn: Optional[Callable] = None,
+                    labels=None, budget: float = 0.005,
+                    skip_frames: int = 1,
+                    refresh_every: Optional[int] = None,
+                    device_metric_fn: Optional[Callable] = None,
+                    verbose: bool = False) -> StressResult:
+    """Validate candidate tau vectors at the DEPLOYMENT operating point.
+
+    tune() calibrates where sweeping is affordable — possibly a reduced
+    resolution (scripts/tune_model.py tunes 21+-layer pose at 360p) and
+    necessarily on its two calibration seeds. Selected vectors can be
+    accuracy-fragile outside that point: the r3 sequential-pose vector
+    (360p-calibrated, grid-saturated) measured 0.125 GT-PCK degradation
+    at 720p on a fresh seed while flat tau<=0.04 stayed clean
+    (POSE_ACC.json). This is the guard that catches that BEFORE a vector
+    ships: measure every candidate on fresh-seed clips at the deployment
+    resolution and return the first (in ``candidates`` order) whose
+    WORST-clip degradation fits the budget — order candidates
+    best-first (tuned vector, then flat fallbacks, descending tau).
+    If none passes, the min-worst-degradation candidate is returned with
+    ``passed=False``; callers decide whether to ship or re-tune.
+
+    Args:
+      net, params: the converted network AT DEPLOYMENT SHAPE (rebuild the
+        net if tuning used a reduced resolution; thresholds transfer —
+        they bound per-channel activation drift, not pixel counts).
+      candidates: ordered {name: tau vector} (dicts preserve insertion
+        order); each vector must have one entry per CB layer of ``net``.
+      clips: (S, T, H, W, C) or list of (T, H, W, C) validation clips on
+        seeds DISJOINT from both calibration and benchmark videos.
+      metric_fn / device_metric_fn / labels / skip_frames / refresh_every:
+        tune()'s conventions — metric_fn(cb, dense[, labels]) -> float,
+        1.0 = no degradation; degradation = 1 - metric, per clip.
+      budget: max allowed worst-clip degradation (same units as tune()).
+    """
+    if isinstance(clips, (list, tuple)):
+        clips = [jnp.asarray(c) for c in clips]
+        labs = ([jnp.asarray(l) for l in labels] if labels is not None
+                else [None] * len(clips))
+    else:
+        clips = jnp.asarray(clips)
+        single = clips.ndim == 4
+        clips = clips[None] if single else clips
+        if labels is not None:
+            labels = jnp.asarray(labels)
+            labs = labels[None] if single else labels
+        else:
+            labs = [None] * clips.shape[0]
+    if labels is not None:
+        assert len(labs) == len(clips), (len(labs), len(clips))
+    labels_given = labels is not None
+    view = NetView.of(net)
+    n_layers = sum(1 for r in view.rows if r.is_cb)
+    for nm, tv in candidates.items():
+        assert len(tv) == n_layers, (nm, len(tv), n_layers)
+
+    run = _make_runner(net, params, refresh_every)
+    dense_outs = [run(f, jnp.full((n_layers,), -1.0, jnp.float32))[0]
+                  for f in clips]
+
+    if device_metric_fn is not None:
+        drun = _make_device_runner(net, params, device_metric_fn,
+                                   skip_frames, refresh_every,
+                                   with_labels=labels_given)
+
+        def degradations(tv):
+            out = []
+            for f, d, lab in zip(clips, dense_outs, labs):
+                m, _ = drun(f, tv, d, lab) if labels_given \
+                    else drun(f, tv, d)
+                out.append(1.0 - float(m))
+            return out
+    else:
+        dense_np = [np.asarray(d)[skip_frames:] for d in dense_outs]
+
+        def degradations(tv):
+            out = []
+            for f, d, lab in zip(clips, dense_np, labs):
+                ys, _ = run(f, tv)
+                cb = np.asarray(ys)[skip_frames:]
+                m = (metric_fn(cb, d, np.asarray(lab)[skip_frames:])
+                     if lab is not None else metric_fn(cb, d))
+                out.append(1.0 - float(m))
+            return out
+
+    rows, chosen = [], None
+    for name, tv in candidates.items():
+        degs = degradations(jnp.asarray(tv, jnp.float32))
+        row = {"name": name, "thresholds": [float(t) for t in tv],
+               "per_clip_degradation": [round(d, 6) for d in degs],
+               "worst_degradation": round(max(degs), 6),
+               "mean_degradation": round(float(np.mean(degs)), 6)}
+        rows.append(row)
+        if verbose:
+            print(f"stress {name}: worst={row['worst_degradation']:.5f} "
+                  f"mean={row['mean_degradation']:.5f}")
+        if chosen is None and max(degs) <= budget + 1e-9:
+            chosen = row
+    passed = chosen is not None
+    if chosen is None:
+        chosen = min(rows, key=lambda r: r["worst_degradation"])
+    return StressResult(thresholds=chosen["thresholds"],
+                        source=chosen["name"], passed=passed, rows=rows)
+
+
 def _make_runner(net: CBNet, params, refresh_every=None):
     """One jitted (frames, thresholds) -> (outputs, stats) closure."""
 

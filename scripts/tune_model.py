@@ -177,8 +177,79 @@ def main():
     print(f"selected taus: {res.thresholds}")
     print(f"calib metric {res.metric:.5f}  "
           f"flop reduction {res.flop_reduction:.2f}x")
-    save_thresholds(tau_json, res.thresholds,
+
+    # ---- deployment-point stress validation (tuner.stress_validate) ----
+    # The tuner's vector is only measured-valid AT the calibration point
+    # (its seeds; 360p for pose). r3 shipped a 360p pose vector that
+    # measured 0.125 GT-PCK degradation at 720p on a fresh seed
+    # (POSE_ACC.json) — this stage catches that before the vector ships:
+    # the tuned vector and flat fallbacks (descending tau, cheapest-safe
+    # wins) are measured on fresh seeds at 720p; the first within budget
+    # is what gets saved.
+    from cbinfer_tpu.tuner import stress_validate
+    DH, DW, DT = 720, 1280, 48
+    if (H, W) != (DH, DW):
+        if name == "pose_graph":
+            dep_net = convert_graph_flagship(nodes, (DH, DW, 3), cfg,
+                                             output=out_name)
+        else:
+            dep_net = convert_flagship(specs, (DH, DW, 3), cfg)
+    else:
+        dep_net = net
+    cands = {"tuned": list(res.thresholds)}
+    tmax = max(res.thresholds)
+    for t in (0.07, 0.045, 0.03, 0.02, 0.015):
+        if t < tmax:
+            cands[f"flat{t}"] = [t] * len(res.thresholds)
+    if name.startswith("pose"):
+        vids = [SpriteVideo(SpriteVideoConfig(
+            height=DH, width=DW, n_sprites=4, sprite_size=max(24, DH // 15),
+            speed=4.0, noise_std=0.002, distinct_classes=True, seed=s))
+            .clip_with_keypoints(DT) for s in (101, 203)]
+        vclips = jnp.stack([jnp.asarray(f) for f, _, _ in vids])
+        vlabels = jnp.stack([
+            jnp.asarray(np.concatenate(
+                [k, v[..., None].astype(np.float32)], axis=-1))
+            for _, k, v in vids])
+        stress = stress_validate(dep_net, params, cands, vclips,
+                                 metric_fn=pose_metric, labels=vlabels,
+                                 device_metric_fn=pose_metric_device,
+                                 budget=budget, skip_frames=8,
+                                 refresh_every=REFRESH, verbose=True)
+    else:
+        vpairs = [SpriteVideo(SpriteVideoConfig(
+            height=DH, width=DW, n_sprites=4, sprite_size=max(24, DH // 15),
+            speed=4.0, noise_std=0.002,
+            palette="hard" if name.endswith("_hard") else "default",
+            seed=s)).clip_with_labels(DT) for s in (101, 203)]
+        vclips = jnp.stack([jnp.asarray(f) for f, _ in vpairs])
+        vlabels = jnp.stack([jnp.asarray(l[:, ::stride, ::stride])
+                             for _, l in vpairs])
+        stress = stress_validate(dep_net, params, cands, vclips,
+                                 metric_fn=gt_metric, labels=vlabels,
+                                 device_metric_fn=gt_metric_device,
+                                 budget=budget, skip_frames=8,
+                                 refresh_every=REFRESH, verbose=True)
+    if stress.source != "tuned":
+        print(f"WARNING: tuned vector FAILED deployment stress "
+              f"validation; shipping {stress.source} instead "
+              f"(worst degradation "
+              f"{stress.rows[0]['worst_degradation']:.5f} tuned vs "
+              f"budget {budget})")
+    if not stress.passed:
+        print("WARNING: NO candidate met the budget at deployment; "
+              "shipping the least-degrading one — re-tune with a finer "
+              "grid or raise the budget deliberately.")
+    final_taus = stress.thresholds
+
+    save_thresholds(tau_json, final_taus,
                     metadata={"budget": budget, "metric": res.metric,
+                              "stress_validation": {
+                                  "resolution": f"{DH}x{DW}", "T": DT,
+                                  "seeds": [101, 203],
+                                  "source": stress.source,
+                                  "passed": stress.passed,
+                                  "rows": stress.rows},
                               "metric_def": ("1 - (pck_gt(dense) - "
                                              "pck_gt(cb)); gt = sprite "
                                              "keypoints (trained weights)"

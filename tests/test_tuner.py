@@ -127,3 +127,64 @@ def test_tau_is_dead_mirrors_runtime_gate():
     # no forward_hint: plain CB pool: LIVE
     v = mk((32, 64, 3), fh=False)
     assert not _tau_is_dead(v, 1)
+
+
+def test_stress_validate_prefers_first_passing_candidate():
+    """tuned passes at tau=0 (exact); an absurd flat candidate after it
+    must not displace it, and ordering must pick the first passing one."""
+    from cbinfer_tpu.tuner import stress_validate
+    net, params, clip = _setup()
+    metric = functools.partial(miou, num_classes=5)
+    res = stress_validate(
+        net, params,
+        {"tuned": [0.0, 0.0, 0.0, 0.0], "flat9": [9.0] * 4},
+        clip, metric_fn=metric, budget=0.005)
+    assert res.source == "tuned" and res.passed
+    assert res.thresholds == [0.0, 0.0, 0.0, 0.0]
+    assert [r["name"] for r in res.rows] == ["tuned", "flat9"]
+    assert res.rows[0]["worst_degradation"] <= 0.005
+
+
+def test_stress_validate_falls_back_when_tuned_fails():
+    """A sabotaged 'tuned' vector (tau huge on every layer => caches never
+    update => large degradation on moving video) must be rejected in favor
+    of a later flat candidate that fits the budget; if nothing fits,
+    passed=False and the least-degrading row ships."""
+    from cbinfer_tpu.tuner import stress_validate
+    net, params, clip = _setup()
+    metric = functools.partial(miou, num_classes=5)
+    res = stress_validate(
+        net, params,
+        {"tuned": [9.0] * 4, "flat0": [0.0] * 4},
+        clip, metric_fn=metric, budget=0.005)
+    assert res.rows[0]["worst_degradation"] > 0.005  # sabotage measured
+    assert res.source == "flat0" and res.passed
+
+    res2 = stress_validate(net, params, {"tuned": [9.0] * 4},
+                           clip, metric_fn=metric, budget=0.005)
+    assert not res2.passed and res2.source == "tuned"
+
+
+def test_stress_validate_multi_clip_worst_and_labels():
+    """(S,T,H,W,C) clip stacks + labels: worst-clip degradation gates the
+    choice, and the labeled composite metric wires through."""
+    from cbinfer_tpu.tuner import stress_validate
+    net, params, _ = _setup()
+    vids = [SpriteVideo(SpriteVideoConfig(height=32, width=48, n_sprites=2,
+                                          sprite_size=8, noise_std=0.01,
+                                          seed=s)) for s in (5, 6)]
+    pairs = [v.clip_with_labels(8) for v in vids]
+    clips = jnp.stack([jnp.asarray(f) for f, _ in pairs])
+    labels = jnp.stack([jnp.asarray(l[:, ::2, ::2]) for _, l in pairs])
+
+    from cbinfer_tpu.metrics import miou_labels
+
+    def gt_metric(cb, dn, lab):
+        return 1.0 - (miou_labels(dn, lab, 5) - miou_labels(cb, lab, 5))
+
+    res = stress_validate(net, params, {"tuned": [0.0] * 4}, clips,
+                          metric_fn=gt_metric, labels=labels, budget=0.005)
+    assert res.passed
+    assert len(res.rows[0]["per_clip_degradation"]) == 2
+    assert res.rows[0]["worst_degradation"] == max(
+        res.rows[0]["per_clip_degradation"])
