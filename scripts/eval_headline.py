@@ -271,9 +271,11 @@ def main():
         # partial run: merge over same-model rows, keep others
         with open(out) as f:
             prev = json.load(f)
+        # key on (model, mode): a "multistream" row shares model="scene"
+        # with the headline rows and must survive a headline regeneration
+        new_keys = {(r2["model"], r2.get("mode")) for r2 in results["rows"]}
         keep = [r for r in prev.get("rows", [])
-                if r.get("model") not in {r2["model"]
-                                          for r2 in results["rows"]}]
+                if (r.get("model"), r.get("mode")) not in new_keys]
         results["rows"] = keep + results["rows"]
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
