@@ -23,10 +23,38 @@ import json
 import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
-from .config import PipelineConfig, UpsampleSpec
+from .config import PipelineConfig, TileConfig, UpsampleSpec
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CK = os.path.join(_REPO, "ckpts")
+
+
+def default_pipeline_config() -> PipelineConfig:
+    """The deployment PipelineConfig for the current platform.
+
+    On a TPU: the flagship operating configuration every shipped tau
+    vector and backend policy was calibrated against (pallas kernels,
+    bf16 compute/caches, 8x8 tiles, capacity 0.375 — bench.py's exact
+    construction). Elsewhere: the portable jnp/float32 twin.
+
+    ``PipelineConfig()``'s own field defaults stay platform-independent
+    ("jnp", float32) so a bare dataclass never depends on runtime state;
+    this helper is where platform awareness lives, and ``zoo.load`` uses
+    it when no cfg is given. Before r3 zoo.load defaulted to the bare
+    ``PipelineConfig()``, so ``zoo.load("scene")`` on a TPU silently
+    built the jnp debug path — measured 76 ms/frame at 720p vs 1.1 ms
+    for the identical net at the pallas operating point, a 70x cliff a
+    user had no reason to expect from a loader that also applies the
+    pallas-calibrated policy files.
+    """
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    return PipelineConfig(
+        tile=TileConfig(tile_h=8, tile_w=8, capacity_fraction=0.375),
+        backend="pallas" if on_tpu else "jnp",
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        cache_dtype="bfloat16" if on_tpu else "float32")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,7 +173,7 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
     if name not in REGISTRY:
         raise KeyError(f"unknown workload {name!r} (have: {names()})")
     e = REGISTRY[name]
-    cfg = cfg or PipelineConfig()
+    cfg = cfg or default_pipeline_config()
     warnings: List[str] = []
     policy_src, extra = "none", None
     if apply_policy and os.path.exists(e.policy_json):

@@ -127,3 +127,22 @@ def test_load_refresh_cadence_parity_guard(tmp_path, monkeypatch):
     p.write_text("{broken")
     cad, src = zoo.load_refresh_cadence("m", 32, 720, 1280)
     assert cad == 2 and "unreadable" in src
+
+
+def test_default_pipeline_config_platform_aware():
+    """zoo.load with no cfg builds the deployment config for the platform:
+    pallas/bf16 on TPU, jnp/f32 elsewhere (before r3 it always built the
+    jnp debug path — a measured 70x cliff at 720p on the chip)."""
+    cfg = zoo.default_pipeline_config()
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        assert cfg.backend == "pallas"
+        assert cfg.compute_dtype == cfg.cache_dtype == "bfloat16"
+    else:
+        assert cfg.backend == "jnp"
+        assert cfg.compute_dtype == cfg.cache_dtype == "float32"
+    assert (cfg.tile.tile_h, cfg.tile.tile_w) == (8, 8)
+    assert cfg.tile.capacity_fraction == 0.375
+    # the loader consumes it: a no-cfg load must equal an explicit one
+    wl = zoo.load("scene", (96, 128, 3))
+    assert wl.net is not None
