@@ -121,18 +121,50 @@ def scan_video_jit(net: CBNet):
 
 
 class FrameStepper:
-    """Single-frame streaming interface with donated carry (live sources)."""
+    """Single-frame streaming interface with donated carry (live sources).
 
-    def __init__(self, net: CBNet, params):
+    The deployment twin of ``scan_video`` for frames that arrive one at a
+    time (camera, socket): same operating-point knobs — runtime
+    ``thresholds``, the periodic dense refresh that bounds cache drift on
+    unbounded streams (here a host-side dispatch choice between two
+    compiled executables, mirroring the chunked drivers' refresh_start
+    prolog: a lax.cond on the multi-GB carry costs 6-11 ms/frame), and
+    ``out_map`` for deployment output forms (e.g. uint8 argmax maps).
+    Works with both sequential ``CBNet`` and DAG ``CBGraphNet`` (identical
+    apply/apply_refresh contracts). Frame 0 always runs the refresh/cold
+    executable — it is the dense cold start that populates the caches.
+    """
+
+    def __init__(self, net, params, thresholds=None,
+                 refresh_every: Optional[int] = None, out_map=None):
         self._net = net
         self._params = params
         self._state = net.init_state()
-        self._step = jax.jit(net.apply, donate_argnums=(1,))
+        self._tv = (None if thresholds is None
+                    else jnp.asarray(thresholds, jnp.float32))
+        self._refresh_every = refresh_every
+        self._t = 0
+
+        def wrap(apply_fn):
+            def fn(p, st, x, tv):
+                y, st2, stats = apply_fn(p, st, x, tv)
+                if out_map is not None:
+                    y = out_map(y)
+                return y, st2, stats
+            return jax.jit(fn, donate_argnums=(1,))
+
+        self._step = wrap(net.apply)
+        self._cold = wrap(net.apply_refresh)
 
     def reset(self):
         self._state = self._net.init_state()
+        self._t = 0
 
     def __call__(self, frame) -> Tuple[jnp.ndarray, List[Dict[str, Any]]]:
-        y, self._state, stats = self._step(self._params, self._state,
-                                           jnp.asarray(frame))
+        refresh = self._t == 0 or (self._refresh_every is not None
+                                   and self._t % self._refresh_every == 0)
+        fn = self._cold if refresh else self._step
+        y, self._state, stats = fn(self._params, self._state,
+                                   jnp.asarray(frame), self._tv)
+        self._t += 1
         return y, stats

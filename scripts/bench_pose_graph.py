@@ -30,7 +30,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--width", type=int, default=640)
-    ap.add_argument("--frames", type=int, default=16)
+    # default T=12 matches validate_refresh's pose default: the cadence
+    # loader is T-parity-guarded, so benching at any other T silently
+    # falls back to the conservative cadence 2 and re-pays the refresh
+    # tax REFRESH_pose_graph.json already validated away (cadence 8)
+    ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--chunks", type=int, default=2)
     ap.add_argument("--tau", type=float, default=None,
                     help="fixed tau override (default: tuned tau file)")

@@ -339,3 +339,45 @@ def test_scan_video_out_map_argmax_u8():
     assert y2.dtype == jnp.uint8 and y2.shape == y1.shape[:-1]
     np.testing.assert_array_equal(
         np.argmax(np.asarray(y1), -1).astype(np.uint8), np.asarray(y2))
+
+
+def test_frame_stepper_deployment_knobs():
+    """FrameStepper's live-source twin of the deployment loop: runtime
+    thresholds + periodic refresh + out_map must together match
+    scan_video(refresh_every=K) with the same knobs."""
+    net, params, _ = _net()
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=4)).clip(7)
+    taus = [0.03, 0.03, 0.02, 0.02]
+    out_map = lambda y: jnp.argmax(y, axis=-1).astype(jnp.uint8)
+    ys_scan, _, _ = scan_video(net, params, jnp.asarray(clip),
+                               thresholds=jnp.asarray(taus, jnp.float32),
+                               refresh_every=3, out_map=out_map)
+    stepper = FrameStepper(net, params, thresholds=taus, refresh_every=3,
+                           out_map=out_map)
+    for t in range(7):
+        y, _ = stepper(clip[t])
+        assert y.dtype == jnp.uint8
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(ys_scan[t]))
+    # reset restarts the refresh phase (frame 0 = cold start again)
+    stepper.reset()
+    y0, _ = stepper(clip[0])
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(ys_scan[0]))
+
+
+def test_frame_stepper_graph_net():
+    """FrameStepper drives DAG nets through the identical contract."""
+    from cbinfer_tpu.graph import GraphNode, convert_graph, init_graph_params
+    nodes = [
+        GraphNode("a", ConvSpec(features=8, threshold=0.02), ("input",)),
+        GraphNode("b", ConvSpec(features=8, threshold=0.02), ("a",)),
+    ]
+    cfg = PipelineConfig(tile=TileConfig(tile_h=4, tile_w=4))
+    net = convert_graph(nodes, (32, 48, 3), cfg, output="b")
+    params = init_graph_params(nodes, (32, 48, 3), jax.random.PRNGKey(0))
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=5)).clip(4)
+    ys_scan, _, _ = scan_video(net, params, jnp.asarray(clip))
+    stepper = FrameStepper(net, params)
+    for t in range(4):
+        y, _ = stepper(clip[t])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ys_scan[t]),
+                                   atol=1e-5)
