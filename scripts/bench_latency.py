@@ -8,15 +8,23 @@ per frame, donated caches, steady state after a dense cold start,
 refresh frames at the validated cadence interleaved exactly as deployed.
 
 Reported per model:
-  wall_ms   p50/p95 of per-frame wall time as a live caller sees it
-            (includes this box's host<->device tunnel RTT, itself
-            reported as sync_overhead_ms — on-prem serving would not
-            pay a tunnel),
-  device_ms wall p50 minus the measured sync overhead (device estimate),
-  refresh_ms p50 of the periodic dense-refresh frames (the latency
-            spike a deployment must budget for),
-  scan_ms   the amortized scan_video ms/frame from RESULTS.json for
-            contrast (batch-throughput form).
+  wall_ms     p50/p95 of per-frame wall time as a live caller sees it
+              (includes this box's host<->device tunnel RTT, itself
+              reported as sync_overhead_ms — on-prem serving would not
+              pay a tunnel; the per-frame device time is far below that
+              RTT, so wall p50 here is effectively the tunnel),
+  device_ms_pipelined  per-frame device latency measured honestly: K
+              sequential one-frame dispatches enqueued back-to-back
+              (each still a separate executable launch, serialized on
+              device by the donated-cache dependency), ONE sync at the
+              end — the tunnel RTT is paid once per window instead of
+              once per frame. Median over windows of (window−sync)/K.
+  refresh_ms  p50 of directly-timed dense-refresh dispatches (the
+              latency spike a deployment must budget for every
+              `refresh_interval_frames` frames),
+  scan_ms     the amortized scan_video ms/frame from RESULTS.json for
+              contrast (batch-throughput form; same executables, T-frame
+              scan instead of per-frame dispatch).
 
 Writes LATENCY.json. Usage: python scripts/bench_latency.py [model ...]
 """
@@ -43,6 +51,22 @@ from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 H, W = 720, 1280
 FRAMES = 96          # timed frames (after cold start + warmup)
 WARM = 8
+PIPE_K = 32          # frames per pipelined device-latency window
+PIPE_WINDOWS = 5
+REFRESH_SAMPLES = 5
+
+
+def _scan_ms(name):
+    """Amortized scan_video ms/frame from RESULTS.json (contrast row)."""
+    try:
+        with open("/root/repo/RESULTS.json") as f:
+            rows = json.load(f).get("rows", [])
+        for r in rows:
+            if r.get("model") == name and r.get("cb_fps"):
+                return round(1000.0 / float(r["cb_fps"]), 3)
+    except Exception:
+        pass
+    return None
 
 
 def bench(name, sync_ms):
@@ -69,14 +93,47 @@ def bench(name, sync_ms):
         y, _ = stepper(frames[t])
     _ = np.asarray(y)
 
-    wall, refresh_wall = [], []
+    # (a) live-caller wall time: one blocking dispatch per frame
+    wall = []
     for t in range(WARM, WARM + FRAMES):
-        is_refresh = (stepper._t % interval) == 0
+        if (stepper._t % interval) == 0:   # keep the wall sample steady-state
+            y, _ = stepper(frames[t])
+            y.block_until_ready()
+            continue
         t0 = time.perf_counter()
         y, _ = stepper(frames[t])
         y.block_until_ready()
-        dt = (time.perf_counter() - t0) * 1e3
-        (refresh_wall if is_refresh else wall).append(dt)
+        wall.append((time.perf_counter() - t0) * 1e3)
+
+    # (b) pipelined device latency: K async one-frame dispatches, one sync.
+    # The donated-cache dependency serializes them on device; the tunnel
+    # RTT is paid once per window. Skip past any refresh boundary so the
+    # window is pure steady state.
+    pipe = []
+    fi = 0
+    for _ in range(PIPE_WINDOWS):
+        if (stepper._t % interval) + PIPE_K >= interval:
+            y, _ = stepper(frames[fi % len(frames)])  # absorb the refresh
+            y.block_until_ready()
+            fi += 1
+        t0 = time.perf_counter()
+        for _ in range(PIPE_K):
+            y, _ = stepper(frames[fi % len(frames)])
+            fi += 1
+        y.block_until_ready()
+        win_ms = (time.perf_counter() - t0) * 1e3
+        pipe.append(max(0.0, win_ms - sync_ms) / PIPE_K)
+
+    # (c) refresh spike: time the dense-refresh executable directly (the
+    # stepper runs it every `interval` frames; its cost is phase-free).
+    refresh_wall = []
+    for i in range(REFRESH_SAMPLES):
+        x = frames[i % len(frames)]
+        t0 = time.perf_counter()
+        y, stepper._state, _ = stepper._cold(
+            stepper._params, stepper._state, x, stepper._tv)
+        y.block_until_ready()
+        refresh_wall.append((time.perf_counter() - t0) * 1e3)
 
     wall = np.asarray(wall)
     row = {
@@ -84,10 +141,9 @@ def bench(name, sync_ms):
         "frames": int(wall.size), "refresh_interval_frames": interval,
         "wall_ms_p50": round(float(np.percentile(wall, 50)), 3),
         "wall_ms_p95": round(float(np.percentile(wall, 95)), 3),
-        "device_ms_p50_est": round(
-            max(0.0, float(np.percentile(wall, 50)) - sync_ms), 3),
-        "refresh_ms_p50": (round(float(np.median(refresh_wall)), 3)
-                           if refresh_wall else None),
+        "device_ms_pipelined": round(float(np.median(pipe)), 3),
+        "refresh_ms_p50": round(float(np.median(refresh_wall)), 3),
+        "scan_ms_per_frame": _scan_ms(name),
         "weights": wl.weights, "tau_source": wl.tau_source,
         "output_form": "argmax_u8" if out_map is not None else "logits",
     }
@@ -96,14 +152,17 @@ def bench(name, sync_ms):
 
 
 def main():
-    models = sys.argv[1:] or ["scene", "seg", "pose"]
+    models = sys.argv[1:] or ["scene", "seg", "pose", "pose_graph"]
     sync_ms = measure_sync_overhead() * 1e3
     rows = [bench(m, sync_ms) for m in models]
     out = {"sync_overhead_ms": round(sync_ms, 3), "rows": rows,
            "note": ("Per-frame FrameStepper latency (one dispatch/frame, "
                     "donated caches, refresh at the validated cadence). "
-                    "wall includes the axon tunnel RTT; device_ms_p50_est "
-                    "subtracts the measured null-op sync overhead.")}
+                    "wall_ms includes the axon tunnel RTT (~sync_overhead_ms "
+                    "per blocking call); device_ms_pipelined amortizes the "
+                    "RTT over a window of async dispatches serialized on "
+                    "device by the donated caches. refresh_ms_p50 times the "
+                    "dense-refresh executable directly.")}
     with open("/root/repo/LATENCY.json", "w") as f:
         json.dump(out, f, indent=1)
     print("written LATENCY.json")
