@@ -65,7 +65,12 @@ def test_readme_convert_scan_flow_matches_dense():
                < int(np.asarray(s["changed_tiles"])[0]) for s in stats)
 
 
-@pytest.mark.parametrize("name", ["scene", "pose"])
+def _zoo_names():
+    from cbinfer_tpu import zoo
+    return zoo.names()
+
+
+@pytest.mark.parametrize("name", _zoo_names())
 def test_readme_zoo_flow_loads_and_runs(name):
     from cbinfer_tpu import zoo
     wl = zoo.load(name, (48, 64, 3))  # tiny twin of the shipped workload
