@@ -200,10 +200,15 @@ def flagship_layers(specs: Sequence,
     model family so bench.py / tuners / tests build the identical network:
 
     * a SMALL-cin stem (cin < 128, i.e. below one TPU lane) runs
-      ``dense_cached``: detect on the cheap few-channel input + dense conv
-      from the accepted cache, emitting the dirty-hint chain. No Pallas
-      delta kernel can serve small-lane HWC inputs on this hardware (Mosaic
-      lane-pads small-lane buffers 43x and rejects their DMA slicing), and
+      ``patch_stem`` on pallas pipelines when the flat4 gate holds
+      (3x3/s1/SAME, cin<=3, 8/32-divisible dims): the fused-assembly
+      sparse kernel on the lane-aligned flat4 cache, bit-identical to the
+      dense conv but recomputing only dirty tiles (ops/pallas/patch_stem
+      doc). Otherwise ``dense_cached``: detect on the cheap few-channel
+      input + dense conv from the accepted cache, emitting the dirty-hint
+      chain. No Pallas delta kernel can serve small-lane HWC inputs on
+      this hardware (Mosaic lane-pads small-lane buffers 43x and rejects
+      their DMA slicing), and
       a hint-less stem poisons every downstream detect. On a pallas
       PIPELINE the stem writes its output LANE-padded via padded weights
       so the consumer's pad_lanes is a no-op (a 0.70 ms/frame pad at 720p,
@@ -222,10 +227,26 @@ def flagship_layers(specs: Sequence,
       classifier saved ~0.1 ms/frame at 720p).
     """
     from .layers import LANE
-    del cfg  # the stem policy is backend-independent (see docstring)
+    from .ops import flat4 as flat4_ops
     small_stem = in_shape is None or in_shape[2] < LANE
-    overrides = ({0: "dense_cached"}
-                 if isinstance(specs[0], ConvSpec) and small_stem else {})
+    overrides = {}
+    if isinstance(specs[0], ConvSpec) and small_stem:
+        # On a pallas pipeline a 3x3/s1/SAME small-cin stem runs the
+        # fused-assembly SPARSE kernel on the lane-aligned flat4 cache
+        # (ops/pallas/patch_stem.py): bit-identical output to the
+        # dense_cached conv but only dirty (8,32) tiles recomputed —
+        # 0.13 vs 0.63 ms/frame at the measured ~5% 720p scene stem
+        # density. Shapes/kernels outside the flat4 gate (and non-pallas
+        # pipelines, incl. the CPU dryrun) keep dense_cached.
+        s0 = specs[0]
+        if (cfg is not None and cfg.backend == "pallas"
+                and in_shape is not None
+                and flat4_ops.supports(in_shape, s0.kernel, s0.stride,
+                                       s0.dilation, s0.padding,
+                                       s0.activation)):
+            overrides = {0: "patch_stem"}
+        else:
+            overrides = {0: "dense_cached"}
     dense = []
     i = len(specs) - 1
     while i > 0 and isinstance(specs[i], UpsampleSpec):

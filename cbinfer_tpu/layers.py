@@ -52,6 +52,7 @@ from jax import lax
 
 from .config import ConvSpec, PipelineConfig, PoolSpec
 from .ops import compact, detect
+from .ops import flat4 as flat4_ops
 from .ops.delta_conv import (delta_conv_jnp, dense_conv_shifted,
                              make_storage, storage_interior)
 from .ops.delta_pool import delta_pool_jnp, dense_pool
@@ -99,15 +100,18 @@ def _unwrap(x):
 def _geometry(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
               ) -> TileGeometry:
     if isinstance(spec, ConvSpec):
-        tw = cfg.tile.tile_w
+        th, tw = cfg.tile.tile_h, cfg.tile.tile_w
         if cfg.backend == "band_cached":
             # full-width row bands: ONE tile per row of tiles (tw clamps
             # to out_w inside conv_tile_geometry) — contiguous gathers and
             # scatters, no per-8x8-tile slicing (cb_conv_apply band branch)
             tw = 1 << 30
+        elif cfg.backend == "patch_stem":
+            # fixed (8, 32)-px tiles: 32 px x 4 stored lanes = one 128-lane
+            # row of the flat4 cache (ops/flat4.py layout invariants)
+            th, tw = flat4_ops.TILE_H, flat4_ops.TILE_W
         return conv_tile_geometry(in_shape, spec.kernel, spec.stride,
-                                  spec.dilation, spec.padding,
-                                  cfg.tile.tile_h, tw)
+                                  spec.dilation, spec.padding, th, tw)
     return conv_tile_geometry(in_shape, spec.window, spec.stride, (1, 1),
                               spec.padding, cfg.tile.tile_h, cfg.tile.tile_w)
 
@@ -159,6 +163,20 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
         g = _geometry(spec, in_shape, cfg)
         return CBLayerState(
             in_cache=make_storage(g, detect.COLD_START_FILL, 0.0, dtype),
+            out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad,
+                                 lane_pad(cout, pipe_cfg)), dtype=dtype),
+        )
+    if cfg.backend == "patch_stem" and isinstance(spec, ConvSpec):
+        # lane-aligned flat4 stem cache (ops/flat4.py): interior cold-start
+        # fill, spatial margins and c>=cin lane slots CONSTANT zero (they
+        # are the conv's SAME padding, written once here, never again).
+        # The out cache is LANE-padded like the other stem backends.
+        H, W, C = in_shape
+        fg = flat4_ops.flat4_geom(H, W, C)
+        g = _geometry(spec, in_shape, cfg)
+        cold = jnp.full((H, W, C), detect.COLD_START_FILL, dtype)
+        return CBLayerState(
+            in_cache=flat4_ops.to_flat4(cold, fg, dtype),
             out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad,
                                  lane_pad(cout, pipe_cfg)), dtype=dtype),
         )
@@ -437,6 +455,96 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     cfg = _layer_cfg(spec, cfg)
     cout = spec.features
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    if cfg.backend == "patch_stem":
+        # Sparse Pallas stem on the lane-aligned flat4 cache: per-pixel
+        # XLA detect/accept (reference semantics exact), receptive-field-
+        # exact changed-tile mask, then the fused-assembly kernel
+        # recomputes ONLY dirty (8,32) tiles — bit-identical to the
+        # dense_cached stem's conv (ops/pallas/patch_stem.py), so tuned
+        # taus and the downstream hint chain transfer unchanged while the
+        # ~0.63 ms/frame full-map stem conv drops to ~0.13 ms at the
+        # measured ~5% scene stem density.
+        from .ops.pallas.patch_stem import patch_stem_conv
+        if tau is None:
+            tau = spec.threshold
+        w, b = params
+        xarr, H, W, xc = _unwrap(x)
+        xarr = xarr[:H, :W, :xc]
+        fg = flat4_ops.flat4_geom(H, W, xc)
+        g = _geometry(spec, (H, W, xc), cfg)
+        assert flat4_ops.supports((H, W, xc), spec.kernel, spec.stride,
+                                  spec.dilation, spec.padding,
+                                  spec.activation), (spec, (H, W, xc))
+        with jax.named_scope("detect"):
+            storage, changed, n_pix = flat4_ops.detect_accept_flat4(
+                xarr, state.in_cache, tau, fg)
+            mask = detect.changed_tile_mask(changed, g)
+        cout_pad = state.out_cache.shape[-1]
+        capacity = cfg.tile.capacity(g.n_tiles)
+        with jax.named_scope("compact"):
+            comp = compact.compact_mask(mask, capacity)
+
+        def _dense_from_flat4(a):
+            storage, out_cache, _idx, _count = a
+            from . import network as _net
+            wp, bp = _pad_wb(w, b, cout_pad)
+            interior = flat4_ops.from_flat4(storage, fg).astype(
+                compute_dtype)
+            y = _net.dense_conv(interior, wp, bp, spec, compute_dtype)
+            y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                            (0, g.out_w_pad - g.out_w), (0, 0)))
+            return y.astype(out_cache.dtype)
+
+        def _kernel(a):
+            storage, out_cache, idx, count = a
+            return patch_stem_conv(storage, idx, count, w, b, out_cache,
+                                   fg, spec.activation, compute_dtype,
+                                   interpret=cfg.interpret)
+
+        with jax.named_scope("patch_conv"):
+            if capacity >= g.n_tiles:
+                out_cache = _kernel((storage, state.out_cache, comp.idx,
+                                     comp.count))
+                overflow = jnp.zeros((), bool)
+            else:
+                # overflow -> dense conv from the same accepted cache;
+                # value-exact by out_cache == f(in_cache) (bit-identical
+                # at 720p bf16, probe_fused_stem.py)
+                out_cache = lax.cond(
+                    comp.overflow, _dense_from_flat4, _kernel,
+                    (storage, state.out_cache, comp.idx, comp.count))
+                overflow = comp.overflow
+        # stats on the CONFIGURED tile grid (band_cached precedent): one
+        # (8,32) kernel tile = tile_scale fine tiles, so effective_flops
+        # prices the wider recompute granularity honestly
+        g_fine = conv_tile_geometry((H, W, xc), spec.kernel, spec.stride,
+                                    spec.dilation, spec.padding,
+                                    cfg.tile.tile_h, cfg.tile.tile_w)
+        tile_scale = g_fine.n_tiles // g.n_tiles
+        stats = {
+            "changed_tiles": jnp.sum(
+                detect.changed_tile_mask(changed, g_fine),
+                dtype=jnp.int32),
+            "computed_tiles": jnp.where(overflow, g.n_tiles,
+                                        comp.count) * tile_scale,
+            "n_tiles": g_fine.n_tiles,
+            "overflow": overflow,
+            "changed_pixels": n_pix,
+            "detect_tiles": jnp.asarray(
+                cdiv(H, HINT_TILE) * cdiv(W, HINT_TILE), jnp.int32),
+        }
+        # hint at the fixed HINT_TILE grid: the exact dilated change
+        # region, identical to what the dense_cached stem emits (the
+        # (8,32) recompute is a value-exact superset; band precedent)
+        g_hint = conv_tile_geometry((H, W, xc), spec.kernel, spec.stride,
+                                    spec.dilation, spec.padding,
+                                    HINT_TILE, HINT_TILE)
+        hint_mask = detect.changed_tile_mask(changed, g_hint)
+        out_hint = _out_hint(hint_mask, overflow, g_hint)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+            stats, out_hint
 
     if cfg.backend == "dense_cached_flat":
         # dense_cached with the FLAT (H, W*C) cache view: identical memory
@@ -730,6 +838,29 @@ def cb_conv_refresh(params, state: CBLayerState, x, spec: ConvSpec,
     cfg = _layer_cfg(spec, cfg)
     cout = spec.features
     compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    if cfg.backend == "patch_stem":
+        # accept the whole frame into the flat4 cache, full dense conv —
+        # pytree structure matches the apply branch (stats in fine-grid
+        # tile units via tile_scale, like the apply branch reports)
+        w, b = params
+        xarr, H, W, xc = _unwrap(x)
+        xarr = xarr[:H, :W, :xc]
+        fg = flat4_ops.flat4_geom(H, W, xc)
+        g = _geometry(spec, (H, W, xc), cfg)
+        storage = flat4_ops.to_flat4(xarr, fg, state.in_cache.dtype)
+        from . import network as _net
+        wp, bp = _pad_wb(w, b, state.out_cache.shape[-1])
+        y = _net.dense_conv(xarr.astype(compute_dtype), wp, bp, spec,
+                            compute_dtype)
+        y = jnp.pad(y, ((0, g.out_h_pad - g.out_h),
+                        (0, g.out_w_pad - g.out_w), (0, 0)))
+        out_cache = y.astype(state.out_cache.dtype)
+        yl = Feature(out_cache, g.out_h, g.out_w, cout)
+        tile_scale = (cdiv(g.out_h, cfg.tile.tile_h)
+                      * cdiv(g.out_w, cfg.tile.tile_w)) // g.n_tiles
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+            _full_stats(g, tile_scale), _full_hint(g)
 
     if cfg.backend == "dense_cached_flat":
         # accept the whole frame into the flat cache, full conv (padded

@@ -1,0 +1,113 @@
+"""Lane-aligned FLAT4 input-cache layout for small-cin stems (C1+C8).
+
+The cin=3 stem was the one layer Pallas could not serve on this hardware:
+Mosaic lane-pads rank-3 small-lane buffers ~42x in both memory spaces and
+rejects DMA-slicing them (probed r2), and every per-frame repacking of the
+input into a kernel-friendly form cost more than the dense conv it would
+replace (scripts/probe_patch_stem.py, RESULTS.md negative results). The
+FLAT4 layout dissolves the wall at the STORAGE level instead: the accepted
+stem input lives as a rank-2 bf16 buffer
+
+    flat4[1 + y, CP*(x+1) + c] = input[y, x, c]      CP = 4 lanes per pixel
+
+with one zero pixel of left/top spatial margin (the 3x3 SAME conv's
+zero padding, stored once, never re-written) and the c = cin..3 lane slots
+zero. Consequences, all load-bearing:
+
+  * Every (8-row, 32-pixel) tile window is a (16, 256) slice at an
+    8-aligned sublane offset and a 128-aligned lane offset — exactly the
+    slice family Mosaic DMAs at full speed (probe_dma_constraints.py).
+  * 32 px x 4 lanes = one 128-lane vector register row: no lane padding
+    waste anywhere (vs 42x for rank-3 cin=3).
+  * The pixel-change map is a (1, CP)-window lane reduction, the accept
+    write-back a lane-repeat select — rank-2 XLA ops at roofline
+    (same argument as detect.detect_and_update_flat).
+
+The Pallas stem kernel (ops/pallas/patch_stem.py) assembles im2col
+patches from these windows in VMEM with exact 0/1 selection matmuls.
+
+Reference semantics preserved exactly (arXiv 1704.04313 §3.1): per-PIXEL
+accept at max_c |x - cache| > tau; only the storage layout is TPU-shaped.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+CP = 4        # stored lanes (channels) per pixel
+TILE_H = 8    # stem tile rows
+TILE_W = 32   # stem tile width in pixels (32 px * CP = 128 lanes)
+WIN_R = 16    # DMA window rows per tile (8 rows + halo, 8-aligned)
+WIN_L = 256   # DMA window lanes per tile (2 aligned lane tiles)
+
+
+@dataclass(frozen=True)
+class Flat4Geom:
+    h: int
+    w: int
+    cin: int
+    tiles_h: int
+    tiles_w: int
+    fh: int  # flat rows: 1 top margin + h + 7 bottom margin
+    fl: int  # flat lanes: CP*(w + 2) rounded up to 128
+
+
+def supports(in_shape: Tuple[int, int, int], kernel, stride, dilation,
+             padding, activation) -> bool:
+    """Static gate for the patch_stem backend (layers.py / convert.py)."""
+    h, w, c = in_shape
+    return (tuple(kernel) == (3, 3) and tuple(stride) == (1, 1)
+            and tuple(dilation) == (1, 1) and padding == "SAME"
+            and 1 <= c <= 3 and h % TILE_H == 0 and w % TILE_W == 0
+            and activation in (None, "relu"))
+
+
+def flat4_geom(h: int, w: int, cin: int) -> Flat4Geom:
+    assert h % TILE_H == 0 and w % TILE_W == 0 and 1 <= cin <= 3, \
+        (h, w, cin)
+    return Flat4Geom(h=h, w=w, cin=cin, tiles_h=h // TILE_H,
+                     tiles_w=w // TILE_W, fh=h + 8, fl=CP * w + 128)
+
+
+def to_flat4(x: jnp.ndarray, fg: Flat4Geom, dtype) -> jnp.ndarray:
+    """(H, W, cin) -> (fh, fl) flat4 buffer (margins and c>=cin zero)."""
+    pad_w = fg.fl // CP - fg.w - 1
+    f = jnp.pad(x.astype(dtype),
+                ((1, fg.fh - fg.h - 1), (1, pad_w), (0, CP - fg.cin)))
+    return f.reshape(fg.fh, fg.fl)
+
+
+def from_flat4(f4: jnp.ndarray, fg: Flat4Geom) -> jnp.ndarray:
+    """flat4 -> (H, W, cin) interior view (free reshape + slice)."""
+    v = f4.reshape(fg.fh, fg.fl // CP, CP)
+    return v[1:1 + fg.h, 1:1 + fg.w, :fg.cin]
+
+
+def detect_accept_flat4(x: jnp.ndarray, cache4: jnp.ndarray, tau,
+                        fg: Flat4Geom):
+    """Per-pixel detect + accepted-value update of a flat4 cache.
+
+    The tau comparison runs on the UNROUNDED (H, W, cin) input against the
+    cache's interior view in f32 — the exact detect_and_update semantics
+    every other backend uses (comparing the cache-dtype-rounded input
+    instead flips borderline pixels: measured 0.8% of 720p bf16 logits
+    moved when the stem did that). Margins and zero lane slots are equal
+    in both flat4 buffers by construction, so the select leaves them zero.
+
+    Returns (new_cache4, changed (H, W) bool, n_changed_pixels int32).
+    """
+    old = from_flat4(cache4, fg)
+    diff = jnp.max(jnp.abs(x.astype(jnp.float32) - old.astype(jnp.float32)),
+                   axis=-1)                              # (H, W)
+    changed = diff > jnp.float32(tau)
+    pad_w = fg.fl // CP - fg.w - 1
+    changed_full = jnp.pad(changed, ((1, fg.fh - fg.h - 1), (1, pad_w)))
+    expand = jnp.repeat(changed_full, CP, axis=1)        # (fh, fl)
+    new4 = to_flat4(x, fg, cache4.dtype)
+    new_cache = jnp.where(expand, new4, cache4)
+    n_pix = jnp.sum(changed, dtype=jnp.int32)
+    return new_cache, changed, n_pix
