@@ -189,3 +189,38 @@ def test_graph_flagship_extra_overrides():
     ys_b, _, _ = scan_video(net, params, clip, thresholds=taus)
     np.testing.assert_allclose(np.asarray(ys_a), np.asarray(ys_b),
                                atol=1e-5)
+
+
+def test_graph_flagship_patch_stem_policy():
+    """On a pallas pipeline whose stem satisfies the flat4 gate,
+    convert_graph_flagship picks the sparse patch_stem backend (the same
+    measured policy as convert.flagship_layers), and swapping the stem
+    back to dense_cached on the SAME pipeline is value-exact in f32.
+    (Comparing against the jnp twin instead would also fold in the
+    documented forward_hint pool backend asymmetry — pool tau is dead on
+    pallas fused pools, live on jnp — which is not what this test is
+    about.)"""
+    from cbinfer_tpu.graph import convert_graph_flagship
+    from cbinfer_tpu.runner import scan_video
+    nodes, out = pose_graph(num_keypoints=4, num_pafs=6, width=8, stages=2)
+    # 8-divisible H, 32-divisible W -> flat4 gate holds
+    cfg_p = PipelineConfig(tile=TileConfig(tile_h=8, tile_w=8),
+                           backend="pallas", interpret=True)
+    net_p = convert_graph_flagship(nodes, (16, 64, 3), cfg_p, output=out)
+    byname = {n.name: n.spec for n in net_p.nodes}
+    assert byname["bb0"].backend == "patch_stem"
+    # jnp pipelines (and the CPU dryrun) keep dense_cached
+    net_j = convert_graph_flagship(nodes, (16, 64, 3), _cfg(), output=out)
+    assert {n.name: n.spec for n in net_j.nodes}["bb0"].backend \
+        == "dense_cached"
+    net_d = convert_graph_flagship(nodes, (16, 64, 3), cfg_p, output=out,
+                                   extra_overrides={"bb0": "dense_cached"})
+    params = init_graph_params(nodes, (16, 64, 3), jax.random.PRNGKey(7))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=16, width=64, seed=3, n_sprites=1, sprite_size=5)).clip(3))
+    taus = jnp.full((net_p.num_cb_layers(),), 0.02, jnp.float32)
+    ys_p, _, st_p = scan_video(net_p, params, clip, thresholds=taus)
+    ys_d, _, _ = scan_video(net_d, params, clip, thresholds=taus)
+    np.testing.assert_array_equal(np.asarray(ys_p), np.asarray(ys_d))
+    ct = np.asarray(st_p["bb0"]["computed_tiles"])
+    assert ct[0] == ct.max() and ct[-1] < ct[0]
