@@ -476,10 +476,31 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         assert flat4_ops.supports((H, W, xc), spec.kernel, spec.stride,
                                   spec.dilation, spec.padding,
                                   spec.activation), (spec, (H, W, xc))
+        fused_detect = (cfg.tile.tile_h == HINT_TILE
+                        and cfg.tile.tile_w == HINT_TILE)
         with jax.named_scope("detect"):
-            storage, changed, n_pix = flat4_ops.detect_accept_flat4(
-                xarr, state.in_cache, tau, fg)
-            mask = detect.changed_tile_mask(changed, g)
+            if fused_detect:
+                # one banded Pallas sweep does detect+accept+RF-dilation
+                # (ops/pallas/flat4_detect.py): replaces the XLA chain
+                # below (~262 -> ~90 us/frame at 720p, r3-final trace).
+                # The 8x8 cell mask it emits IS the hint/stats mask, and
+                # the (8,32) stem-tile mask is the exact OR of each
+                # tile's 4 cells (a stem tile's input window is the
+                # union of its cells' windows). Gated on the 8x8 tile
+                # config so all three mask grids coincide.
+                from .ops.pallas.flat4_detect import \
+                    detect_accept_flat4_pallas
+                x4f = flat4_ops.to_flat4(xarr, fg, jnp.float32)
+                storage, cell_mask, npix1 = detect_accept_flat4_pallas(
+                    x4f, state.in_cache, tau, fg, interpret=cfg.interpret)
+                cell_bool = cell_mask > 0
+                n_pix = npix1[0]
+                mask = jnp.any(
+                    cell_bool.reshape(g.tiles_h, g.tiles_w, -1), axis=-1)
+            else:
+                storage, changed, n_pix = flat4_ops.detect_accept_flat4(
+                    xarr, state.in_cache, tau, fg)
+                mask = detect.changed_tile_mask(changed, g)
         cout_pad = state.out_cache.shape[-1]
         capacity = cfg.tile.capacity(g.n_tiles)
         with jax.named_scope("compact"):
@@ -524,7 +545,8 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         tile_scale = g_fine.n_tiles // g.n_tiles
         stats = {
             "changed_tiles": jnp.sum(
-                detect.changed_tile_mask(changed, g_fine),
+                cell_bool if fused_detect
+                else detect.changed_tile_mask(changed, g_fine),
                 dtype=jnp.int32),
             "computed_tiles": jnp.where(overflow, g.n_tiles,
                                         comp.count) * tile_scale,
@@ -540,7 +562,8 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         g_hint = conv_tile_geometry((H, W, xc), spec.kernel, spec.stride,
                                     spec.dilation, spec.padding,
                                     HINT_TILE, HINT_TILE)
-        hint_mask = detect.changed_tile_mask(changed, g_hint)
+        hint_mask = cell_bool if fused_detect \
+            else detect.changed_tile_mask(changed, g_hint)
         out_hint = _out_hint(hint_mask, overflow, g_hint)
         yl = Feature(out_cache, g.out_h, g.out_w, cout)
         return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \

@@ -247,3 +247,37 @@ def test_flagship_policy_selects_patch_stem_only_when_supported():
     # wide imported-feature stems keep the sparse delta path (ADVICE r2)
     ov, _ = flagship_layers(specs, (H, W, 256), pallas_cfg)
     assert ov == {}
+
+
+@pytest.mark.parametrize("shape_tau", [(16, 64, 3, 0.05), (24, 96, 3, 0.0),
+                                       (16, 32, 1, 0.1), (16, 64, 3, -1.0)])
+def test_fused_detect_matches_xla_chain(shape_tau):
+    """ops/pallas/flat4_detect.py == the XLA chain bit-for-bit: accepted
+    cache bytes, RF-dilated 8x8 cell mask, and pixel count — across tau
+    regimes including tau=-1 (all-changed refresh semantics, where the
+    margin gating matters) and cin=1."""
+    from cbinfer_tpu.ops.detect import changed_tile_mask
+    from cbinfer_tpu.ops.geometry import conv_tile_geometry
+    from cbinfer_tpu.ops.pallas.flat4_detect import detect_accept_flat4_pallas
+    H, W, CIN, tau = shape_tau
+    rng = np.random.default_rng(0)
+    fg = flat4.flat4_geom(H, W, CIN)
+    base = rng.standard_normal((H, W, CIN)).astype(np.float32)
+    x = base.copy()
+    for _ in range(4):
+        i, j = rng.integers(0, H), rng.integers(0, W)
+        x[i, j] += rng.standard_normal(CIN) * 0.5
+    cache4 = flat4.to_flat4(jnp.asarray(base), fg, jnp.bfloat16)
+    xj = jnp.asarray(x)
+    new_ref, changed_ref, npix_ref = flat4.detect_accept_flat4(
+        xj, cache4, tau, fg)
+    g_hint = conv_tile_geometry((H, W, CIN), (3, 3), (1, 1), (1, 1),
+                                "SAME", 8, 8)
+    mask_ref = changed_tile_mask(changed_ref, g_hint)
+    x4f = flat4.to_flat4(xj, fg, jnp.float32)
+    new_k, mask_k, npix_k = detect_accept_flat4_pallas(
+        x4f, cache4, tau, fg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(new_ref), np.asarray(new_k))
+    np.testing.assert_array_equal(np.asarray(mask_ref).astype(bool),
+                                  np.asarray(mask_k).astype(bool))
+    assert int(npix_k[0]) == int(npix_ref)
