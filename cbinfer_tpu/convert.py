@@ -269,10 +269,15 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     ``extra_overrides`` layers additional per-spec-index backend choices
     on top of the flagship policy (extra wins on conflicts) — the hook the
     measured per-layer policy optimizer (scripts/optimize_policy.py) uses
-    to flip bookkeeping-bound layers to dense_cached.
+    to flip bookkeeping-bound layers to dense_cached. The special value
+    ``"forward_hint"`` sets the spec's CB17 mask-forwarding mode instead
+    of a backend: the layer skips detection and recomputes its producer's
+    hint region unconditionally (value-exact superset; the layer's tau
+    slot stays in the vector but is dead — tuner.dead-tau precedent).
     """
     cfg = cfg or PipelineConfig()  # the elide pass below reads cfg fields
     overrides, dense = flagship_layers(specs, in_shape, cfg)
+    fwd_hint_keys = ()
     if extra_overrides:
         bad = [k for k in extra_overrides if not 0 <= k < len(specs)]
         if bad:
@@ -280,7 +285,16 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
                 f"extra_overrides: layer index(es) {bad} out of range for "
                 f"{len(specs)} specs (stale POLICY file measured on an "
                 "older architecture?)")
-        overrides = {**overrides, **extra_overrides}
+        fwd_hint_keys = tuple(k for k, v in extra_overrides.items()
+                              if v == "forward_hint")
+        overrides = {**overrides,
+                     **{k: v for k, v in extra_overrides.items()
+                        if v != "forward_hint"}}
+    if fwd_hint_keys:
+        specs = tuple(
+            dataclasses.replace(s, forward_hint=True)
+            if i in fwd_hint_keys else s
+            for i, s in enumerate(specs))
     net = convert(specs, in_shape, cfg, dense_layers=dense,
                   backend_overrides=overrides)
     # aligned pools run hint-forwarded (one fused kernel, no detection /

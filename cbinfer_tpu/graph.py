@@ -321,9 +321,13 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
                     f"POLICY file measured on an older topology?); "
                     f"nodes: {sorted(by_name)}")
             i = by_name[name]
-            nodes[i] = dataclasses.replace(
-                nodes[i], spec=dataclasses.replace(nodes[i].spec,
-                                                   backend=backend))
+            # "forward_hint" flips the spec's CB17 mask-forwarding mode
+            # instead of a backend (sequential twin: convert_flagship)
+            new_spec = (
+                dataclasses.replace(nodes[i].spec, forward_hint=True)
+                if backend == "forward_hint"
+                else dataclasses.replace(nodes[i].spec, backend=backend))
+            nodes[i] = dataclasses.replace(nodes[i], spec=new_spec)
     # Elide the never-read input cache of fused forward pools — decided on
     # the FINAL specs (after extra_overrides: a backend override on a pool
     # must veto elision or the runtime's placeholder assert fires) with a

@@ -6,24 +6,37 @@ The patch_stem backend's detect chain ran as XLA ops on the flat4 buffer
 reduce (53 us), the lane-repeat mask broadcast+reshape (48 us), the
 to_flat4 pad (26 us), the select write, and the tile-mask reduce_windows,
 each a separate full-map HBM pass. This kernel does the whole chain in ONE
-banded sweep (the _band_kernel pattern, detect.py:45, on rank-2 flat4):
+banded sweep (the _band_kernel pattern, detect.py:45, on rank-2 flat4).
 
-  * per (8, fl) flat band (all aligned DMA: fl % 128 == 0 by flat4
-    construction): per-lane f32 diff vs the unrounded input, group-of-4
-    lane max via SIX MASKED LANE ROTATIONS (no rank-3 reshape — Mosaic
-    relayouts cost more than the rolls), per-pixel accept select written
-    back through the aliased cache, and the receptive-field-exact dilated
-    8x8-cell changed mask accumulated in VMEM via indicator matmuls
-    (the _sparse_kernel dilation trick, here lane->cell-column).
-  * the ONLY remaining XLA op is the to_flat4(x, f32) pad that shapes the
-    unrounded input (detect semantics compare f32 x vs f32 cache —
-    flat4.detect_accept_flat4 doc; rounding first flips borderline
-    pixels).
+Three measured design rules (v1 of this kernel ran 136 us/frame — still
+compute-bound; this version targets the ~40 us DMA floor):
+
+  * EARLY-OUT per band: a single full-band max decides whether ANY pixel
+    can pass tau (per-lane max >= per-pixel group max); clean bands skip
+    the group-max tree, the accept select, AND the write-back DMA
+    entirely (the cache is aliased — not writing IS keeping). At the
+    measured ~5-15% 720p change rates most bands are clean.
+  * Group-of-4 lane max via MASKED LANE ROTATIONS arranged as a tree
+    (4 rolls, not 6; no rank-3 reshape — Mosaic relayouts cost more).
+  * NO per-band matmuls: per-band row-ORs land in two (nbands, fl)
+    accumulators via dynamic single-sublane stores, and ONE well-shaped
+    (cells_h, fl) @ (fl, cells_w) MXU dot after the sweep produces the
+    dilated cell mask (v1's per-band (8,fl)@(fl,160) dots were M=8
+    skinny — ~6% MXU utilization, ~50 us/frame).
+
+Row bookkeeping behind the end dot: flat band t holds pixel rows
+CELL*t-1 .. CELL*t+6, so cell row i's input window [CELL*i-1, CELL*i+9)
+is exactly (all 8 rows of band i) UNION (rows 0-1 of band i+1):
+cell_or[i] = rowA[i] | rowB[i+1] with rowA = OR over the band's 8 rows,
+rowB = OR over its first 2.
 
 Exactness: bit-identical accepted cache, npix, and 8x8-cell dilated mask
-vs the XLA chain (asserted in tests/test_patch_stem.py); the (8,32) stem
-tile mask and the HINT-grid mask both derive exactly from the 8x8-cell
-map (a stem tile's input window is the union of its 4 cells' windows).
+vs the XLA chain (tests/test_patch_stem.py), including tau < 0 (the
+all-changed refresh semantics — margin lanes/rows pass the tau test with
+diff 0 and are gated out of npix/mask; the accept select may touch them
+but writes identical zero bytes). The only remaining XLA op is the
+to_flat4(x, f32) pad that shapes the unrounded input (detect compares
+f32 x vs f32 cache — flat4.detect_accept_flat4 doc).
 
 Reference: arXiv 1704.04313 §3.1 (per-pixel detect/accept) + 1808.05488
 §IV-B (receptive-field dilation), fused TPU-style.
@@ -42,17 +55,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..flat4 import CP, Flat4Geom
 
 CELL = 8          # dilated-mask cell side (pixels) == layers.HINT_TILE
-_BANDS_PER_BLOCK = 1
 
 
 def _kernel(x4_ref, cache_in_ref, tau_ref,            # HBM, HBM, SMEM
             cache_ref, mask_ref, npix_ref,            # HBM(aliased), VMEM, SMEM
-            xbuf, cbuf, wbuf, macc, m2buf, in_sems, out_sems,
+            xbuf, cbuf, wbuf, rowa, rowb, stage_a, stage_b, m2buf, wrote,
+            in_sems, out_sems,
             *, fg: Flat4Geom, cells_h: int, cells_w: int,
             pad_lo: int, win: int):
     del cache_in_ref  # aliased with cache_ref
     fh, fl = fg.fh, fg.fl
-    nbands = fh // CELL
+    nbands = fh // CELL  # == cells_h + 1 (one row of top/bottom margin)
+    ngroups = -(-nbands // 8)
 
     def copy_in(slot, t, which):
         if which == 0:
@@ -69,87 +83,118 @@ def _kernel(x4_ref, cache_in_ref, tau_ref,            # HBM, HBM, SMEM
             cache_ref.at[pl.ds(t * CELL, CELL), :],
             out_sems.at[slot])
 
-    # hoisted lane -> cell-column window indicator: m2[l, j] = 1 iff the
-    # pixel column of lane l (= l//CP - 1; margins < 0 or >= w never have
-    # nonzero diff) lies in cell column j's input window
-    # [CELL*j - pad_lo, CELL*j - pad_lo + win)
-    # the (pc, pr) validity terms matter only at tau < 0 (the all-changed
-    # refresh semantics): margin lanes/rows then pass the tau test with
-    # diff 0 and must not count as pixels or dilate into the mask
+    def drain(slot):
+        """Wait the slot's pending write-back, if any (conditional
+        write-backs make a static wait schedule impossible; wrote[slot]
+        holds 1 + band index of the in-flight copy, 0 = none)."""
+        @pl.when(wrote[slot] > 0)
+        def _():
+            copy_out(slot, wrote[slot] - 1).wait()
+            wrote[slot] = 0
+
+    # hoisted lane -> cell-column window indicator for the end dot:
+    # m2[l, j] = 1 iff the pixel column of lane l (= l//CP - 1; margin
+    # and c>=cin lanes are gated by the validity terms) lies in cell
+    # column j's input window [CELL*j - pad_lo, CELL*j - pad_lo + win)
     pc = lax.broadcasted_iota(jnp.int32, (fl, cells_w), 0) // CP - 1
     j0 = lax.broadcasted_iota(jnp.int32, (fl, cells_w), 1) * CELL - pad_lo
     m2buf[:] = ((j0 <= pc) & (pc < j0 + win)
                 & (0 <= pc) & (pc < fg.w)).astype(jnp.bfloat16)
 
-    macc[:] = jnp.zeros_like(macc)
+    rowa[:] = jnp.zeros_like(rowa)
+    rowb[:] = jnp.zeros_like(rowb)
     npix_ref[0] = 0
+    wrote[0] = 0
+    wrote[1] = 0
     copy_in(0, 0, 0).start()
     copy_in(0, 0, 1).start()
 
     lane_iota = lax.broadcasted_iota(jnp.int32, (CELL, fl), 1)
     lane_r = lax.rem(lane_iota, CP)
-    grp = lane_iota // CP
-    lane_valid = (grp >= 1) & (grp <= fg.w)
+    lane_valid = (lane_iota >= CP) & (lane_iota < CP * (fg.w + 1))
+    sub_iota = lax.broadcasted_iota(jnp.int32, (CELL, fl), 0)
 
-    def body(t, _):
-        slot = lax.rem(t, 2)
+    # Mosaic cannot prove 8-alignment of a dynamic single-sublane store,
+    # so per-band row-ORs stage into an (8, fl) buffer at a STATIC row
+    # (iota-select) and flush to rowa/rowb once per 8-band group at a
+    # provably aligned offset (8 * group index).
+    def group_body(g, _):
+        stage_a[:] = jnp.zeros_like(stage_a)
+        stage_b[:] = jnp.zeros_like(stage_b)
+        for r in range(8):  # static unroll: r is a Python int
+            t = g * 8 + r
 
-        @pl.when(t + 1 < nbands)
-        def _():
-            copy_in(1 - slot, t + 1, 0).start()
-            copy_in(1 - slot, t + 1, 1).start()
+            @pl.when(t < nbands)
+            def _(t=t, r=r):
+                slot = lax.rem(t, 2)
 
-        copy_in(slot, t, 0).wait()
-        copy_in(slot, t, 1).wait()
+                @pl.when(t + 1 < nbands)
+                def _():
+                    copy_in(1 - slot, t + 1, 0).start()
+                    copy_in(1 - slot, t + 1, 1).start()
 
-        x8 = xbuf[slot]                                   # (CELL, fl) f32
-        c8 = cbuf[slot]
-        d = jnp.abs(x8 - c8.astype(jnp.float32))          # per-lane |diff|
-        # group-of-4 lane max, expanded per lane: lane l at in-group
-        # offset r needs max over lanes l - r .. l - r + 3, i.e. shifted
-        # copies s in [-3, 3] gated by 0 <= r + s <= 3. Groups never span
-        # the array edge (fl % CP == 0), so roll wrap never leaks through
-        # the gate.
-        gm = d
-        for s in range(-(CP - 1), CP):
-            if s == 0:
-                continue
-            ok = (lane_r + s >= 0) & (lane_r + s < CP)
-            gm = jnp.maximum(gm, jnp.where(ok, jnp.roll(d, -s, axis=1),
-                                           jnp.float32(0)))
-        changed = gm > tau_ref[0]                         # (CELL, fl), per-lane
-        pr_band = (lax.broadcasted_iota(jnp.int32, (CELL, fl), 0)
-                   + t * CELL - 1)
-        row_valid = (pr_band >= 0) & (pr_band < fg.h)
-        valid = changed & lane_valid & row_valid
-        npix_ref[0] += jnp.sum(
-            (valid & (lane_r == 0)).astype(jnp.int32))
+                copy_in(slot, t, 0).wait()
+                copy_in(slot, t, 1).wait()
 
-        @pl.when(t >= 2)
-        def _():
-            copy_out(slot, t - 2).wait()
+                x8 = xbuf[slot]                           # (CELL, fl) f32
+                c8 = cbuf[slot]
+                d = jnp.abs(x8 - c8.astype(jnp.float32))  # per-lane |diff|
+                tau = tau_ref[0]
 
-        wbuf[slot] = jnp.where(changed, x8.astype(wbuf.dtype), c8)
-        copy_out(slot, t).start()
+                @pl.when(jnp.max(d) > tau)
+                def _():
+                    # group-of-4 lane max, expanded per lane, as a
+                    # masked-roll tree: pair max within lane pairs, then
+                    # pair-of-pairs. Groups never span the array edge
+                    # (fl % CP == 0), so roll wrap never leaks through.
+                    odd = lax.rem(lane_iota, 2) == 1
+                    p = jnp.maximum(
+                        d, jnp.where(odd, jnp.roll(d, 1, axis=1),
+                                     jnp.roll(d, -1, axis=1)))
+                    hi = lane_r >= 2
+                    gm = jnp.maximum(
+                        p, jnp.where(hi, jnp.roll(p, 2, axis=1),
+                                     jnp.roll(p, -2, axis=1)))
+                    changed = gm > tau                    # per-lane
+                    # margins only matter at tau < 0 (all-changed
+                    # refresh semantics); at tau >= 0 their diff is 0
+                    pr = sub_iota + t * CELL - 1
+                    valid = (changed & lane_valid
+                             & (pr >= 0) & (pr < fg.h))
+                    # a changed pixel contributes its CP group lanes
+                    npix_ref[0] += jnp.sum(valid.astype(jnp.int32))
 
-        # dilation: band t holds pixel rows CELL*t - 1 + r (flat row
-        # offset -1); cell row i's window is [CELL*i - pad_lo, + win)
-        i0 = (lax.broadcasted_iota(jnp.int32, (cells_h, CELL), 0) * CELL
-              - pad_lo)
-        pr = (lax.broadcasted_iota(jnp.int32, (cells_h, CELL), 1)
-              + t * CELL - 1)
-        m1 = ((i0 <= pr) & (pr < i0 + win)).astype(jnp.float32)
-        colsum = jnp.dot(valid.astype(jnp.bfloat16), m2buf[:],
-                         preferred_element_type=jnp.float32)
-        contrib = jnp.dot(m1, colsum,
-                          preferred_element_type=jnp.float32)
-        macc[:] = jnp.maximum(macc[:], (contrib > 0).astype(jnp.float32))
+                    drain(slot)
+                    wbuf[slot] = jnp.where(changed, x8.astype(wbuf.dtype),
+                                           c8)
+                    copy_out(slot, t).start()
+                    wrote[slot] = t + 1
 
-    lax.fori_loop(0, nbands, body, None)
+                    vf = valid.astype(jnp.bfloat16)
+                    ra = jnp.max(vf, axis=0, keepdims=True)    # (1, fl)
+                    rb = jnp.max(vf[:2], axis=0, keepdims=True)
+                    here = sub_iota == r
+                    stage_a[:] = jnp.where(here, ra, stage_a[:])
+                    stage_b[:] = jnp.where(here, rb, stage_b[:])
 
-    copy_out(nbands % 2, nbands - 2).wait()
-    copy_out((nbands - 1) % 2, nbands - 1).wait()
-    mask_ref[:] = macc[:]
+        base = pl.multiple_of(g * 8, 8)
+        rowa[pl.ds(base, 8), :] = stage_a[:]
+        rowb[pl.ds(base, 8), :] = stage_b[:]
+
+    lax.fori_loop(0, ngroups, group_body, None)
+    drain(0)
+    drain(1)
+
+    # cell_or[i] = rowA[i] | rowB[i+1] (flat band t holds pixel rows
+    # CELL*t-1..CELL*t+6, see module doc); the sublane roll aligns
+    # rowB[i+1] with row i, its wrapped last row lands above cells_h and
+    # is sliced away. ONE well-shaped (8g, fl) @ (fl, cells_w) MXU dot
+    # yields the dilated cell mask (0/1 values exact in bf16, counts
+    # exact in the f32 accumulator).
+    cell_or = jnp.maximum(rowa[:], jnp.roll(rowb[:], -1, axis=0))
+    colsum = jnp.dot(cell_or, m2buf[:], preferred_element_type=jnp.float32)
+    mask_ref[:] = (colsum[:cells_h] > 0).astype(jnp.float32)
+    npix_ref[0] = npix_ref[0] // CP
 
 
 def detect_accept_flat4_pallas(x4f: jnp.ndarray, cache4: jnp.ndarray, tau,
@@ -173,6 +218,9 @@ def detect_accept_flat4_pallas(x4f: jnp.ndarray, cache4: jnp.ndarray, tau,
         (x4f.dtype, x4f.shape, cache4.shape)
     assert fg.fh % CELL == 0 and fg.fl % 128 == 0, fg
     cells_h, cells_w = fg.h // CELL, fg.w // CELL
+    nbands = fg.fh // CELL
+    nrows = -(-nbands // 8) * 8  # row-OR accumulators padded to the
+    #                              8-aligned group-flush granularity
     kern = functools.partial(_kernel, fg=fg, cells_h=cells_h,
                              cells_w=cells_w, pad_lo=pad_lo, win=win)
     new_cache, mask, npix = pl.pallas_call(
@@ -196,8 +244,12 @@ def detect_accept_flat4_pallas(x4f: jnp.ndarray, cache4: jnp.ndarray, tau,
             pltpu.VMEM((2, CELL, fg.fl), jnp.float32),
             pltpu.VMEM((2, CELL, fg.fl), cache4.dtype),
             pltpu.VMEM((2, CELL, fg.fl), cache4.dtype),
-            pltpu.VMEM((cells_h, cells_w), jnp.float32),
+            pltpu.VMEM((nrows, fg.fl), jnp.bfloat16),
+            pltpu.VMEM((nrows, fg.fl), jnp.bfloat16),
+            pltpu.VMEM((CELL, fg.fl), jnp.bfloat16),
+            pltpu.VMEM((CELL, fg.fl), jnp.bfloat16),
             pltpu.VMEM((fg.fl, cells_w), jnp.bfloat16),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

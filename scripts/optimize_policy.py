@@ -184,14 +184,22 @@ def main():
     if verdict:
         accepted, best = {stem_key: "band_cached"}, fps
     for k in convs:
-        trial = dict(accepted)
-        trial[k] = "dense_cached"
-        fps = measure(trial)
-        verdict = fps > best * (1 + args.min_gain)
-        print(f"  layer {k} -> dense_cached: {fps:.1f} fps "
-              f"({'ACCEPT' if verdict else 'reject'})", flush=True)
-        if verdict:
-            accepted, best = trial, fps
+        # two candidate modes per conv, best-accepted greedily:
+        # dense_cached (zero sparse machinery, recompute everything from
+        # the accepted cache) and forward_hint (CB17 mask-forwarding:
+        # skip detection, recompute the producer's hint region — kills
+        # the per-layer detect pass on deep nets at the cost of a
+        # monotonically dilating recompute mask; value-exact superset
+        # either way, so tuned taus stay valid)
+        for mode in ("dense_cached", "forward_hint"):
+            trial = dict(accepted)
+            trial[k] = mode
+            fps = measure(trial)
+            verdict = fps > best * (1 + args.min_gain)
+            print(f"  layer {k} -> {mode}: {fps:.1f} fps "
+                  f"({'ACCEPT' if verdict else 'reject'})", flush=True)
+            if verdict:
+                accepted, best = trial, fps
 
     # re-measure the final pick on FRESH clips: the greedy ratchet's
     # `best` rode whatever upward noise survived the medians, so the

@@ -175,9 +175,14 @@ def main():
     # no longer pays); pose keeps raw heatmaps (its consumers need them)
     out_u8 = (None if name.startswith("pose")
               else (lambda y: jnp.argmax(y, -1).astype(jnp.uint8)))
+    # CBINFER_TRACE_NOSTATS=1: trace the stats-free scan — A/B for the
+    # per-frame s32[T] copy-done (~75 us/frame in the r3 traces) that the
+    # stacked per-layer counters are suspected to serialize
+    nostats = bool(os.environ.get("CBINFER_TRACE_NOSTATS"))
     jstep = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
-                                         thresholds=tv, out_map=out_u8),
+                                         thresholds=tv, out_map=out_u8,
+                                         collect_stats=not nostats),
         donate_argnums=(2,))
     st0 = net.init_state()
     # AOT-compile ONCE and execute the same object: a separate
@@ -235,8 +240,23 @@ def main():
         a = hlo_attr.get(key, "")
         if not a:
             # scheduler-inserted glue: no source metadata, but the HLO
-            # definition (shape+operands) identifies the buffer it moves
+            # definition (shape+operands) identifies the buffer it moves.
+            # copy-done defs only name their copy-start — chase the
+            # operand chain one hop so the SOURCE buffer's def (or source
+            # metadata) is what gets printed (r3: pinned the s32[T]
+            # copy pair to its producer).
+            import re as _re
             a = hlo_defs.get(key, "")
+            if "copy_done" in a or "copy-done" in a:
+                op = _re.search(r"%([\w.-]+)\)", a)
+                if op:
+                    k2 = op.group(1).replace("-", "_")
+                    src = hlo_defs.get(k2, "")
+                    op2 = _re.search(r"copy-start\(%([\w.-]+)", src)
+                    if op2:
+                        k3 = op2.group(1).replace("-", "_")
+                        a = (a + "  <- " + (hlo_attr.get(k3)
+                                            or hlo_defs.get(k3, "")))[:220]
         return a
 
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:25]
@@ -256,7 +276,7 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             prof = json.load(f)
-    prof.setdefault("stages", {})[name] = {
+    prof.setdefault("stages", {})[name + ("_nostats" if nostats else "")] = {
         "shape": [H, W], "frames": T, "tau_source": "tuned",
         "per_frame_us": stages_us,
         "top_ops_us_per_frame": [[nm, d / T, attribution(nm)]

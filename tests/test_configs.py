@@ -202,6 +202,12 @@ def test_convert_flagship_extra_overrides():
     assert net.specs[4].backend == "dense_cached"
     assert net.specs[0].backend == "dense_cached_flat"  # extra wins
     assert num_cb_layers(net.specs) == num_cb_layers(base.specs)
+    # the special "forward_hint" value flips CB17 mask-forwarding mode on
+    # a conv instead of a backend; tau-vector length is unchanged
+    net_fh = convert_flagship(specs, (32, 32, 3), cfg,
+                              extra_overrides={4: "forward_hint"})
+    assert net_fh.specs[4].forward_hint and net_fh.specs[4].backend is None
+    assert num_cb_layers(net_fh.specs) == num_cb_layers(base.specs)
 
 
 def test_load_npz_params_shape_mismatch(tmp_path):

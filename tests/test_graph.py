@@ -179,6 +179,13 @@ def test_graph_flagship_extra_overrides():
     byname = {n.name: n.spec for n in net.nodes}
     assert byname["s1_paf_c1"].backend == "dense_cached"
     assert net.num_cb_layers() == base.num_cb_layers()
+    # the special "forward_hint" value flips mask-forwarding, not backend
+    net_fh = convert_graph_flagship(
+        nodes, (64, 64, 3), _cfg(), output=out,
+        extra_overrides={"s1_paf_c1": "forward_hint"})
+    fh_spec = {n.name: n.spec for n in net_fh.nodes}["s1_paf_c1"]
+    assert fh_spec.forward_hint and fh_spec.backend is None
+    assert net_fh.num_cb_layers() == base.num_cb_layers()
     # overridden net still streams to the same values as the base net
     params = init_graph_params(net.nodes, (64, 64, 3), jax.random.PRNGKey(6))
     clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
