@@ -205,14 +205,19 @@ def main():
     REFRESH_EVERY_CHUNKS, refresh_src = load_refresh_cadence(
         "scene", T, H, W)
     REFRESH_EVERY_CHUNKS = min(REFRESH_EVERY_CHUNKS, CHUNKS)
+    # collect_stats="mean": carry-accumulated counters — the per-frame
+    # (T,) stacks cost ~77 us/frame of serialized s32[T] copies in the
+    # while body (xprof r3); the FLOP pillar only needs means anyway
     cb_refresh = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st,
                                      thresholds=tau_vec,
-                                     refresh_start=True, out_map=out_u8),
+                                     refresh_start=True, out_map=out_u8,
+                                     collect_stats="mean", ingest=True),
         donate_argnums=(2,))
     cb_plain = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st,
-                                     thresholds=tau_vec, out_map=out_u8),
+                                     thresholds=tau_vec, out_map=out_u8,
+                                     collect_stats="mean", ingest=True),
         donate_argnums=(2,))
 
     def cb_scan(p, fs, st, i):

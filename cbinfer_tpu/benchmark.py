@@ -181,11 +181,17 @@ def bench_network(net: CBNet, params, clips: Sequence[jnp.ndarray],
     dense_fps = time_chunked(dense_chunk, clips[1:], T, sync_overhead)
 
     # ---- CB path ----
+    # collect_stats="mean": the deployment observability form — per-frame
+    # (T,) counter stacks cost ~77 us/frame of serialized s32[T] copies
+    # in the scan body (xprof r3) and the accounting below only needs
+    # means (effective_flops) — so the timed path must not pay them
     cb_scan = jax.jit(
         lambda p, fs, st, off: scan_video(net, p, fs, state=st,
                                           thresholds=tau_vec,
                                           refresh_every=refresh_every,
-                                          frame_offset=off),
+                                          frame_offset=off,
+                                          collect_stats="mean",
+                                          ingest=True),
         donate_argnums=(2,))
     # cold start (compile excluded): frame 0 from fresh state. Median of
     # several samples, clamped at 0 — a single RTT-scale window minus the

@@ -146,6 +146,37 @@ class CBNet:
             stats.append(s)
         return as_array(x), new_state, stats
 
+    def make_ingest(self, frames: jnp.ndarray):
+        """Clip-resident ingest (runner.scan_video ``ingest=True``).
+
+        When the first layer is a fused-detect patch_stem conv, convert
+        the whole (T, H, W, C) chunk to flat4 ONCE (one vectorized XLA
+        pass) and return ``wrap(t) -> Flat4Clip`` so the scan body hands
+        the stem a frame INDEX instead of a sliced frame — the detect
+        kernel then DMAs its bands straight out of HBM (xprof r3: the
+        per-frame dynamic_slice + to_flat4 pad/reshape chain cost ~90 us
+        of the 658 us 720p scene frame). Returns None when the net's
+        stem cannot consume the form (runner falls back to the classic
+        per-frame xs slicing).
+        """
+        from .ops import flat4 as flat4_ops
+        s0 = self.specs[0] if self.specs else None
+        if not (isinstance(s0, ConvSpec) and s0.use_cb
+                and (s0.backend or self.cfg.backend) == "patch_stem"):
+            return None
+        if not (self.cfg.tile.tile_h == L.HINT_TILE
+                and self.cfg.tile.tile_w == L.HINT_TILE):
+            return None  # fused-detect gate (layers.cb_conv_apply)
+        H, W, C = self.in_shape
+        if frames.shape[1:] != (H, W, C) or not flat4_ops.supports(
+                (H, W, C), s0.kernel, s0.stride, s0.dilation, s0.padding,
+                s0.activation):
+            return None
+        fg = flat4_ops.flat4_geom(H, W, C)
+        clip = flat4_ops.clip_to_flat4(frames, fg)
+        return lambda t: flat4_ops.Flat4Clip(
+            clip=clip, t=jnp.asarray(t, jnp.int32), h=H, w=W, cin=C)
+
 
 def convert(specs: Sequence, in_shape: Tuple[int, int, int],
             cfg: Optional[PipelineConfig] = None,

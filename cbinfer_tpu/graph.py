@@ -253,6 +253,35 @@ class CBGraphNet:
                    if isinstance(n.spec, (ConvSpec, PoolSpec))
                    and n.spec.use_cb)
 
+    def make_ingest(self, frames: jnp.ndarray):
+        """Clip-resident ingest — DAG twin of CBNet.make_ingest.
+
+        Only engages when EXACTLY ONE node consumes the raw "input" and
+        it is a fused-detect patch_stem conv (every other consumer would
+        need the HWC frame materialized, defeating the point); returns
+        None otherwise so runner.scan_video falls back to per-frame xs.
+        """
+        from .ops import flat4 as flat4_ops
+        consumers = [n for n in self.nodes if "input" in n.inputs]
+        if len(consumers) != 1:
+            return None
+        s0 = consumers[0].spec
+        if not (isinstance(s0, ConvSpec) and s0.use_cb
+                and (s0.backend or self.cfg.backend) == "patch_stem"):
+            return None
+        if not (self.cfg.tile.tile_h == L.HINT_TILE
+                and self.cfg.tile.tile_w == L.HINT_TILE):
+            return None  # fused-detect gate (layers.cb_conv_apply)
+        H, W, C = self.in_shape
+        if frames.shape[1:] != (H, W, C) or not flat4_ops.supports(
+                (H, W, C), s0.kernel, s0.stride, s0.dilation, s0.padding,
+                s0.activation):
+            return None
+        fg = flat4_ops.flat4_geom(H, W, C)
+        clip = flat4_ops.clip_to_flat4(frames, fg)
+        return lambda t: flat4_ops.Flat4Clip(
+            clip=clip, t=jnp.asarray(t, jnp.int32), h=H, w=W, cin=C)
+
 
 def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
                            output: Optional[str] = None,

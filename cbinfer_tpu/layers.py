@@ -94,6 +94,12 @@ class Feature:
 def _unwrap(x):
     if isinstance(x, Feature):
         return x.data, x.h, x.w, x.c
+    if isinstance(x, flat4_ops.Flat4Clip):
+        # clip-resident ingest form (flat4.Flat4Clip): consumers that
+        # need the HWC frame materialize it here (one dynamic slice +
+        # free reshape; the fused patch_stem detect path never calls
+        # this — it hands the whole clip to the kernel)
+        return x.frame_hwc(), x.h, x.w, x.cin
     return x, x.shape[0], x.shape[1], x.shape[2]
 
 
@@ -469,8 +475,12 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         if tau is None:
             tau = spec.threshold
         w, b = params
-        xarr, H, W, xc = _unwrap(x)
-        xarr = xarr[:H, :W, :xc]
+        is_clip = isinstance(x, flat4_ops.Flat4Clip)
+        if is_clip:
+            H, W, xc = x.h, x.w, x.cin
+        else:
+            xarr, H, W, xc = _unwrap(x)
+            xarr = xarr[:H, :W, :xc]
         fg = flat4_ops.flat4_geom(H, W, xc)
         g = _geometry(spec, (H, W, xc), cfg)
         assert flat4_ops.supports((H, W, xc), spec.kernel, spec.stride,
@@ -487,17 +497,27 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                 # the (8,32) stem-tile mask is the exact OR of each
                 # tile's 4 cells (a stem tile's input window is the
                 # union of its cells' windows). Gated on the 8x8 tile
-                # config so all three mask grids coincide.
+                # config so all three mask grids coincide. With a
+                # Flat4Clip input the kernel reads frame t straight out
+                # of the HBM-resident chunk (no per-frame slice/pad).
                 from .ops.pallas.flat4_detect import \
                     detect_accept_flat4_pallas
-                x4f = flat4_ops.to_flat4(xarr, fg, jnp.float32)
-                storage, cell_mask, npix1 = detect_accept_flat4_pallas(
-                    x4f, state.in_cache, tau, fg, interpret=cfg.interpret)
+                if is_clip:
+                    storage, cell_mask, npix1 = detect_accept_flat4_pallas(
+                        x.clip, state.in_cache, tau, fg, frame_t=x.t,
+                        interpret=cfg.interpret)
+                else:
+                    x4f = flat4_ops.to_flat4(xarr, fg, jnp.float32)
+                    storage, cell_mask, npix1 = detect_accept_flat4_pallas(
+                        x4f, state.in_cache, tau, fg,
+                        interpret=cfg.interpret)
                 cell_bool = cell_mask > 0
                 n_pix = npix1[0]
                 mask = jnp.any(
                     cell_bool.reshape(g.tiles_h, g.tiles_w, -1), axis=-1)
             else:
+                if is_clip:
+                    xarr = x.frame_hwc()
                 storage, changed, n_pix = flat4_ops.detect_accept_flat4(
                     xarr, state.in_cache, tau, fg)
                 mask = detect.changed_tile_mask(changed, g)

@@ -35,7 +35,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
+from flax import struct
 from jax import lax
 
 CP = 4        # stored lanes (channels) per pixel
@@ -85,6 +87,46 @@ def from_flat4(f4: jnp.ndarray, fg: Flat4Geom) -> jnp.ndarray:
     """flat4 -> (H, W, cin) interior view (free reshape + slice)."""
     v = f4.reshape(fg.fh, fg.fl // CP, CP)
     return v[1:1 + fg.h, 1:1 + fg.w, :fg.cin]
+
+
+@struct.dataclass
+class Flat4Clip:
+    """A whole clip pre-shaped to flat4 plus the current frame index.
+
+    The CLIP-RESIDENT ingest form (runner.scan_video ``ingest=True``): the
+    chunk is converted to (T, fh, fl) float32 ONCE in a vectorized XLA
+    pass outside the scan, and the scan body hands the stem this wrapper
+    instead of an (H, W, C) frame. The fused detect kernel then DMAs its
+    bands straight out of ``clip[t]`` in HBM — no per-frame dynamic_slice
+    materialization, no per-frame to_flat4 pad/reshape (xprof r3: that
+    chain cost ~90 us of the 658 us 720p scene frame). Non-fused
+    consumers (jnp backend, the refresh path's dense conv) materialize
+    the HWC frame via ``frame_hwc`` — identical f32 values, so detect
+    semantics are bit-identical to the per-frame path.
+    """
+    clip: jnp.ndarray          # (T, fh, fl) float32
+    t: jnp.ndarray             # scalar int32 index into the clip
+    h: int = struct.field(pytree_node=False)
+    w: int = struct.field(pytree_node=False)
+    cin: int = struct.field(pytree_node=False)
+
+    @property
+    def geom(self) -> Flat4Geom:
+        return flat4_geom(self.h, self.w, self.cin)
+
+    def frame_flat4(self) -> jnp.ndarray:
+        """(fh, fl) f32 view of frame t (one dynamic slice)."""
+        return lax.dynamic_index_in_dim(self.clip, self.t, 0,
+                                        keepdims=False)
+
+    def frame_hwc(self) -> jnp.ndarray:
+        """(H, W, cin) f32 frame t — the classic per-frame form."""
+        return from_flat4(self.frame_flat4(), self.geom)
+
+
+def clip_to_flat4(frames: jnp.ndarray, fg: Flat4Geom) -> jnp.ndarray:
+    """(T, H, W, cin) -> (T, fh, fl) float32, one vectorized pass."""
+    return jax.vmap(lambda x: to_flat4(x, fg, jnp.float32))(frames)
 
 
 def detect_accept_flat4(x: jnp.ndarray, cache4: jnp.ndarray, tau,

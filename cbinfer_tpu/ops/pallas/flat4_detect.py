@@ -57,21 +57,25 @@ from ..flat4 import CP, Flat4Geom
 CELL = 8          # dilated-mask cell side (pixels) == layers.HINT_TILE
 
 
-def _kernel(x4_ref, cache_in_ref, tau_ref,            # HBM, HBM, SMEM
+def _kernel(x4_ref, cache_in_ref, tau_ref, t_ref,     # HBM, HBM, SMEM, SMEM
             cache_ref, mask_ref, npix_ref,            # HBM(aliased), VMEM, SMEM
             xbuf, cbuf, wbuf, rowa, rowb, stage_a, stage_b, m2buf, wrote,
             in_sems, out_sems,
             *, fg: Flat4Geom, cells_h: int, cells_w: int,
-            pad_lo: int, win: int):
+            pad_lo: int, win: int, clip_mode: bool):
     del cache_in_ref  # aliased with cache_ref
     fh, fl = fg.fh, fg.fl
     nbands = fh // CELL  # == cells_h + 1 (one row of top/bottom margin)
     ngroups = -(-nbands // 8)
+    # clip mode: x4_ref is the whole (T, fh, fl) chunk resident in HBM;
+    # bands DMA straight out of frame t_ref[0] (runner ingest form — no
+    # per-frame slice/pad ever materializes in XLA)
+    xsrc = x4_ref.at[t_ref[0]] if clip_mode else x4_ref
 
     def copy_in(slot, t, which):
         if which == 0:
             return pltpu.make_async_copy(
-                x4_ref.at[pl.ds(t * CELL, CELL), :],
+                xsrc.at[pl.ds(t * CELL, CELL), :],
                 xbuf.at[slot], in_sems.at[slot, which])
         return pltpu.make_async_copy(
             cache_ref.at[pl.ds(t * CELL, CELL), :],
@@ -199,22 +203,28 @@ def _kernel(x4_ref, cache_in_ref, tau_ref,            # HBM, HBM, SMEM
 
 def detect_accept_flat4_pallas(x4f: jnp.ndarray, cache4: jnp.ndarray, tau,
                                fg: Flat4Geom, *, pad_lo: int = 1,
-                               win: int = CELL + 2,
+                               win: int = CELL + 2, frame_t=None,
                                interpret: bool = False):
     """Fused detect+accept+dilate over a flat4 stem cache.
 
     Args:
       x4f: (fh, fl) float32 flat4 view of the UNROUNDED input
-        (flat4.to_flat4(x, fg, jnp.float32)).
+        (flat4.to_flat4(x, fg, jnp.float32)) — or, with ``frame_t``, the
+        whole (T, fh, fl) clip (flat4.clip_to_flat4): the kernel DMAs
+        its bands directly out of frame ``frame_t`` in HBM
+        (clip-resident ingest, runner.scan_video ``ingest=True``).
       cache4: (fh, fl) accepted-value cache (aliased/donated).
       tau: scalar threshold.
+      frame_t: optional scalar int32 frame index selecting x4f[frame_t].
       pad_lo/win: the 3x3/s1/SAME receptive window on the 8x8 cell grid
         (window 10 starting at cell_origin - 1).
 
     Returns (new_cache4, cell_mask f32 (H/8, W/8) — RF-dilated exact,
              n_changed_pixels int32 (1,)).
     """
-    assert x4f.dtype == jnp.float32 and x4f.shape == cache4.shape, \
+    clip_mode = frame_t is not None
+    frame_shape = x4f.shape[1:] if clip_mode else x4f.shape
+    assert x4f.dtype == jnp.float32 and frame_shape == cache4.shape, \
         (x4f.dtype, x4f.shape, cache4.shape)
     assert fg.fh % CELL == 0 and fg.fl % 128 == 0, fg
     cells_h, cells_w = fg.h // CELL, fg.w // CELL
@@ -222,12 +232,14 @@ def detect_accept_flat4_pallas(x4f: jnp.ndarray, cache4: jnp.ndarray, tau,
     nrows = -(-nbands // 8) * 8  # row-OR accumulators padded to the
     #                              8-aligned group-flush granularity
     kern = functools.partial(_kernel, fg=fg, cells_h=cells_h,
-                             cells_w=cells_w, pad_lo=pad_lo, win=win)
+                             cells_w=cells_w, pad_lo=pad_lo, win=win,
+                             clip_mode=clip_mode)
     new_cache, mask, npix = pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -256,5 +268,6 @@ def detect_accept_flat4_pallas(x4f: jnp.ndarray, cache4: jnp.ndarray, tau,
         input_output_aliases={1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(x4f, cache4, jnp.asarray([tau], jnp.float32))
+    )(x4f, cache4, jnp.asarray([tau], jnp.float32),
+      jnp.asarray(frame_t if clip_mode else 0, jnp.int32).reshape(1))
     return new_cache, mask, npix

@@ -110,12 +110,16 @@ def main(argv=None):
     # CB scan under the deployment refresh policy: cond-free refresh_start
     # prolog on every other chunk (interval 2T — eval_headline parity),
     # now available on DAG nets via CBGraphNet.apply_refresh
+    # collect_stats="mean": the deployment observability form (see
+    # runner.scan_video doc — per-frame stacks cost ~77 us/frame)
     cb_refresh = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv,
-                                     refresh_start=True),
+                                     refresh_start=True,
+                                     collect_stats="mean", ingest=True),
         donate_argnums=(2,))
     cb_plain = jax.jit(
-        lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv),
+        lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv,
+                                     collect_stats="mean", ingest=True),
         donate_argnums=(2,))
     ys, st, stats = cb_refresh(params, warm, net.init_state())
     scalar_sync(ys)
@@ -148,9 +152,12 @@ def main(argv=None):
     # ALL timed chunks — the last chunk alone is the refresh-free one
     # under the alternating policy (same bias class as the FLOP
     # accounting fix in benchmark.py)
-    overflows = sum(int(np.asarray(s["overflow"]).sum())
-                    for cs in jax.device_get(all_stats)
-                    for s in cs.values() if s)
+    # mean-mode stats: overflow is a per-chunk FRACTION of frames — scale
+    # by T to recover the count the row has always reported
+    overflows = int(round(sum(
+        float(np.asarray(s["overflow"]).sum()) * T
+        for cs in jax.device_get(all_stats)
+        for s in cs.values() if s)))
     # effective-FLOP reduction over ALL timed chunks (refresh frames
     # included) — topology-agnostic via NetView (C15; BASELINE ">=3x"
     # pillar, previously unreported for the DAG row)

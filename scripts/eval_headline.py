@@ -156,13 +156,18 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
     # validation exists (scripts/validate_refresh.py: the largest cadence
     # whose WORST chunk stays within the degradation budget over a long
     # horizon on the calibration seeds).
+    # collect_stats="mean": per-frame (T,) counter stacks cost ~77
+    # us/frame of serialized s32[T] copies in the scan body (xprof r3);
+    # the FLOP accounting below consumes means via concat_stats unchanged
     cb_refresh = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
-                                         thresholds=tv, refresh_start=True),
+                                         thresholds=tv, refresh_start=True,
+                                         collect_stats="mean", ingest=True),
         donate_argnums=(2,))
     cb_plain = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
-                                         thresholds=tv),
+                                         thresholds=tv,
+                                         collect_stats="mean", ingest=True),
         donate_argnums=(2,))
     ys, state, stats = cb_refresh(params, warm_clip, net.init_state(), taus)
     _ = sync(ys)

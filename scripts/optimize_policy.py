@@ -144,6 +144,7 @@ def main():
 
         def cb_chunk(p, st, fs, refresh):
             ys, st2, _ = scan_video(net, p, fs, state=st, thresholds=taus,
+                                    collect_stats=False, ingest=True,
                                     refresh_start=refresh)
             return jnp.sum(ys[-1]) * 0, st2
         step = jax.jit(cb_chunk, donate_argnums=(1,), static_argnums=(3,))

@@ -175,14 +175,20 @@ def main():
     # no longer pays); pose keeps raw heatmaps (its consumers need them)
     out_u8 = (None if name.startswith("pose")
               else (lambda y: jnp.argmax(y, -1).astype(jnp.uint8)))
-    # CBINFER_TRACE_NOSTATS=1: trace the stats-free scan — A/B for the
-    # per-frame s32[T] copy-done (~75 us/frame in the r3 traces) that the
-    # stacked per-layer counters are suspected to serialize
-    nostats = bool(os.environ.get("CBINFER_TRACE_NOSTATS"))
+    # CBINFER_TRACE_STATS=stack|mean|none: A/B the observability forms —
+    # the per-frame s32[T] copy-done (~75 us/frame in the r3 traces) is
+    # the stacked per-layer counters serializing in the scan body; "mean"
+    # is the carry-accumulated deployment form bench.py ships
+    smode = os.environ.get("CBINFER_TRACE_STATS", "stack")
+    collect = {"stack": True, "mean": "mean", "none": False}[smode]
+    # CBINFER_TRACE_INGEST=1: clip-resident Flat4Clip form (what bench.py
+    # ships); default 0 keeps the classic per-frame xs for A/B
+    ing = os.environ.get("CBINFER_TRACE_INGEST", "0") == "1"
     jstep = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv, out_map=out_u8,
-                                         collect_stats=not nostats),
+                                         collect_stats=collect,
+                                         ingest=ing),
         donate_argnums=(2,))
     st0 = net.init_state()
     # AOT-compile ONCE and execute the same object: a separate
@@ -276,7 +282,9 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             prof = json.load(f)
-    prof.setdefault("stages", {})[name + ("_nostats" if nostats else "")] = {
+    prof.setdefault("stages", {})[
+        name + ("" if smode == "stack" else f"_{smode}")
+        + ("_ingest" if ing else "")] = {
         "shape": [H, W], "frames": T, "tau_source": "tuned",
         "per_frame_us": stages_us,
         "top_ops_us_per_frame": [[nm, d / T, attribution(nm)]

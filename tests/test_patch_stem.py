@@ -281,3 +281,48 @@ def test_fused_detect_matches_xla_chain(shape_tau):
     np.testing.assert_array_equal(np.asarray(mask_ref).astype(bool),
                                   np.asarray(mask_k).astype(bool))
     assert int(npix_k[0]) == int(npix_ref)
+
+
+def test_ingest_clip_resident_matches_classic_scan():
+    """scan_video(ingest=True) — the clip-resident Flat4Clip form — must
+    be BIT-identical to the classic per-frame path: same outputs, same
+    final caches, same stats, in plain / refresh_start / refresh_every
+    scans and in both stats forms (the detect kernel reads the same f32
+    values out of the resident clip that to_flat4 feeds it per-frame)."""
+    from cbinfer_tpu.convert import convert_flagship
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    Hs, Ws = 32, 64
+    specs = (ConvSpec(features=8, kernel=(3, 3), activation="relu"),
+             ConvSpec(features=8, kernel=(1, 1), activation=None))
+    cfg = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
+                         interpret=True)
+    netc = convert_flagship(specs, (Hs, Ws, 3), cfg)
+    assert netc.specs[0].backend == "patch_stem"
+    params = init_params(specs, (Hs, Ws, 3), jax.random.PRNGKey(2))
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=Hs, width=Ws, n_sprites=2, sprite_size=10,
+        seed=9)).clip(5))
+    taus = jnp.full((2,), 0.03, jnp.float32)
+    for kw in ({}, {"refresh_start": True}, {"refresh_every": 2},
+               {"refresh_start": True, "collect_stats": "mean"}):
+        ys_a, st_a, stats_a = scan_video(netc, params, clip,
+                                         thresholds=taus, **kw)
+        wrapped = scan_video(netc, params, clip, thresholds=taus,
+                             ingest=True, **kw)
+        ys_b, st_b, stats_b = wrapped
+        np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+        for a, b in zip(jax.tree.leaves(st_a), jax.tree.leaves(st_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)), stats_a, stats_b)
+    # a net whose stem is NOT patch_stem silently falls back
+    cfg_j = PipelineConfig(backend="jnp")
+    from cbinfer_tpu.convert import convert
+    netj = convert(specs, (Hs, Ws, 3), cfg_j)
+    y1, _, _ = scan_video(netj, params, clip, thresholds=taus)
+    y2, _, _ = scan_video(netj, params, clip, thresholds=taus, ingest=True)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))

@@ -381,3 +381,26 @@ def test_frame_stepper_graph_net():
         y, _ = stepper(clip[t])
         np.testing.assert_allclose(np.asarray(y), np.asarray(ys_scan[t]),
                                    atol=1e-5)
+
+
+def test_mean_stats_match_stacked_means():
+    """collect_stats="mean" (carry-accumulated deployment form) must equal
+    the per-frame stacked stats' means exactly — same counters, same
+    executable semantics — in plain, refresh_start, and refresh_every
+    scans, and effective_flops must price both forms identically."""
+    net, params, specs = _net()
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=32, width=48, seed=3)).clip(6))
+    for kw in ({}, {"refresh_start": True}, {"refresh_every": 3}):
+        ys_a, _, stacked = scan_video(net, params, clip, **kw)
+        ys_b, _, means = scan_video(net, params, clip,
+                                    collect_stats="mean", **kw)
+        np.testing.assert_array_equal(np.asarray(ys_a), np.asarray(ys_b))
+        jax.tree.map(
+            lambda s, m: np.testing.assert_allclose(
+                np.mean(np.asarray(s, np.float64)), np.asarray(m),
+                rtol=1e-6), stacked, means)
+        ef_a = effective_flops(stacked, net.specs, (32, 48, 3), 4, 4)
+        ef_b = effective_flops(means, net.specs, (32, 48, 3), 4, 4)
+        assert np.isclose(ef_a["flop_reduction"], ef_b["flop_reduction"],
+                          rtol=1e-6), (kw, ef_a, ef_b)
