@@ -32,7 +32,8 @@ def scan_video(net: CBNet, params, frames: jnp.ndarray,
     """Run a (T, H, W, C) clip through the CB net as one scan.
 
     Returns (outputs (T, ...), final_state, stats) where stats is a per-layer
-    dict of (T,)-shaped counters (changed/computed tiles, overflow) — the
+    dict of counters (changed/computed tiles, overflow) — (T,)-stacked by
+    default, 0-dim float32 means under ``collect_stats="mean"`` — the
     always-on observability channel (SURVEY.md §5.1). ``thresholds`` is the
     optional runtime tau vector (see CBNet.apply).
 
