@@ -134,33 +134,43 @@ def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "scene"
     width = int(sys.argv[2]) if len(sys.argv) > 2 else (
         128 if name == "scene" else 64)
-    H, W, T = (720, 1280, 12) if name == "pose" else (720, 1280, 24)
+    H, W, T = (720, 1280, 12) if name.startswith("pose") else (720, 1280, 24)
     if os.environ.get("CBINFER_TRACE_SHAPE"):  # CPU smoke: "H,W,T"
         H, W, T = map(int, os.environ["CBINFER_TRACE_SHAPE"].split(","))
     from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
-    specs = (get_model(name, width=width) if name == "pose"
-             else get_model(name, num_classes=8, width=width))
-    if isinstance(specs[-1], UpsampleSpec):
-        specs = specs[:-1]
     cfg = PipelineConfig(
         tile=TileConfig(8, 8), backend="pallas" if on_tpu else "jnp",
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    net = convert_flagship(specs, (H, W, 3), cfg)
-    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
-    try:
-        params = load_npz_params(f"/root/repo/ckpts/{name}_w{width}.npz",
-                                 params)
-    except Exception as e:
-        print(f"WARNING random weights ({e})", file=sys.stderr)
-    n_cb = num_cb_layers(net.specs)
-    try:
-        taus = jnp.asarray(load_thresholds(
-            f"/root/repo/ckpts/{name}_w{width}_tau.json"), jnp.float32)
-        assert taus.shape[0] == n_cb
-    except Exception:
-        taus = jnp.full((n_cb,), 0.04, jnp.float32)
+    if name == "pose_graph":
+        # the DAG workload has its own converter/policy — one-call zoo
+        # build, same construction as bench_pose_graph.py
+        from cbinfer_tpu import zoo
+        wl = zoo.load(name, (H, W, 3), cfg)
+        for wmsg in wl.warnings:
+            print(f"WARNING: {wmsg}", file=sys.stderr)
+        net, params = wl.net, wl.params
+        taus = jnp.asarray(wl.taus, jnp.float32)
+    else:
+        specs = (get_model(name, width=width) if name == "pose"
+                 else get_model(name, num_classes=8, width=width))
+        if isinstance(specs[-1], UpsampleSpec):
+            specs = specs[:-1]
+        net = convert_flagship(specs, (H, W, 3), cfg)
+        params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+        try:
+            params = load_npz_params(f"/root/repo/ckpts/{name}_w{width}.npz",
+                                     params)
+        except Exception as e:
+            print(f"WARNING random weights ({e})", file=sys.stderr)
+        n_cb = num_cb_layers(net.specs)
+        try:
+            taus = jnp.asarray(load_thresholds(
+                f"/root/repo/ckpts/{name}_w{width}_tau.json"), jnp.float32)
+            assert taus.shape[0] == n_cb
+        except Exception:
+            taus = jnp.full((n_cb,), 0.04, jnp.float32)
 
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=max(24, H // 15),
