@@ -68,9 +68,26 @@ class CBLayerState:
     out_cache: jnp.ndarray  # (Ho_pad, Wo_pad, Cout) cached output
 
 
+class PreDetect(NamedTuple):
+    """The consumer layer's detect outputs, computed by the PRODUCER's
+    fused delta-conv+detect kernel (ops/pallas/delta_conv_detect.py): the
+    consumer skips C1+C2 entirely and goes straight to compaction.
+    Bit-identical to running detect_sparse on the producer's output
+    (tests/test_delta_conv_detect.py, test_streaming fusion parity)."""
+    in_cache: jnp.ndarray   # consumer's accepted-value cache, updated
+    mask: jnp.ndarray       # (tiles_h, tiles_w) f32 changed-out-tile mask
+    npix: jnp.ndarray       # (1,) int32 changed pixels
+    n_detect: jnp.ndarray   # () int32 tiles visited (== producer count)
+
+
 class DirtyHint(NamedTuple):
-    """Conservative changed-region mask over a tensor, HINT_TILE granularity."""
+    """Conservative changed-region mask over a tensor, HINT_TILE granularity.
+
+    ``predetect`` is attached by a producer whose kernel already ran the
+    NEXT layer's detect (fused path); only the immediate consumer reads it.
+    """
     mask: jnp.ndarray  # (ceil(H/8), ceil(W/8)) bool
+    predetect: Optional[PreDetect] = None
 
 
 @struct.dataclass

@@ -86,11 +86,30 @@ def main():
     _ = float(jnp.sum(ys[-1]))
     dt = time.perf_counter() - t0 - sync_overhead
     fps = CHUNKS * T / max(1e-9, dt)
+
+    # dense twin under the SAME process flags: a flag that sandbags the
+    # dense path would inflate the CB-vs-dense ratio dishonestly — adopt a
+    # flag only if dense holds (bench.py times both paths in one process).
+    dense_out = out_u8 or (lambda y: y)
+    dense_scan = jax.jit(
+        lambda p, fs: jax.lax.map(lambda x: dense_out(net.apply_dense(p, x)),
+                                  fs))
+    d = dense_scan(params, warm)
+    _ = float(jnp.sum(d[-1] if not isinstance(d, tuple) else d[0][-1]))
+    t0 = time.perf_counter()
+    for ch in chunks:
+        d = dense_scan(params, ch)
+    _ = float(jnp.sum(d[-1] if not isinstance(d, tuple) else d[0][-1]))
+    ddt = time.perf_counter() - t0 - sync_overhead
+    dense_fps = CHUNKS * T / max(1e-9, ddt)
+
     print(json.dumps({
         "model": name,
         "libtpu_init_args": os.environ.get("LIBTPU_INIT_ARGS", ""),
         "cb_fps": round(fps, 1),
         "ms_per_frame": round(1e3 * dt / (CHUNKS * T), 4),
+        "dense_fps": round(dense_fps, 1),
+        "dense_ms_per_frame": round(1e3 * ddt / (CHUNKS * T), 4),
         "refresh_every_chunks": cadence,
         "seed": run_seed,
     }))
