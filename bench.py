@@ -32,6 +32,11 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from cbinfer_tpu.tpu_env import ensure_libtpu_flags
+
+ensure_libtpu_flags()  # before jax import: adopted MSA flag (tpu_env doc)
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -13,6 +13,10 @@ ops/delta_conv.py).
 
 import os as _os
 
+from .tpu_env import ensure_libtpu_flags as _ensure_libtpu_flags
+
+_ensure_libtpu_flags()  # before any jax backend init (tpu_env doc)
+
 if _os.environ.get("JAX_PLATFORMS") == "cpu":
     # Restore documented JAX behavior on boxes where a sitecustomize shim
     # registers an experimental TPU platform regardless of JAX_PLATFORMS

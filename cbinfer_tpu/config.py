@@ -100,6 +100,15 @@ class ConvSpec:
     # detection traffic and no mask compute. Falls back to re-detection
     # whenever no hint is available (layer 0, after dense layers).
     forward_hint: bool = False
+    # Fused consumer-detect (set by convert_flagship where the static
+    # fuse gate holds, ops/pallas/delta_conv_detect.fuse_gate): this
+    # layer's Pallas delta-conv kernel ALSO runs the NEXT layer's
+    # detect+accept+dilate on each output tile while it is still in VMEM,
+    # and the consumer skips its detect stage entirely (layers.PreDetect).
+    # Bit-identical to the unfused pair; ignored (silent fallback to the
+    # plain kernel) whenever the runtime gate does not hold, so the same
+    # spec runs correctly on the jnp/CPU twin.
+    fuse_next_detect: bool = False
     kind: str = "conv"
 
     def __post_init__(self):

@@ -43,7 +43,7 @@ data-dependently); values are identical either way.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +78,15 @@ class PreDetect(NamedTuple):
     mask: jnp.ndarray       # (tiles_h, tiles_w) f32 changed-out-tile mask
     npix: jnp.ndarray       # (1,) int32 changed pixels
     n_detect: jnp.ndarray   # () int32 tiles visited (== producer count)
+
+
+class FuseCtx(NamedTuple):
+    """Consumer-layer context handed to a ``fuse_next_detect`` producer by
+    CBNet.apply: the consumer's spec, its accepted-value cache (consumed by
+    the fused kernel via aliasing) and its runtime tau."""
+    spec: Any
+    in_cache: jnp.ndarray
+    tau: Any
 
 
 class DirtyHint(NamedTuple):
@@ -332,6 +341,14 @@ def _detect_and_mask(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
     (row x col projection within 8x8 hint tiles), which preserves
     value-exactness. All other paths: full-map XLA detect + reduce_window.
     """
+    if hint is not None and hint.predetect is not None:
+        # the producer's fused kernel already ran THIS layer's detect on
+        # tiles it had in VMEM (PreDetect doc) — bit-identical to the
+        # detect_sparse path below on the same visit set
+        pd = hint.predetect
+        assert pd.in_cache.shape == in_cache.shape, \
+            (pd.in_cache.shape, in_cache.shape)
+        return pd.in_cache, pd.mask > 0.5, pd.npix[0], pd.n_detect
     # x may be a PADDED array wider than the logical dims (zero-copy
     # handoff); logical extents come from the geometry.
     H, W = g.in_h, g.in_w
@@ -400,7 +417,8 @@ def _detect_xla(x: jnp.ndarray, in_cache: jnp.ndarray, tau,
 
 def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
                cfg: PipelineConfig, tile_fn, dense_fn, tau=None,
-               hint: Optional[DirtyHint] = None, forward: bool = False
+               hint: Optional[DirtyHint] = None, forward: bool = False,
+               fused_fn=None
                ) -> Tuple[jnp.ndarray, CBLayerState, Dict[str, Any], DirtyHint]:
     """Shared C1->C3 + overflow-cond skeleton for conv and pool layers.
 
@@ -412,6 +430,13 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
     is replaced by the hint-dilated mask (_forward_mask) + a pure tile
     copy (_accept_hinted); tau is unused. Bit-identical to tau = -1
     re-detection on 8-aligned maps (ConvSpec.forward_hint doc).
+
+    ``fused_fn`` (pallas conv producers only): replaces ``tile_fn`` with
+    the fused delta-conv + consumer-detect kernel; called as
+    fused_fn(storage, idx, count, out_cache) -> (out_cache, PreDetect),
+    and the PreDetect rides out on the returned hint. Requires the
+    cond-free capacity regime (pallas capacity == n_tiles), since the
+    dense fallback cannot produce consumer-detect outputs.
     """
     if forward:
         assert hint is not None
@@ -438,8 +463,14 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
     with jax.named_scope("compact"):
         comp = compact.compact_mask(mask, capacity)
 
+    predetect = None
     with jax.named_scope("delta_kernel"):
-        if capacity >= g.n_tiles:
+        if fused_fn is not None:
+            assert capacity >= g.n_tiles, "fused detect needs cond-free path"
+            out_cache, predetect = fused_fn(in_cache, comp.idx, comp.count,
+                                            state.out_cache)
+            overflow = jnp.zeros((), bool)
+        elif capacity >= g.n_tiles:
             out_cache = tile_fn(in_cache, comp.idx, comp.count,
                                 state.out_cache)
             overflow = jnp.zeros((), bool)
@@ -464,6 +495,8 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
     # caches are tile-grid padded; consumers receive the padded Feature and
     # crop lazily (XLA eliminates the slice when the consumer is CB)
     out_hint = _out_hint(mask, overflow, g)
+    if predetect is not None:
+        out_hint = out_hint._replace(predetect=predetect)
     return None, CBLayerState(in_cache=in_cache, out_cache=out_cache), \
         stats, out_hint
 
@@ -471,8 +504,15 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
 def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                   state: CBLayerState, x: jnp.ndarray, spec: ConvSpec,
                   cfg: PipelineConfig, tau=None,
-                  hint: Optional[DirtyHint] = None):
+                  hint: Optional[DirtyHint] = None,
+                  fuse_ctx: Optional[FuseCtx] = None):
     """One frame through a change-based conv layer.
+
+    ``fuse_ctx`` (pallas backend only; CBNet.apply passes it when this
+    spec has ``fuse_next_detect``): run the fused delta-conv + consumer
+    detect kernel, returning the consumer's detect outputs as
+    ``out_hint.predetect``. Silently ignored when the runtime fuse gate
+    does not hold (the jnp/CPU twin of the same spec).
 
     Returns (y, state', stats, out_hint)."""
     cfg = _layer_cfg(spec, cfg)
@@ -760,6 +800,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
         return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
             stats, out_hint
 
+    fused_fn = None
     if cfg.backend == "pallas":
         from .ops.pallas.delta_conv import delta_conv_pallas
 
@@ -768,6 +809,31 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                 storage, idx, w, b, out_cache, g,
                 spec.activation, compute_dtype, count=count,
                 interpret=cfg.interpret)
+
+        if fuse_ctx is not None:
+            from .ops.pallas import delta_conv_detect as _dcd
+            spec2 = fuse_ctx.spec
+            cfg2 = _layer_cfg(spec2, cfg)
+            cout_pad = w.shape[-1]
+            g2 = _geometry(spec2, (g.out_h, g.out_w,
+                                   lane_pad(cout_pad, cfg2)), cfg2)
+            # runtime re-check of the static converter gate: fall back to
+            # the plain kernel on any mismatch (value-identical)
+            if (cfg2.backend == "pallas" and cout_pad % LANE == 0
+                    and fuse_ctx.in_cache.shape == g2.store_shape
+                    and _dcd.fuse_gate(g, g2, lane_ok=True)):
+                tau2 = (fuse_ctx.tau if fuse_ctx.tau is not None
+                        else spec2.threshold)
+
+                def fused_fn(storage, idx, count, out_cache):
+                    new_out, new_nc, maskf, npix = \
+                        _dcd.delta_conv_detect_pallas(
+                            storage, idx, w, b, out_cache, g,
+                            spec.activation, compute_dtype,
+                            fuse_ctx.in_cache, tau2, g2, count=count,
+                            interpret=cfg.interpret)
+                    return new_out, PreDetect(in_cache=new_nc, mask=maskf,
+                                              npix=npix, n_detect=count)
     else:
         def tile_fn(storage, idx, count, out_cache):
             del count  # jnp path relies on sentinel-drop instead
