@@ -82,8 +82,24 @@ class CBNet:
             with jax.named_scope(scope):
                 if isinstance(spec, ConvSpec):
                     if spec.use_cb:
+                        fuse_ctx = None
+                        if spec.fuse_next_detect and k + 1 < len(self.specs):
+                            # hand the producer its consumer's cache + tau;
+                            # the consumer's detect is then served by
+                            # hint.predetect (layers._detect_and_mask)
+                            s2 = self.specs[k + 1]
+                            if (isinstance(s2, ConvSpec) and s2.use_cb
+                                    and not s2.forward_hint
+                                    and state[k + 1] is not None):
+                                tau2 = (thresholds[cb_i]
+                                        if thresholds is not None else None)
+                                fuse_ctx = L.FuseCtx(
+                                    spec=s2,
+                                    in_cache=state[k + 1].in_cache,
+                                    tau=tau2)
                         x, st, s, hint = L.cb_conv_apply(
-                            p, st, x, spec, self.cfg, tau, hint)
+                            p, st, x, spec, self.cfg, tau, hint,
+                            fuse_ctx=fuse_ctx)
                     else:
                         x = network.dense_conv(
                             as_array(x), p[0], p[1], spec,
@@ -350,6 +366,29 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
                     and hint_reaches(view, i):
                 s = dataclasses.replace(s, elide_in_cache=True)
         new_specs.append(s)
+    # fused consumer-detect pass (ops/pallas/delta_conv_detect.py): a
+    # plain-pallas CB conv whose IMMEDIATE successor is a detecting CB
+    # conv runs the fused kernel when the static gate holds — the
+    # consumer's detect then costs zero extra HBM reads (its tiles are in
+    # VMEM at the producer's scatter). Bit-identical either way, so tuned
+    # tau files stay valid.
+    from .ops.pallas.delta_conv_detect import fuse_gate as _dc_gate
+    for i in range(len(new_specs) - 1):
+        s, s2 = new_specs[i], new_specs[i + 1]
+        if not (isinstance(s, ConvSpec) and s.use_cb
+                and isinstance(s2, ConvSpec) and s2.use_cb
+                and not s2.forward_hint):
+            continue
+        lcfg, lcfg2 = _layer_cfg(s, cfg), _layer_cfg(s2, cfg)
+        if lcfg.backend != "pallas" or lcfg2.backend != "pallas":
+            continue
+        h, w, c = view.rows[i].in_shape
+        g = _geometry(s, (h, w, lane_pad(c, lcfg)), lcfg)
+        cout_pad = lane_pad(s.features, lcfg)
+        g2 = _geometry(s2, (g.out_h, g.out_w,
+                            lane_pad(cout_pad, lcfg2)), lcfg2)
+        if cout_pad % 128 == 0 and _dc_gate(g, g2, lane_ok=True):
+            new_specs[i] = dataclasses.replace(s, fuse_next_detect=True)
     net = dataclasses.replace(net, specs=tuple(new_specs))
     if thresholds is not None:
         net = convert(net.specs, in_shape, cfg, thresholds=thresholds)

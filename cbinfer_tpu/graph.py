@@ -114,6 +114,34 @@ class CBGraphNet:
                                              self.cfg) if is_cb else None)
         return state
 
+    def fused_consumer_map(self) -> Dict[str, str]:
+        """producer node name -> the consumer node whose detect its fused
+        kernel runs (ConvSpec.fuse_next_detect on a DAG). The consumer is
+        the FIRST topo-order CB conv node reading ONLY the producer — the
+        same deterministic rule convert_graph_flagship gated on, so the
+        converter's static fuse_gate check and apply's wiring always pick
+        the same node. Other readers of the producer's hint get the
+        predetect STRIPPED (it encodes one specific layer's cache)."""
+        out: Dict[str, str] = {}
+        for n in self.nodes:
+            if not (isinstance(n.spec, ConvSpec)
+                    and getattr(n.spec, "fuse_next_detect", False)):
+                continue
+            for c in self.nodes:
+                if (c.inputs == (n.name,) and isinstance(c.spec, ConvSpec)
+                        and c.spec.use_cb and not c.spec.forward_hint):
+                    out[n.name] = c.name
+                    break
+        return out
+
+    def _cb_indices(self) -> Dict[str, int]:
+        ix, i = {}, 0
+        for n in self.nodes:
+            if isinstance(n.spec, (ConvSpec, PoolSpec)) and n.spec.use_cb:
+                ix[n.name] = i
+                i += 1
+        return ix
+
     def apply(self, params: Dict[str, Any], state: Dict[str, Any],
               x: jnp.ndarray, thresholds=None):
         vals: Dict[str, Any] = {"input": x}
@@ -121,6 +149,9 @@ class CBGraphNet:
         new_state: Dict[str, Any] = {}
         stats: Dict[str, Dict] = {}
         cb_i = 0
+        fused_map = self.fused_consumer_map()
+        cb_ix = self._cb_indices() if fused_map else {}
+        by_name = {n.name: n for n in self.nodes}
 
         def as_array(v):
             return v.crop() if isinstance(v, L.Feature) else v
@@ -128,6 +159,11 @@ class CBGraphNet:
         for n in self.nodes:
             xin = vals[n.inputs[0]]
             hint = hints[n.inputs[0]]
+            if (hint is not None and hint.predetect is not None
+                    and fused_map.get(n.inputs[0]) != n.name):
+                # this reader is not the consumer the producer's fused
+                # kernel served — the predetect is another layer's cache
+                hint = hint._replace(predetect=None)
             tau = None
             if (thresholds is not None
                     and isinstance(n.spec, (ConvSpec, PoolSpec))
@@ -152,9 +188,18 @@ class CBGraphNet:
                     stats[n.name] = {}
                 elif isinstance(n.spec, ConvSpec):
                     if n.spec.use_cb:
+                        fuse_ctx = None
+                        cons = fused_map.get(n.name)
+                        if cons is not None and state.get(cons) is not None:
+                            spec2 = by_name[cons].spec
+                            tau2 = (thresholds[cb_ix[cons]]
+                                    if thresholds is not None else None)
+                            fuse_ctx = L.FuseCtx(
+                                spec=spec2,
+                                in_cache=state[cons].in_cache, tau=tau2)
                         y, st, s, h = L.cb_conv_apply(
                             params[n.name], state[n.name], xin, n.spec,
-                            self.cfg, tau, hint)
+                            self.cfg, tau, hint, fuse_ctx=fuse_ctx)
                     else:
                         y = network.dense_conv(
                             as_array(xin), params[n.name][0],
@@ -378,6 +423,36 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
         if fused_pool_gate(spec, g, lcfg, cpad) and hint_reaches(view2, i):
             nodes[i] = dataclasses.replace(
                 n, spec=dataclasses.replace(spec, elide_in_cache=True))
+    # fused consumer-detect pass — DAG twin of convert_flagship's: mark a
+    # plain-pallas CB conv node whose FIRST topo-order only-this-input CB
+    # conv reader passes the static fuse gate (the same deterministic rule
+    # CBGraphNet.fused_consumer_map applies at runtime; other readers get
+    # the predetect stripped in apply).
+    from .ops.pallas.delta_conv_detect import fuse_gate as _dc_gate
+    row_by_name = {n.name: i for i, n in enumerate(nodes)}
+    for i, n in enumerate(nodes):
+        s = n.spec
+        if not (isinstance(s, ConvSpec) and s.use_cb):
+            continue
+        lcfg = _layer_cfg(s, cfg)
+        if lcfg.backend != "pallas":
+            continue
+        cons = next((c for c in nodes
+                     if c.inputs == (n.name,) and isinstance(c.spec, ConvSpec)
+                     and c.spec.use_cb and not c.spec.forward_hint), None)
+        if cons is None:
+            continue
+        lcfg2 = _layer_cfg(cons.spec, cfg)
+        if lcfg2.backend != "pallas":
+            continue
+        h, w, c = view2.rows[i].in_shape
+        g = _geometry(s, (h, w, lane_pad(c, lcfg)), lcfg)
+        cout_pad = lane_pad(s.features, lcfg)
+        g2 = _geometry(cons.spec, (g.out_h, g.out_w,
+                                   lane_pad(cout_pad, lcfg2)), lcfg2)
+        if cout_pad % 128 == 0 and _dc_gate(g, g2, lane_ok=True):
+            nodes[i] = dataclasses.replace(
+                n, spec=dataclasses.replace(s, fuse_next_detect=True))
     return convert_graph(nodes, in_shape, cfg, output=output,
                          thresholds=thresholds)
 

@@ -24,10 +24,12 @@ one pass over the producer's changed-tile list: per tile it
 
 Bit-identical to ``delta_conv_pallas`` followed by ``detect_sparse`` under
 the static FUSE GATE (``fuse_gate``): producer tiles are 8×8 == the hint
-grid, the producer's logical output dims are 8-multiples (so its padded
-tile grid IS the consumer's clamp-free hint grid and the visited sets
-coincide), and both channel widths are lane-aligned. All shipped 720p
-model-zoo interior chains satisfy it.
+grid, the producer's logical output WIDTH is an 8-multiple, and both
+channel widths are lane-aligned. A ragged output HEIGHT (e.g. the 180- and
+90-row levels of the 720p zoo) is handled by visiting the padded grid at
+unclamped origins and masking detect rows beyond ``out_h`` (fuse_gate
+doc) — every conv→conv chain of the shipped 720p models satisfies the
+gate.
 
 Saves, per consumer-dirty tile and frame, one 8×8×C HBM read (the
 consumer detect's x re-read), one kernel dispatch, and the separate
@@ -59,10 +61,16 @@ def fuse_gate(g: TileGeometry, g2: Optional[TileGeometry],
 
     Conditions (all static):
       * producer compute tiles are 8×8 — one compute tile == one hint tile
-      * producer logical out dims are 8-multiples — the padded out grid
-        equals the consumer's hint grid with NO bottom-edge clamping
-        (hint_origin's ``min(hi*8, H-8)``), so the fused kernel's visit
-        set and pixel windows are exactly the unfused detect's
+      * producer logical out WIDTH is an 8-multiple (every shipped map is;
+        a clamped RIGHT edge would need misaligned W DMAs, which Mosaic
+        rejects). The HEIGHT may be ragged: the kernel visits the padded
+        tile grid at UNCLAMPED origins and masks detect rows beyond
+        ``out_h`` — bit-identical to the unfused detect's clamped visit
+        (the clamped window's extra top rows are either covered by their
+        own tile's visit or unchanged; npix's own-rows rule counts the
+        same set) — provided the consumer's storage has the bottom slack
+        to hold the full last window (checked below; win_h_dma sizing
+        provides it for every conv shape in the zoo)
       * consumer reads exactly the producer's output map
       * ``lane_ok``: both channel widths are 128-multiples (Mosaic DMA
         slot-slicing; interpret-mode tests may pass lane_ok=True with
@@ -71,9 +79,11 @@ def fuse_gate(g: TileGeometry, g2: Optional[TileGeometry],
     if g2 is None:
         return False
     return (g.th == HINT and g.tw == HINT
-            and g.out_h % HINT == 0 and g.out_w % HINT == 0
-            and g.out_h_pad == g.out_h and g.out_w_pad == g.out_w
+            and g.out_w % HINT == 0 and g.out_w_pad == g.out_w
             and g2.in_h == g.out_h and g2.in_w == g.out_w
+            # bottom slack: the last unclamped window [out_h_pad-8,
+            # out_h_pad) must fit inside the consumer's stored rows
+            and g2.store_shape[0] >= g2.store_lo_h + g.out_h_pad
             and lane_ok)
 
 
@@ -94,9 +104,9 @@ def _kernel(idx_ref, m_ref,                     # scalar prefetch (SMEM)
         t = idx_ref[i]
         ti = t // g.tiles_w
         tj = t - ti * g.tiles_w
-        return ti * g.th, tj * g.tw   # == hint origin: out dims are
-        #                               8-multiples under fuse_gate, so
-        #                               hint_origin's H-edge clamp is inert
+        return ti * g.th, tj * g.tw   # UNCLAMPED padded-grid origins (the
+        #                               consumer-detect rows beyond out_h
+        #                               are masked; fuse_gate doc)
 
     def win_copy(slot, i):
         oy, ox = tile_origin(i)
@@ -179,6 +189,15 @@ def _kernel(idx_ref, m_ref,                     # scalar prefetch (SMEM)
         diff = jnp.max(jnp.abs(y_tile.astype(jnp.float32)
                                - c8.astype(jnp.float32)), axis=-1)  # (8, 8)
         changed = diff > tau_ref[0]
+        oy, ox = tile_origin(i)
+        if g.out_h % HINT != 0:
+            # ragged bottom edge: rows >= out_h are the producer's pad —
+            # never detected, never accepted (the write-back below then
+            # restores the read bytes: consumer-storage slack rows stay
+            # bit-identical). Matches the unfused detect's own-rows rule.
+            row_ids = (jax.lax.broadcasted_iota(jnp.int32, (HINT, HINT), 0)
+                       + oy)
+            changed = jnp.logical_and(changed, row_ids < g.out_h)
         npix_ref[0] += jnp.sum(changed.astype(jnp.int32))
 
         abuf[slot] = jnp.where(changed[..., None],
@@ -187,7 +206,6 @@ def _kernel(idx_ref, m_ref,                     # scalar prefetch (SMEM)
 
         # ---- fused dilation for the CONSUMER's geometry (detect parity:
         # ops/pallas/detect._sparse_kernel indicator-matmul trick) ----
-        oy, ox = tile_origin(i)
         a_start = (jax.lax.broadcasted_iota(jnp.int32, (g2.tiles_h, HINT), 0)
                    * (g2.th * s2h) - g2.pad_lo_h)
         r_ids = jax.lax.broadcasted_iota(jnp.int32, (g2.tiles_h, HINT), 1) + oy
