@@ -307,8 +307,8 @@ def flagship_layers(specs: Sequence,
 def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
                      cfg: Optional[PipelineConfig] = None,
                      thresholds: Optional[Sequence[float]] = None,
-                     extra_overrides: Optional[Dict[int, str]] = None
-                     ) -> CBNet:
+                     extra_overrides: Optional[Dict[int, str]] = None,
+                     fuse_detect: bool = False) -> CBNet:
     """Convert with the shipped layer policy (see flagship_layers).
 
     ``thresholds`` is sized by the CONVERTED network's CB-layer count
@@ -321,6 +321,14 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     of a backend: the layer skips detection and recomputes its producer's
     hint region unconditionally (value-exact superset; the layer's tau
     slot stays in the vector but is dead — tuner.dead-tau precedent).
+
+    ``fuse_detect=True`` additionally marks plain-pallas conv→conv chains
+    for the fused consumer-detect kernel (ConvSpec.fuse_next_detect).
+    OPT-IN, default off: bit-identical either way, but the same-process
+    interleaved A/B measured it 0.99× on pose (13 fused transitions,
+    EXP_fused_ab.json) — the consumer detect's saved HBM re-read is
+    outweighed by the extra per-tile DMA-queue pressure inside the
+    producer's pipeline on this hardware generation.
     """
     cfg = cfg or PipelineConfig()  # the elide pass below reads cfg fields
     overrides, dense = flagship_layers(specs, in_shape, cfg)
@@ -371,9 +379,9 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     # conv runs the fused kernel when the static gate holds — the
     # consumer's detect then costs zero extra HBM reads (its tiles are in
     # VMEM at the producer's scatter). Bit-identical either way, so tuned
-    # tau files stay valid.
+    # tau files stay valid. Opt-in (measured 0.99×; fuse_detect doc).
     from .ops.pallas.delta_conv_detect import fuse_gate as _dc_gate
-    for i in range(len(new_specs) - 1):
+    for i in range(len(new_specs) - 1 if fuse_detect else 0):
         s, s2 = new_specs[i], new_specs[i + 1]
         if not (isinstance(s, ConvSpec) and s.use_cb
                 and isinstance(s2, ConvSpec) and s2.use_cb

@@ -42,6 +42,37 @@ def strip_fused(net):
     return dataclasses.replace(net, specs=specs)
 
 
+def with_fused(net):
+    """Opt the net INTO fused consumer-detect (the converters default to
+    off per this experiment's result): re-run the convert_flagship gate
+    loop over the already-converted specs (sequential nets only)."""
+    from cbinfer_tpu.config import ConvSpec
+    from cbinfer_tpu.layers import _geometry, _layer_cfg, lane_pad
+    from cbinfer_tpu.netview import NetView
+    from cbinfer_tpu.ops.pallas.delta_conv_detect import fuse_gate
+    assert not hasattr(net, "nodes"), "sequential A/B only"
+    cfg = net.cfg
+    view = NetView.from_specs(net.specs, net.in_shape, cfg)
+    specs = list(net.specs)
+    for i in range(len(specs) - 1):
+        s, s2 = specs[i], specs[i + 1]
+        if not (isinstance(s, ConvSpec) and s.use_cb
+                and isinstance(s2, ConvSpec) and s2.use_cb
+                and not s2.forward_hint):
+            continue
+        lcfg, lcfg2 = _layer_cfg(s, cfg), _layer_cfg(s2, cfg)
+        if lcfg.backend != "pallas" or lcfg2.backend != "pallas":
+            continue
+        h, w, c = view.rows[i].in_shape
+        g = _geometry(s, (h, w, lane_pad(c, lcfg)), lcfg)
+        cout_pad = lane_pad(s.features, lcfg)
+        g2 = _geometry(s2, (g.out_h, g.out_w,
+                            lane_pad(cout_pad, lcfg2)), lcfg2)
+        if cout_pad % 128 == 0 and fuse_gate(g, g2, lane_ok=True):
+            specs[i] = dataclasses.replace(s, fuse_next_detect=True)
+    return dataclasses.replace(net, specs=tuple(specs))
+
+
 def count_fused(net):
     specs = ([n.spec for n in net.nodes] if hasattr(net, "nodes")
              else net.specs)
@@ -64,8 +95,8 @@ def main():
     sync_overhead = measure_sync_overhead()
 
     wl = zoo.load(name, (H, W, 3))
-    net_f, params = wl.net, wl.params
-    net_u = strip_fused(net_f)
+    net_u, params = strip_fused(wl.net), wl.params
+    net_f = with_fused(net_u)
     nf = count_fused(net_f)
     assert nf > 0, f"{name}: no fused layers — nothing to A/B"
     tv = jnp.asarray(wl.taus, jnp.float32)

@@ -34,13 +34,13 @@ IN_SHAPE = (16, 24, 3)
 def _nets():
     cfg_p = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
                            interpret=True)
-    net_f = convert_flagship(SPECS, IN_SHAPE, cfg_p)
+    net_f = convert_flagship(SPECS, IN_SHAPE, cfg_p, fuse_detect=True)
     unfused = tuple(
         dataclasses.replace(s, fuse_next_detect=False)
         if isinstance(s, ConvSpec) else s for s in net_f.specs)
     net_u = dataclasses.replace(net_f, specs=unfused)
     cfg_j = PipelineConfig(tile=TileConfig(8, 8), backend="jnp")
-    net_j = convert_flagship(SPECS, IN_SHAPE, cfg_j)
+    net_j = convert_flagship(SPECS, IN_SHAPE, cfg_j, fuse_detect=True)
     return net_f, net_u, net_j
 
 
@@ -54,6 +54,14 @@ def test_flagship_sets_fuse_flags():
     # the jnp twin never sets the flag (pallas-only kernel)
     assert not any(getattr(s, "fuse_next_detect", False)
                    for s in net_j.specs)
+    # and WITHOUT the opt-in, the flagship converter never sets it (the
+    # same-process A/B measured the fused kernel 0.99x on pose — the
+    # shipped default is unfused; EXP_fused_ab.json)
+    cfg_p = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
+                           interpret=True)
+    net_d = convert_flagship(SPECS, IN_SHAPE, cfg_p)
+    assert not any(getattr(s, "fuse_next_detect", False)
+                   for s in net_d.specs)
 
 
 def test_fused_stream_bit_identical_to_unfused():
@@ -110,7 +118,8 @@ def test_fused_graph_dag_with_branching_reader():
     ]
     cfg_p = PipelineConfig(tile=TileConfig(8, 8), backend="pallas",
                            interpret=True)
-    net_f = convert_graph_flagship(nodes, IN_SHAPE, cfg_p)
+    net_f = convert_graph_flagship(nodes, IN_SHAPE, cfg_p,
+                                   fuse_detect=True)
     flagged = [n.name for n in net_f.nodes
                if getattr(n.spec, "fuse_next_detect", False)]
     assert "a" in flagged and "b" in flagged, flagged
@@ -121,7 +130,8 @@ def test_fused_graph_dag_with_branching_reader():
         if isinstance(n.spec, ConvSpec) else n for n in net_f.nodes)
     net_u = dataclasses.replace(net_f, nodes=unfused_nodes)
     cfg_j = PipelineConfig(tile=TileConfig(8, 8), backend="jnp")
-    net_j = convert_graph_flagship(nodes, IN_SHAPE, cfg_j)
+    net_j = convert_graph_flagship(nodes, IN_SHAPE, cfg_j,
+                                   fuse_detect=True)
 
     params = init_graph_params(nodes, IN_SHAPE, jax.random.PRNGKey(6))
     clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
