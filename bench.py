@@ -33,9 +33,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from cbinfer_tpu.tpu_env import ensure_libtpu_flags
-
-ensure_libtpu_flags()  # before jax import: adopted MSA flag (tpu_env doc)
+# importing the package applies the adopted MSA flag to LIBTPU_INIT_ARGS
+# before libtpu initializes (cbinfer_tpu/tpu_env.py)
+import cbinfer_tpu  # noqa: F401
 
 import jax
 import jax.numpy as jnp

@@ -324,11 +324,8 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
 
     ``fuse_detect=True`` additionally marks plain-pallas conv→conv chains
     for the fused consumer-detect kernel (ConvSpec.fuse_next_detect).
-    OPT-IN, default off: bit-identical either way, but the same-process
-    interleaved A/B measured it 0.99× on pose (13 fused transitions,
-    EXP_fused_ab.json) — the consumer detect's saved HBM re-read is
-    outweighed by the extra per-tile DMA-queue pressure inside the
-    producer's pipeline on this hardware generation.
+    OPT-IN, default off — bit-identical either way; the adoption decision
+    follows the same-process interleaved A/B (EXP_fused_ab.json).
     """
     cfg = cfg or PipelineConfig()  # the elide pass below reads cfg fields
     overrides, dense = flagship_layers(specs, in_shape, cfg)
@@ -380,23 +377,11 @@ def convert_flagship(specs: Sequence, in_shape: Tuple[int, int, int],
     # consumer's detect then costs zero extra HBM reads (its tiles are in
     # VMEM at the producer's scatter). Bit-identical either way, so tuned
     # tau files stay valid. Opt-in (measured 0.99×; fuse_detect doc).
-    from .ops.pallas.delta_conv_detect import fuse_gate as _dc_gate
     for i in range(len(new_specs) - 1 if fuse_detect else 0):
-        s, s2 = new_specs[i], new_specs[i + 1]
-        if not (isinstance(s, ConvSpec) and s.use_cb
-                and isinstance(s2, ConvSpec) and s2.use_cb
-                and not s2.forward_hint):
-            continue
-        lcfg, lcfg2 = _layer_cfg(s, cfg), _layer_cfg(s2, cfg)
-        if lcfg.backend != "pallas" or lcfg2.backend != "pallas":
-            continue
-        h, w, c = view.rows[i].in_shape
-        g = _geometry(s, (h, w, lane_pad(c, lcfg)), lcfg)
-        cout_pad = lane_pad(s.features, lcfg)
-        g2 = _geometry(s2, (g.out_h, g.out_w,
-                            lane_pad(cout_pad, lcfg2)), lcfg2)
-        if cout_pad % 128 == 0 and _dc_gate(g, g2, lane_ok=True):
-            new_specs[i] = dataclasses.replace(s, fuse_next_detect=True)
+        if L.fuse_next_gate(new_specs[i], new_specs[i + 1],
+                            view.rows[i].in_shape, cfg):
+            new_specs[i] = dataclasses.replace(new_specs[i],
+                                               fuse_next_detect=True)
     net = dataclasses.replace(net, specs=tuple(new_specs))
     if thresholds is not None:
         net = convert(net.specs, in_shape, cfg, thresholds=thresholds)

@@ -429,30 +429,15 @@ def convert_graph_flagship(nodes: Sequence[GraphNode], in_shape, cfg=None,
     # CBGraphNet.fused_consumer_map applies at runtime; other readers get
     # the predetect stripped in apply). Opt-in (measured 0.99× on the
     # sequential twin; convert_flagship.fuse_detect doc).
-    from .ops.pallas.delta_conv_detect import fuse_gate as _dc_gate
+    from .layers import fuse_next_gate
     for i, n in enumerate(nodes if fuse_detect else ()):
-        s = n.spec
-        if not (isinstance(s, ConvSpec) and s.use_cb):
-            continue
-        lcfg = _layer_cfg(s, cfg)
-        if lcfg.backend != "pallas":
-            continue
         cons = next((c for c in nodes
                      if c.inputs == (n.name,) and isinstance(c.spec, ConvSpec)
                      and c.spec.use_cb and not c.spec.forward_hint), None)
-        if cons is None:
-            continue
-        lcfg2 = _layer_cfg(cons.spec, cfg)
-        if lcfg2.backend != "pallas":
-            continue
-        h, w, c = view2.rows[i].in_shape
-        g = _geometry(s, (h, w, lane_pad(c, lcfg)), lcfg)
-        cout_pad = lane_pad(s.features, lcfg)
-        g2 = _geometry(cons.spec, (g.out_h, g.out_w,
-                                   lane_pad(cout_pad, lcfg2)), lcfg2)
-        if cout_pad % 128 == 0 and _dc_gate(g, g2, lane_ok=True):
+        if cons is not None and fuse_next_gate(
+                n.spec, cons.spec, view2.rows[i].in_shape, cfg):
             nodes[i] = dataclasses.replace(
-                n, spec=dataclasses.replace(s, fuse_next_detect=True))
+                n, spec=dataclasses.replace(n.spec, fuse_next_detect=True))
     return convert_graph(nodes, in_shape, cfg, output=output,
                          thresholds=thresholds)
 

@@ -501,6 +501,30 @@ def _run_gated(spec, state: CBLayerState, x: jnp.ndarray, g: TileGeometry,
         stats, out_hint
 
 
+def fuse_next_gate(spec, spec2, in_shape: Tuple[int, int, int],
+                   cfg: PipelineConfig) -> bool:
+    """STATIC eligibility of marking ``spec`` (producer, input ``in_shape``)
+    with ``fuse_next_detect`` for consumer ``spec2`` — the single source of
+    truth shared by convert_flagship, convert_graph_flagship, and the A/B
+    harness (scripts/exp_fused_ab.py). Mirrors the runtime re-check in
+    cb_conv_apply: both layers plain-pallas CB convs, consumer detecting
+    (not forward_hint), lane-aligned producer width, kernel fuse_gate."""
+    if not (isinstance(spec, ConvSpec) and spec.use_cb
+            and isinstance(spec2, ConvSpec) and spec2.use_cb
+            and not spec2.forward_hint):
+        return False
+    lcfg, lcfg2 = _layer_cfg(spec, cfg), _layer_cfg(spec2, cfg)
+    if lcfg.backend != "pallas" or lcfg2.backend != "pallas":
+        return False
+    from .ops.pallas.delta_conv_detect import fuse_gate
+    h, w, c = in_shape
+    g = _geometry(spec, (h, w, lane_pad(c, lcfg)), lcfg)
+    cout_pad = lane_pad(spec.features, lcfg)
+    g2 = _geometry(spec2, (g.out_h, g.out_w, lane_pad(cout_pad, lcfg2)),
+                   lcfg2)
+    return cout_pad % LANE == 0 and fuse_gate(g, g2, lane_ok=True)
+
+
 def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                   state: CBLayerState, x: jnp.ndarray, spec: ConvSpec,
                   cfg: PipelineConfig, tau=None,
@@ -849,7 +873,7 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     forward = bool(spec.forward_hint) and hint is not None
     y, st, stats, out_hint = _run_gated(spec, state, x, g, cfg, tile_fn,
                                         dense_fn, tau, hint,
-                                        forward=forward)
+                                        forward=forward, fused_fn=fused_fn)
     return Feature(st.out_cache, g.out_h, g.out_w, cout), st, stats, out_hint
 
 

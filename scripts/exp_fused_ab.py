@@ -24,8 +24,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_enable_compilation_cache", False)
-
 
 def strip_fused(net):
     """Return the same net with every fuse_next_detect flag cleared."""
@@ -44,32 +42,18 @@ def strip_fused(net):
 
 def with_fused(net):
     """Opt the net INTO fused consumer-detect (the converters default to
-    off per this experiment's result): re-run the convert_flagship gate
-    loop over the already-converted specs (sequential nets only)."""
-    from cbinfer_tpu.config import ConvSpec
-    from cbinfer_tpu.layers import _geometry, _layer_cfg, lane_pad
+    off per this experiment's result): apply the shared static gate
+    (layers.fuse_next_gate) over the already-converted specs (sequential
+    nets only)."""
+    from cbinfer_tpu.layers import fuse_next_gate
     from cbinfer_tpu.netview import NetView
-    from cbinfer_tpu.ops.pallas.delta_conv_detect import fuse_gate
     assert not hasattr(net, "nodes"), "sequential A/B only"
-    cfg = net.cfg
-    view = NetView.from_specs(net.specs, net.in_shape, cfg)
+    view = NetView.from_specs(net.specs, net.in_shape, net.cfg)
     specs = list(net.specs)
     for i in range(len(specs) - 1):
-        s, s2 = specs[i], specs[i + 1]
-        if not (isinstance(s, ConvSpec) and s.use_cb
-                and isinstance(s2, ConvSpec) and s2.use_cb
-                and not s2.forward_hint):
-            continue
-        lcfg, lcfg2 = _layer_cfg(s, cfg), _layer_cfg(s2, cfg)
-        if lcfg.backend != "pallas" or lcfg2.backend != "pallas":
-            continue
-        h, w, c = view.rows[i].in_shape
-        g = _geometry(s, (h, w, lane_pad(c, lcfg)), lcfg)
-        cout_pad = lane_pad(s.features, lcfg)
-        g2 = _geometry(s2, (g.out_h, g.out_w,
-                            lane_pad(cout_pad, lcfg2)), lcfg2)
-        if cout_pad % 128 == 0 and fuse_gate(g, g2, lane_ok=True):
-            specs[i] = dataclasses.replace(s, fuse_next_detect=True)
+        if fuse_next_gate(specs[i], specs[i + 1], view.rows[i].in_shape,
+                          net.cfg):
+            specs[i] = dataclasses.replace(specs[i], fuse_next_detect=True)
     return dataclasses.replace(net, specs=tuple(specs))
 
 
@@ -80,6 +64,12 @@ def count_fused(net):
 
 
 def main():
+    # disabled HERE, not at module level: check_fused_parity_tpu.py imports
+    # this module for strip_fused/with_fused and relies on the persistent
+    # cache (review r3). For the A/B itself the cache must be off — its
+    # key may not distinguish the variants' programs reliably across runs.
+    jax.config.update("jax_enable_compilation_cache", False)
+
     from cbinfer_tpu import zoo
     from cbinfer_tpu.benchmark import devices_or_die, measure_sync_overhead
     from cbinfer_tpu.runner import scan_video

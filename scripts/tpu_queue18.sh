@@ -2,6 +2,12 @@
 # r3 queue 18: pf0 adoption decision — probe_msa_flags now measures the
 # DENSE twin in the same process (a flag that sandbags dense would inflate
 # the CB ratio dishonestly; adopt only if dense holds).
+#
+# HISTORICAL: this ran (and MSA_FLAGS.json was recorded) BEFORE tpu_env.py
+# started auto-appending pf0 at package import. Re-running it at HEAD
+# would compare pf0 vs pf0 — a true baseline now needs the flag pinned to
+# libtpu's default explicitly (pinning any value for the key wins over
+# the auto-append; tpu_env.ensure_libtpu_flags).
 set -u
 cd /root/repo
 LOG=/root/repo/.queue_logs
