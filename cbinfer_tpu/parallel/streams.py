@@ -76,8 +76,19 @@ class MultiStreamRunner:
     """
 
     def __init__(self, net: CBNet, params, n_streams: int,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, thresholds=None,
+                 out_map=None, collect_stats=True):
+        """``thresholds``/``out_map``/``collect_stats`` mirror
+        runner.scan_video: deployment loops should pass the uint8-argmax
+        ``out_map`` and ``collect_stats="mean"`` — stacking raw bf16
+        logits over (S, T) pays the 16× lane-pad write per stream and the
+        per-frame (T,) counter stacks pay ~77 us/frame of serialized
+        copies (scan_video doc), neither of which a class-map consumer
+        needs."""
         self.net = net
+        self.thresholds = thresholds
+        self.out_map = out_map
+        self.collect_stats = collect_stats
         self.n_streams = n_streams
         self.mesh = mesh or make_stream_mesh()
         D = self.mesh.devices.size
@@ -108,10 +119,18 @@ class MultiStreamRunner:
             from ..runner import scan_video
             self.params = params
             self.states = [net.init_state() for _ in range(n_streams)]
-            self._plain_step = jax.jit(
-                lambda p, st, f: net.apply(p, st, f), donate_argnums=(1,))
+
+            def plain_step(p, st, f):
+                y, st, s = net.apply(p, st, f, thresholds)
+                return (out_map(y) if out_map is not None else y), st, \
+                    (s if collect_stats else [])
+
+            self._plain_step = jax.jit(plain_step, donate_argnums=(1,))
             self._plain_scan = jax.jit(
-                lambda p, st, c: scan_video(net, p, c, state=st),
+                lambda p, st, c: scan_video(net, p, c, state=st,
+                                            thresholds=thresholds,
+                                            out_map=out_map,
+                                            collect_stats=collect_stats),
                 donate_argnums=(1,))
             return
 
@@ -125,8 +144,13 @@ class MultiStreamRunner:
         self.states = [jax.device_put(wave_state, self._sharded)
                        for _ in range(self.n_waves)]
 
+        def apply1(params, st, x):
+            y, st, s = net.apply(params, st, x, thresholds)
+            return (out_map(y) if out_map is not None else y), st, \
+                (s if collect_stats else [])
+
         def streams_step(params, state, frames):
-            return lax.map(lambda a: net.apply(params, a[0], a[1]),
+            return lax.map(lambda a: apply1(params, a[0], a[1]),
                            (state, frames))
 
         smap_step = jax.shard_map(
@@ -141,24 +165,34 @@ class MultiStreamRunner:
             donate_argnums=(1,),
         )
 
+        from ..runner import scan_video
+
         def scan_clips(params, state, clips):
-            # clips: (S_local=1, T, ...) -> time-major scan of stream-
-            # mapped steps (runs inside shard_map on each device's shard)
-            def body(carry, xt):
-                y, new_carry, stats = lax.map(
-                    lambda a: net.apply(params, a[0], a[1]), (carry, xt))
-                return new_carry, (y, stats)
+            # one stream per device inside shard_map (waves doc): strip
+            # the S_local=1 axis, run the CANONICAL scan_video (same
+            # out_map / collect_stats / thresholds semantics as every
+            # other driver), restore the axis for the stream out_specs
+            st1 = jax.tree.map(lambda a: a[0], state)
+            ys, final, stats = scan_video(
+                net, params, clips[0], state=st1, thresholds=thresholds,
+                out_map=out_map, collect_stats=collect_stats)
+            final = jax.tree.map(lambda a: a[None], final)
+            # stats leaves: (T,) stacked -> (T, 1) time-major; "mean"
+            # 0-dim scalars -> (1,); False -> empty tree
+            ax = 0 if collect_stats == "mean" else 1
+            stats = jax.tree.map(
+                lambda a: jnp.expand_dims(jnp.asarray(a), ax), stats)
+            return ys[None], final, stats
 
-            final, (ys, stats) = lax.scan(body, state,
-                                          jnp.swapaxes(clips, 0, 1))
-            return jnp.swapaxes(ys, 0, 1), final, stats
-
-        # stats leaves from the scan are time-major (T, S): shard dim 1
-        stats_sharding = NamedSharding(self.mesh, P(None, "stream"))
+        stats_sharding = NamedSharding(
+            self.mesh, P("stream") if collect_stats == "mean"
+            else P(None, "stream"))
         smap_scan = jax.shard_map(
             scan_clips, mesh=self.mesh,
             in_specs=(P(), P("stream"), P("stream")),
-            out_specs=(P("stream"), P("stream"), P(None, "stream")),
+            out_specs=(P("stream"), P("stream"),
+                       P("stream") if collect_stats == "mean"
+                       else P(None, "stream")),
             check_vma=False)
         self._scan = jax.jit(
             smap_scan,
@@ -213,7 +247,10 @@ class MultiStreamRunner:
             # jitted stack (see _stack): eager stack of scan outputs
             # trips the TPU non-default-layout INVALID_ARGUMENT
             y = _stack([o[0] for o in outs], 0)
-            st = jax.tree.map(lambda *xs: _stack(list(xs), 1),
+            # stats leaves: (T,) stacked -> streams on axis 1 (time-major
+            # convention); "mean" 0-dim scalars -> axis 0; False -> empty
+            ax = 0 if self.collect_stats == "mean" else 1
+            st = jax.tree.map(lambda *xs: _stack(list(xs), ax),
                               *[o[1] for o in outs])
             return y, st
         ys, stats = [], []
@@ -224,7 +261,8 @@ class MultiStreamRunner:
                                                cw)
             ys.append(y)
             stats.append(st)
-        return self._gather_waves(ys, stats, axis=1)
+        return self._gather_waves(
+            ys, stats, axis=0 if self.collect_stats == "mean" else 1)
 
     def _gather_waves(self, ys, stats, axis: int):
         """Concatenate per-wave outputs (stream axis 0; scan stats carry

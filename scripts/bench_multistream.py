@@ -85,8 +85,15 @@ def main(argv=None):
           f"sync_overhead={sync_overhead * 1e3:.1f} ms", flush=True)
 
     # --- sequential baseline: same frames, one stream at a time ---
+    # deployment output form on BOTH paths (bench.py output_form doc):
+    # stacking raw 8-ch bf16 logits over (S, T) pays a 16x lane-padded
+    # write per stream that no class-map consumer reads; stats dropped
+    # on both paths alike
+    out_u8 = lambda y: jnp.argmax(y, -1).astype(jnp.uint8)  # noqa: E731
     cb = jax.jit(lambda p, fs, st: scan_video(net, p, fs, state=st,
-                                              thresholds=tau_vec)[:2],
+                                              thresholds=tau_vec,
+                                              out_map=out_u8,
+                                              collect_stats=False)[:2],
                  donate_argnums=(2,))
     states = [None] * S
     for s in range(S):  # warm pass = compile + cold start per stream
@@ -103,7 +110,9 @@ def main(argv=None):
 
     # --- batched: one program, S streams ---
     print(f"sequential baseline: {seq_fps:.1f} fps", flush=True)
-    runner = MultiStreamRunner(net, params, n_streams=S)
+    runner = MultiStreamRunner(net, params, n_streams=S,
+                               thresholds=tau_vec, out_map=out_u8,
+                               collect_stats=False)
     ys, _ = runner.run_clip(warm)  # compile + cold start
     scalar_sync(ys)
     print("runner warm", flush=True)

@@ -46,6 +46,47 @@ def test_multistream_matches_per_stream_scan():
                                    atol=1e-5, err_msg=f"stream {s}")
 
 
+def test_multistream_deployment_form_knobs():
+    """out_map / collect_stats / thresholds thread through BOTH mesh and
+    single-device runner paths with scan_video semantics (the deployment
+    form: uint8 argmax maps, mean or dropped stats)."""
+    from cbinfer_tpu.convert import num_cb_layers
+
+    net, params = _net()
+    tv = jnp.full((num_cb_layers(net.specs),), 0.02, jnp.float32)
+    u8 = lambda y: jnp.argmax(y, -1).astype(jnp.uint8)  # noqa: E731
+    clips = np.stack([
+        SpriteVideo(SpriteVideoConfig(height=32, width=48, seed=300 + s,
+                                      n_sprites=1 + s % 2)).clip(3)
+        for s in range(4)])
+    for mesh in (make_stream_mesh(4), make_stream_mesh(1)):
+        runner = MultiStreamRunner(net, params, n_streams=4, mesh=mesh,
+                                   thresholds=tv, out_map=u8,
+                                   collect_stats="mean")
+        ys, stats = runner.run_clip(jnp.asarray(clips))
+        assert ys.shape[:2] == (4, 3) and ys.ndim == 4 \
+            and ys.dtype == jnp.uint8  # (S, T, Ho, Wo) class maps
+        # mean stats: one scalar per stream per counter
+        assert np.asarray(stats[0]["computed_tiles"]).shape == (4,)
+        for s in range(4):
+            ys_ref, _, st_ref = scan_video(net, params,
+                                           jnp.asarray(clips[s]),
+                                           thresholds=tv, out_map=u8,
+                                           collect_stats="mean")
+            np.testing.assert_array_equal(np.asarray(ys[s]),
+                                          np.asarray(ys_ref))
+            np.testing.assert_allclose(
+                np.asarray(stats[0]["computed_tiles"])[s],
+                np.asarray(st_ref[0]["computed_tiles"]), rtol=1e-6)
+        # stats dropped entirely
+        runner = MultiStreamRunner(net, params, n_streams=4, mesh=mesh,
+                                   thresholds=tv, out_map=u8,
+                                   collect_stats=False)
+        ys2, stats2 = runner.run_clip(jnp.asarray(clips))
+        np.testing.assert_array_equal(np.asarray(ys2), np.asarray(ys))
+        assert not jax.tree.leaves(stats2)
+
+
 def test_multistream_step_interface_and_state_isolation():
     net, params = _net()
     runner = MultiStreamRunner(net, params, n_streams=8)
