@@ -25,6 +25,33 @@ from . import network
 from .config import ConvSpec, PipelineConfig, PoolSpec, UpsampleSpec
 
 
+def dense_conv_on_feature(x, p, spec: ConvSpec, compute_dtype):
+    """Dense conv of a layer-output ``x`` that may be a padded Feature.
+
+    POINTWISE convs (1x1, stride 1, no dilation) run straight on the
+    PADDED storage and crop the small output instead: a 1x1 output pixel
+    depends only on its own input pixel, so cropping commutes, and the
+    weights' cin rows are zero-padded to the stored lane width so pad
+    lanes contribute nothing. This removes the materialized interior
+    crop feeding the flagship dense classifier — a full HBM round trip
+    of the producer's map per frame for a consumer that is pointwise
+    (xprof r3-final: 40 us/frame of the 720p scene's ~0.46 ms compute,
+    the 2nd-largest op after the stem detect). Everything else crops
+    first (a k>1 window at the bottom edge would read pad-row garbage).
+    """
+    w, b = p
+    if (isinstance(x, L.Feature) and spec.kernel == (1, 1)
+            and spec.stride == (1, 1) and spec.dilation == (1, 1)):
+        cin_pad = x.data.shape[-1]
+        if w.shape[2] < cin_pad:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
+                            (0, 0)))
+        y = network.dense_conv(x.data, w, b, spec, compute_dtype)
+        return y[:x.h, :x.w]
+    x = x.crop() if isinstance(x, L.Feature) else x
+    return network.dense_conv(x, w, b, spec, compute_dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class CBNet:
     """A converted change-based network (functional; state passed explicitly).
@@ -101,9 +128,8 @@ class CBNet:
                             p, st, x, spec, self.cfg, tau, hint,
                             fuse_ctx=fuse_ctx)
                     else:
-                        x = network.dense_conv(
-                            as_array(x), p[0], p[1], spec,
-                            jnp.dtype(self.cfg.compute_dtype))
+                        x = dense_conv_on_feature(
+                            x, p, spec, jnp.dtype(self.cfg.compute_dtype))
                         s, hint = {}, None
                 elif isinstance(spec, PoolSpec):
                     if spec.use_cb:
@@ -144,8 +170,8 @@ class CBNet:
                 if spec.use_cb:
                     x, st, s, _ = L.cb_conv_refresh(p, st, x, spec, self.cfg)
                 else:
-                    x = network.dense_conv(as_array(x), p[0], p[1], spec,
-                                           jnp.dtype(self.cfg.compute_dtype))
+                    x = dense_conv_on_feature(
+                        x, p, spec, jnp.dtype(self.cfg.compute_dtype))
                     s = {}
             elif isinstance(spec, PoolSpec):
                 if spec.use_cb:

@@ -201,9 +201,9 @@ class CBGraphNet:
                             params[n.name], state[n.name], xin, n.spec,
                             self.cfg, tau, hint, fuse_ctx=fuse_ctx)
                     else:
-                        y = network.dense_conv(
-                            as_array(xin), params[n.name][0],
-                            params[n.name][1], n.spec,
+                        from .convert import dense_conv_on_feature
+                        y = dense_conv_on_feature(
+                            xin, params[n.name], n.spec,
                             jnp.dtype(self.cfg.compute_dtype))
                         st, s, h = None, {}, None
                     vals[n.name], hints[n.name] = y, h
@@ -255,9 +255,10 @@ class CBGraphNet:
                     y, st, s, _ = L.cb_conv_refresh(
                         params[n.name], state[n.name], xin, n.spec, self.cfg)
                 else:
-                    y = network.dense_conv(
-                        as_array(xin), params[n.name][0], params[n.name][1],
-                        n.spec, jnp.dtype(self.cfg.compute_dtype))
+                    from .convert import dense_conv_on_feature
+                    y = dense_conv_on_feature(
+                        xin, params[n.name], n.spec,
+                        jnp.dtype(self.cfg.compute_dtype))
                     st, s = None, {}
                 vals[n.name] = y
                 new_state[n.name], stats[n.name] = st, s
