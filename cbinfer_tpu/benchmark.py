@@ -54,11 +54,18 @@ def concat_stats(chunk_stats: Sequence):
 
 
 def devices_or_die(timeout_s: int = 180):
-    """Backend init with a watchdog: the axon-tunneled runtime can hang
-    indefinitely at device enumeration when the tunnel is down (observed
-    r3 — ``jax.devices()`` blocked >5 min in every process). A bounded
-    failure with a clear message beats an indefinite hang. Shared by
-    bench.py and the long-running scripts."""
+    """Backend init + first-op watchdog: a bounded failure with a clear
+    message beats an indefinite hang. Shared by bench.py and the
+    long-running scripts.
+
+    Two distinct tunnel-down hangs were observed on the axon-tunneled
+    runtime (r3): ``jax.devices()`` blocking at enumeration, and — the
+    sneakier one — enumeration SUCCEEDING from local metadata while the
+    first actual device op blocks forever on the remote session claim
+    (client hello sent, zero bytes answered, jaxlib's 1/s reconnect loop).
+    The watchdog therefore also executes a trivial jitted op on the found
+    backend; a healthy link costs one RTT (~30 ms), a dead one dies here
+    instead of inside the first timed program."""
     import os
     import sys
     import threading
@@ -66,7 +73,11 @@ def devices_or_die(timeout_s: int = 180):
 
     def probe():
         try:
-            out["devices"] = jax.devices()
+            ds = jax.devices()
+            # first-op probe: the remote claim happens on execution, not
+            # enumeration — a hung terminal makes this block, not raise
+            _ = jnp.add(jnp.zeros((), jnp.float32), 1.0).block_until_ready()
+            out["devices"] = ds
         except Exception as e:  # surfaced below
             out["error"] = repr(e)
 
@@ -76,8 +87,8 @@ def devices_or_die(timeout_s: int = 180):
     if "devices" in out:
         return out["devices"]
     print("FATAL —", out.get(
-        "error", f"backend init unresponsive after {timeout_s}s "
-        "(axon tunnel down?)"), file=sys.stderr)
+        "error", f"backend init or first device op unresponsive after "
+        f"{timeout_s}s (axon tunnel down?)"), file=sys.stderr)
     os._exit(1)
 
 
