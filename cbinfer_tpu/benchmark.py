@@ -92,6 +92,45 @@ def devices_or_die(timeout_s: int = 180):
     os._exit(1)
 
 
+def wait_for_tpu(deadline_s: float = 600.0, attempt_s: float = 120.0) -> bool:
+    """Bounded SUBPROCESS retry gate for a wedged device link.
+
+    Complements :func:`devices_or_die` for callers that can afford to
+    wait (the driver's end-of-round bench, queued measurement scripts):
+    each attempt probes a real op in a fresh bounded subprocess — a hung
+    attempt cannot poison this process's own (not-yet-initialized) jax
+    runtime, which matters because a wedge clears when its stale
+    claim-holder process dies, and THIS process must then still be able
+    to init cleanly. Returns True once a probe answers from a TPU; False
+    after the deadline (caller falls through to devices_or_die's clear
+    FATAL). Mirrors scripts/wait_tpu.py for in-library use.
+    """
+    import subprocess
+    import sys
+    probe_src = (
+        "import jax, jax.numpy as jnp\n"
+        "jnp.add(jnp.zeros((), jnp.float32), 1.0).block_until_ready()\n"
+        "assert any(d.platform == 'tpu' for d in jax.devices())\n"
+        "print('tpu-ok')\n")
+    t0 = time.time()
+    first = True
+    while time.time() - t0 < deadline_s:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               capture_output=True, text=True,
+                               timeout=attempt_s, cwd="/")
+            if r.returncode == 0 and "tpu-ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if first:
+            print("wait_for_tpu: device link not answering; retrying "
+                  f"for up to {deadline_s:.0f}s", file=sys.stderr)
+            first = False
+        time.sleep(30)
+    return False
+
+
 def measure_sync_overhead(reps: int = 5) -> float:
     """Per-sync host<->device link overhead (dispatch + scalar-fetch RTT):
     the MEDIAN of ``reps`` null-op samples — the tunnel RTT jitters ~±15 ms
