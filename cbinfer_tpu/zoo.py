@@ -175,13 +175,20 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
     e = REGISTRY[name]
     cfg = cfg or default_pipeline_config()
     warnings: List[str] = []
-    policy_src, extra = "none", None
+    policy_src, extra, fuse = "none", None, False
     if apply_policy and os.path.exists(e.policy_json):
         with open(e.policy_json) as f:
-            pol = json.load(f).get("overrides") or {}
-        if pol:
+            pj = json.load(f)
+        pol = pj.get("overrides") or {}
+        # measured per-workload adoption of the fused consumer-detect
+        # kernel (bit-identical to the unfused pair — kernel/network
+        # parity suites — so the policy key carries only a THROUGHPUT
+        # decision, same-process interleaved A/B in EXP_fused_ab.json)
+        fuse = bool(pj.get("fuse_detect", False))
+        if pol or fuse:
             policy_src = e.policy_json
-            extra = ({int(k): v for k, v in pol.items()}
+            extra = (None if not pol
+                     else {int(k): v for k, v in pol.items()}
                      if e.kind == "sequential" else dict(pol))
 
     def _with_policy_fallback(build):
@@ -204,7 +211,8 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
         from .models.pose import pose_graph
         nodes, out_name = pose_graph(width=e.width, **e.model_kwargs)
         net = _with_policy_fallback(lambda x: convert_graph_flagship(
-            nodes, in_shape, cfg, output=out_name, extra_overrides=x))
+            nodes, in_shape, cfg, output=out_name, extra_overrides=x,
+            fuse_detect=fuse))
         params = init_graph_params(nodes, in_shape,
                                    jax.random.PRNGKey(seed))
         weights = f"random(PRNGKey {seed})"
@@ -227,7 +235,7 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
             up_scale = specs[-1].scale
             specs = specs[:-1]
         net = _with_policy_fallback(lambda x: convert_flagship(
-            specs, in_shape, cfg, extra_overrides=x))
+            specs, in_shape, cfg, extra_overrides=x, fuse_detect=fuse))
         params = init_params_seq(specs, in_shape, seed)
         weights = f"random(PRNGKey {seed})"
         try:
