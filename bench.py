@@ -151,15 +151,22 @@ def main():
     # layers on top when present — accuracy-neutral by construction
     # (dense_cached keeps the accepted-cache tau semantics), so the tuned
     # tau file stays valid.
-    extra, policy_src = None, "none"
+    extra, policy_src, fuse = None, "none", False
     ppath = os.path.join(REPO, "POLICY_scene.json")
     if os.path.exists(ppath):
         with open(ppath) as f:
-            _pol = json.load(f).get("overrides") or {}
+            _pj = json.load(f)
+        _pol = _pj.get("overrides") or {}
+        # fused consumer-detect: bit-identical kernel pair, adopted per
+        # workload from the interleaved A/B (EXP_fused_ab.json via
+        # scripts/harvest_fused_ab.py)
+        fuse = bool(_pj.get("fuse_detect", False))
         if _pol:
             extra = {int(k): v for k, v in _pol.items()}
+        if _pol or fuse:
             policy_src = ppath
-    net = convert_flagship(specs, (H, W, 3), cfg, extra_overrides=extra)
+    net = convert_flagship(specs, (H, W, 3), cfg, extra_overrides=extra,
+                           fuse_detect=fuse)
     params, weights_src = _load_params(specs, (H, W, 3))
     taus, refresh, tau_src = _load_thresholds(num_cb_layers(net.specs))
     tau_vec = jnp.asarray(taus, jnp.float32)

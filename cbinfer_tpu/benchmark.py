@@ -75,8 +75,10 @@ def devices_or_die(timeout_s: int = 180):
         try:
             ds = jax.devices()
             # first-op probe: the remote claim happens on execution, not
-            # enumeration — a hung terminal makes this block, not raise
-            _ = jnp.add(jnp.zeros((), jnp.float32), 1.0).block_until_ready()
+            # enumeration — a hung terminal makes this block, not raise.
+            # Sync via scalar fetch (the module docstring's own rule:
+            # block_until_ready is unreliable on this runtime).
+            assert float(jnp.add(jnp.zeros((), jnp.float32), 1.0)) == 1.0
             out["devices"] = ds
         except Exception as e:  # surfaced below
             out["error"] = repr(e)
@@ -109,7 +111,7 @@ def wait_for_tpu(deadline_s: float = 600.0, attempt_s: float = 120.0) -> bool:
     import sys
     probe_src = (
         "import jax, jax.numpy as jnp\n"
-        "jnp.add(jnp.zeros((), jnp.float32), 1.0).block_until_ready()\n"
+        "assert float(jnp.add(jnp.zeros((), jnp.float32), 1.0)) == 1.0\n"
         "assert any(d.platform == 'tpu' for d in jax.devices())\n"
         "print('tpu-ok')\n")
     t0 = time.time()

@@ -112,6 +112,10 @@ class Workload:
     # callers reproduce it as argmax-then-upsample of the class map
     # (provably identical for nearest upsample)
     upsample_scale: Optional[Tuple[int, int]] = None
+    # whether the fused consumer-detect kernel was applied (a throughput-
+    # only policy decision — bit-identical either way); independent
+    # provenance so a policy fallback can't misreport it (advisor r3)
+    fuse_detect: bool = False
 
 
 def names() -> List[str]:
@@ -194,25 +198,28 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
     def _with_policy_fallback(build):
         """A stale policy file (wrong node names / layer indexes after an
         architecture change) degrades to a no-policy build with a warning
-        — the same loudly-but-gracefully contract as weights/taus."""
-        nonlocal policy_src, extra
+        — the same loudly-but-gracefully contract as weights/taus. The
+        fuse_detect decision comes from the SAME policy file, so it is
+        dropped together with the overrides: provenance 'none' must mean
+        no part of the policy was applied (advisor r3)."""
+        nonlocal policy_src, extra, fuse
         try:
-            return build(extra)
+            return build(extra, fuse)
         except ValueError as exc:
             if extra is None:
                 raise
             warnings.append(f"backend policy NOT applied ({exc})")
-            policy_src, extra = "none", None
-            return build(None)
+            policy_src, extra, fuse = "none", None, False
+            return build(None, False)
 
     if e.kind == "graph":
         from .checkpoint import load_npz_graph_params
         from .graph import convert_graph_flagship, init_graph_params
         from .models.pose import pose_graph
         nodes, out_name = pose_graph(width=e.width, **e.model_kwargs)
-        net = _with_policy_fallback(lambda x: convert_graph_flagship(
+        net = _with_policy_fallback(lambda x, fz: convert_graph_flagship(
             nodes, in_shape, cfg, output=out_name, extra_overrides=x,
-            fuse_detect=fuse))
+            fuse_detect=fz))
         params = init_graph_params(nodes, in_shape,
                                    jax.random.PRNGKey(seed))
         weights = f"random(PRNGKey {seed})"
@@ -234,8 +241,8 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
         if strip_trailing_upsample and isinstance(specs[-1], UpsampleSpec):
             up_scale = specs[-1].scale
             specs = specs[:-1]
-        net = _with_policy_fallback(lambda x: convert_flagship(
-            specs, in_shape, cfg, extra_overrides=x, fuse_detect=fuse))
+        net = _with_policy_fallback(lambda x, fz: convert_flagship(
+            specs, in_shape, cfg, extra_overrides=x, fuse_detect=fz))
         params = init_params_seq(specs, in_shape, seed)
         weights = f"random(PRNGKey {seed})"
         try:
@@ -274,7 +281,7 @@ def load(name: str, in_shape: Tuple[int, int, int] = (720, 1280, 3),
                     params=params, taus=taus, refresh_every=refresh,
                     metric=e.metric, weights=weights, tau_source=tau_src,
                     policy_source=policy_src, warnings=warnings,
-                    upsample_scale=up_scale)
+                    upsample_scale=up_scale, fuse_detect=fuse)
 
 
 def init_params_seq(specs: Sequence, in_shape, seed: int):

@@ -51,11 +51,8 @@ def classify(name: str) -> str:
 
 
 def collect_trace_events(logdir):
-    """Device-op (name, dur_us) pairs out of a jax.profiler trace.
-
-    Prefers the perfetto/trace-viewer json (plugins/profile/*/ *.trace.json.gz);
-    falls back to raw .xplane.pb via tensorflow's profiler proto if present.
-    """
+    """Device-op (name, ts_us, dur_us, pid, tid) out of a jax.profiler
+    trace (perfetto/trace-viewer json under plugins/profile/*/)."""
     evs = []
     for f in glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                        recursive=True):
@@ -73,9 +70,46 @@ def collect_trace_events(logdir):
             if e.get("ph") == "X" and "dur" in e:
                 if dev_pids and e.get("pid") not in dev_pids:
                     continue
-                evs.append((e.get("name", ""), float(e["dur"]),
-                            e.get("pid"), e.get("tid")))
+                evs.append((e.get("name", ""), float(e.get("ts", 0.0)),
+                            float(e["dur"]), e.get("pid"), e.get("tid")))
     return evs
+
+
+def self_times(evs):
+    """(name, self_dur_us) with nested children subtracted.
+
+    Trace lanes nest wrapper ops (the ``while.N`` scan body, fusion
+    parents) AROUND their children on the same (pid, tid) track, so
+    summing raw durations double-counts every nested child against its
+    parent (r3: 1.37 ms of attributed stage time on a measured 0.6 ms
+    frame). Standard flame-graph self-time fixes it: per track, sort by
+    (ts, -dur) and subtract each event's directly-nested children from
+    its own duration. Self time of a wrapper is then genuinely its own
+    (loop bookkeeping, inter-op gaps are NOT included — only time inside
+    the wrapper not covered by a child event), and stage sums become
+    additive: sum(self) == sum(top-level durations)."""
+    from collections import defaultdict
+    tracks = defaultdict(list)
+    for nm, ts, dur, pid, tid in evs:
+        tracks[(pid, tid)].append((ts, dur, nm))
+    out = []
+
+    def finish(fin, stack):
+        end, dur, nm, child = fin
+        out.append((nm, max(0.0, dur - child)))
+        if stack:
+            stack[-1][3] += dur
+
+    for tr in tracks.values():
+        tr.sort(key=lambda e: (e[0], -e[1]))
+        stack = []  # [end, dur, name, child_dur_sum]
+        for ts, dur, nm in tr:
+            while stack and ts >= stack[-1][0] - 1e-6:
+                finish(stack.pop(), stack)
+            stack.append([ts + dur, dur, nm, 0.0])
+        while stack:
+            finish(stack.pop(), stack)
+    return out
 
 
 def parse_hlo_metadata(hlo_text: str):
@@ -245,10 +279,15 @@ def main():
                 return stage
         return classify(nm)
 
-    # aggregate by stage; also keep the top raw names for inspection
+    # aggregate SELF time by stage (children subtracted — see self_times),
+    # so the per-frame stage sums are additive and match the measured
+    # frame; also keep the top raw names for inspection. The while/scan
+    # wrapper's own self time is binned as loop_overhead, not glue.
     by_stage, by_name = {}, {}
-    for nm, dur, pid, tid in evs:
-        st_ = classify_attr(nm)
+    for nm, dur in self_times(evs):
+        st_ = ("loop_overhead" if nm.split(".")[0] in ("while", "body",
+                                                       "condition")
+               else classify_attr(nm))
         by_stage[st_] = by_stage.get(st_, 0.0) + dur
         by_name[nm] = by_name.get(nm, 0.0) + dur
     def attribution(nm):
@@ -299,9 +338,12 @@ def main():
         "per_frame_us": stages_us,
         "top_ops_us_per_frame": [[nm, d / T, attribution(nm)]
                                  for nm, d in top[:12]],
-        "note": ("device-op durations aggregated from a jax.profiler "
-                 "trace of one 24-frame scan; names classified by Pallas "
-                 "kernel (detect vs delta_conv vs pool) vs XLA glue"),
+        "note": ("device-op SELF times (nested children subtracted — "
+                 "wrapper ops like the scan while no longer double-count "
+                 "their bodies) aggregated from a jax.profiler trace of "
+                 "one scan; names classified by Pallas kernel (detect vs "
+                 "delta_conv vs pool) vs XLA glue; stage sums are "
+                 "additive and should match the measured frame"),
     }
     with open(out_path, "w") as f:
         json.dump(prof, f, indent=2)

@@ -18,7 +18,10 @@ import time
 PROBE = (
     "import jax, jax.numpy as jnp\n"
     "x = jnp.add(jnp.zeros((), jnp.float32), 1.0)\n"
-    "x.block_until_ready()\n"
+    # sync via scalar fetch, not block_until_ready — the repo's timing
+    # notes found block_until_ready unreliable on this runtime, and the
+    # gate must prove a full device round-trip (advisor r3)
+    "assert float(x) == 1.0\n"
     "assert any(d.platform == 'tpu' for d in jax.devices())\n"
     "print('tpu-ok')\n")
 
