@@ -40,7 +40,10 @@ def setup():
 
 
 def _run(specs, params, clip, stem, backend="jnp", taus=0.02,
-         refresh=False, interpret=False, capacity=0.5):
+         refresh=False, interpret=False, capacity=0.75):
+    # capacity 0.75: the seed-3 sprites span 7 of 12 row bands, so the
+    # band stem needs >= 7 band slots or every frame overflows to the
+    # dense fallback and the "skips work" assertions can't hold
     cfg = PipelineConfig(
         tile=TileConfig(8, 8, capacity_fraction=capacity), backend=backend,
         compute_dtype="float32", cache_dtype="float32", interpret=interpret)
@@ -106,9 +109,9 @@ def test_band_stem_refresh_stats_in_fine_units(setup):
     grid (a band = a full row of fine tiles), not band units, or
     effective_flops underprices refresh frames."""
     specs, params, clip = setup
-    cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.5),
+    cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.75),
                          backend="jnp", compute_dtype="float32",
-                         cache_dtype="float32")
+                         cache_dtype="float32")  # 0.75: see _run
     net = convert(specs, (H, W, 3), cfg,
                   thresholds=[0.02] * num_cb_layers(specs),
                   backend_overrides={0: "band_cached"})

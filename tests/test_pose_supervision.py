@@ -67,7 +67,10 @@ def test_pose_targets_heat_peak_at_keypoint():
         py, px = np.unravel_index(heat[:, :, k].argmax(), (oh, ow))
         gy, gx = kps[k] / stride
         assert abs(py - gy) <= 1.0 and abs(px - gx) <= 1.0
-        assert heat[:, :, k].max() > 0.9          # unit-height Gaussian
+        # unit-height Gaussian sampled on the stride grid: worst case the
+        # peak falls mid-cell, max = exp(-0.5*(0.5^2+0.5^2)/sigma^2)
+        # = 0.8948 at sigma=1.5 (the old 0.9 bound was seed-lucky)
+        assert heat[:, :, k].max() > 0.894
 
 
 def test_pose_targets_paf_direction():
