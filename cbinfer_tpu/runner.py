@@ -207,6 +207,8 @@ class FrameStepper:
                     else jnp.asarray(thresholds, jnp.float32))
         self._refresh_every = refresh_every
         self._t = 0
+        self._since_refresh = 0
+        self._out_map = out_map
 
         def wrap(apply_fn):
             def fn(p, st, x, tv):
@@ -218,10 +220,12 @@ class FrameStepper:
 
         self._step = wrap(net.apply)
         self._cold = wrap(net.apply_refresh)
+        self._kstep: Dict[int, Any] = {}   # K -> (plain, refresh) jits
 
     def reset(self):
         self._state = self._net.init_state()
         self._t = 0
+        self._since_refresh = 0
 
     def __call__(self, frame) -> Tuple[jnp.ndarray, List[Dict[str, Any]]]:
         refresh = self._t == 0 or (self._refresh_every is not None
@@ -231,3 +235,47 @@ class FrameStepper:
                                    jnp.asarray(frame), self._tv)
         self._t += 1
         return y, stats
+
+    def _k_executables(self, k: int):
+        if k not in self._kstep:
+            net, out_map = self._net, self._out_map
+
+            def mk(refresh_start):
+                return jax.jit(
+                    lambda p, fs, st, tv: scan_video(
+                        net, p, fs, state=st, thresholds=tv,
+                        refresh_start=refresh_start, out_map=out_map,
+                        collect_stats="mean"),
+                    donate_argnums=(2,))
+
+            self._kstep[k] = (mk(False), mk(True))
+        return self._kstep[k]
+
+    def step_chunk(self, frames) -> Tuple[jnp.ndarray, Any]:
+        """Micro-batched live stepping: ONE dispatch per K frames.
+
+        ``frames`` is a (K, H, W, C) batch of consecutive frames;
+        returns ((K, ...) outputs, mean-form stats). The per-dispatch
+        overhead of the one-frame path (executable launch + donated-
+        carry handoff, ~0.4 ms on this box — scripts/probe_stepper.py)
+        amortizes over K, at the price of K-1 frames of added capture
+        latency: the latency/throughput dial a deployment chooses per
+        camera (K=4 at 30 fps adds 100 ms; K=1 is this class's
+        ``__call__``). Refresh policy at chunk granularity: the dense
+        refresh prolog runs on frame 0 of the first chunk (cold start)
+        and of any chunk where ``refresh_every`` frames have elapsed
+        since the last refresh — identical semantics to the chunked
+        drivers' refresh_start prolog (scan_video doc).
+        """
+        frames = jnp.asarray(frames)
+        k = int(frames.shape[0])
+        plain, refreshing = self._k_executables(k)
+        do_refresh = self._t == 0 or (
+            self._refresh_every is not None
+            and self._since_refresh + k > self._refresh_every)
+        fn = refreshing if do_refresh else plain
+        ys, self._state, stats = fn(self._params, frames, self._state,
+                                    self._tv)
+        self._since_refresh = k if do_refresh else self._since_refresh + k
+        self._t += k
+        return ys, stats

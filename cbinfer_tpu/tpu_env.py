@@ -40,9 +40,13 @@ def ensure_libtpu_flags() -> str:
     """Append the adopted libtpu flags to LIBTPU_INIT_ARGS (idempotent).
 
     Returns the resulting value. No-op for flags the environment already
-    sets (any value) — the user's choice wins.
+    sets (any value) — the user's choice wins. ``CBINFER_TPU_NO_FLAGS=1``
+    skips the adopted flags entirely (A/B harnesses: probe_stepper.py /
+    probe_msa_flags.py run the stock-runtime arm this way).
     """
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if os.environ.get("CBINFER_TPU_NO_FLAGS") == "1":
+        return cur
     parts = cur.split()
     for flag in LIBTPU_FLAGS:
         key = flag.split("=", 1)[0]

@@ -185,7 +185,7 @@ def main(argv=None):
     }
     print(json.dumps(row), flush=True)
     if args.no_write:
-        return
+        return row
     out = "/root/repo/RESULTS.json"
     results = {"rows": []}
     if os.path.exists(out):
@@ -196,7 +196,8 @@ def main(argv=None):
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print("updated RESULTS.json")
+    return row
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(0 if main() else 1)

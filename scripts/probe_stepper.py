@@ -66,20 +66,28 @@ def probe_a(sync_ms):
 
 
 def probe_b(sync_ms):
+    # PASS-THROUGH carry: the jitted fn touches ONE tiny buffer and
+    # returns the big donated buffers unchanged — isolates the per-
+    # dispatch aliasing/handoff cost of a large carry pytree from any
+    # compute over its bytes (the first version of this probe did `b+1`
+    # on every buffer and measured its own memory traffic: 3.3 ms/GB =
+    # HBM read+write, not dispatch overhead).
     for n_bufs, size_mb in ((4, 4), (16, 16), (64, 16), (64, 64)):
         n = int(size_mb * 1e6 / 2 / 128) // 8 * 8
         carry = [jnp.zeros((n, 128), jnp.bfloat16) for _ in range(n_bufs)]
+        tick = jnp.zeros((8, 128), jnp.float32)
 
         def f(c):
-            return [b + jnp.bfloat16(1.0) for b in c]
+            big, t = c
+            return (big, t + 1.0)
 
         jf = jax.jit(f, donate_argnums=(0,))
-        c = jf([b + 0 for b in carry])
-        _ = sync(c)
-        ms = timed_chain(jf, lambda: jf([b + 0 for b in carry]),
-                         sync_ms=sync_ms)
-        print(json.dumps({"probe": "B_donated_carry", "n_bufs": n_bufs,
-                          "size_mb_each": size_mb,
+        c = jf(([b + 0 for b in carry], tick + 0))
+        _ = sync(c[1])
+        ms = timed_chain(jf, lambda: jf(([b + 0 for b in carry],
+                                         tick + 0)), sync_ms=sync_ms)
+        print(json.dumps({"probe": "B_donated_carry_passthrough",
+                          "n_bufs": n_bufs, "size_mb_each": size_mb,
                           "total_gb": round(n_bufs * size_mb / 1e3, 2),
                           "per_dispatch_ms": round(ms, 4)}), flush=True)
 
@@ -117,7 +125,11 @@ def probe_c(sync_ms):
                       "per_frame_ms": round(float(np.median(pipe)), 4)}),
           flush=True)
 
-    # K-step scan executables (micro-batch live mode)
+    # K-step scan executables (micro-batch live mode). K-chunks are
+    # PRE-STACKED and device-resident before timing — jnp.stack of 720p
+    # frames inside the timed loop is a host-op-on-big-arrays violation
+    # (~ms of tunnel serialization per call; the first run of this probe
+    # measured 5.9 ms/frame at K=2 from exactly that).
     for K in (2, 4, 8):
         jf = jax.jit(
             lambda p, fs, st: scan_video(wl.net, p, fs, state=st,
@@ -125,17 +137,22 @@ def probe_c(sync_ms):
                                          collect_stats=False)[:2],
             donate_argnums=(2,))
         st = wl.net.init_state()
-        clip0 = jnp.stack(frames[:K])
-        ys, st = jf(wl.params, clip0, st)
-        _ = np.asarray(ys[-1])
-        ms = []
+        nwin = max(1, 32 // K)
+        stacks = []
         for w in range(4):
-            nwin = max(1, 32 // K)
-            t0 = time.perf_counter()
             for i in range(nwin):
                 sel = [frames[(8 + (w * nwin + i) * K + j) % 56]
                        for j in range(K)]
-                ys, st = jf(wl.params, jnp.stack(sel), st)
+                stacks.append(jnp.stack(sel))
+        for s in stacks:
+            _ = float(jnp.sum(s[0, 0, 0]))
+        ys, st = jf(wl.params, stacks[0], st)
+        _ = np.asarray(ys[-1])
+        ms = []
+        for w in range(4):
+            t0 = time.perf_counter()
+            for i in range(nwin):
+                ys, st = jf(wl.params, stacks[w * nwin + i], st)
             _ = float(jnp.sum(ys[-1]))
             ms.append(((time.perf_counter() - t0) * 1e3 - sync_ms)
                       / (nwin * K))

@@ -54,7 +54,16 @@ def main():
     # stream without refresh).
     H, W, T = 720, 1280, 96
     if name.startswith("pose"):
-        H, W = 360, 640  # 21+ CB layers: 720p sweeps take hours
+        # Tune AT deployment resolution (r4). The r3 360p sweep saturated
+        # its grid (flat sensitivity curves at 360p pushed most layers to
+        # 0.15) and the resulting vector degraded GT-PCK 0.125 at 720p —
+        # stress_validate correctly rejected it and pose shipped flat tau
+        # (VERDICT r3 missing #3). At 720p each eval measures the real
+        # deployment operating point; cost is contained by T=64 (two full
+        # refresh periods) and a trimmed 5-point grid — the device-side
+        # metric path fetches one scalar per eval, so a 21-layer sweep is
+        # ~100 evals of a single pre-compiled scan, not hours.
+        T = 64
     from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
     backend = "pallas" if on_tpu else "jnp"
@@ -162,7 +171,10 @@ def main():
 
         res = tune(net, params, calib, pose_metric,
                    device_metric_fn=pose_metric_device, labels=labels,
-                   tau_grid=(0.015, 0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
+                   # trimmed grid, capped at 0.1: the 360p sweep saturated
+                   # at 0.15 and that end of the grid is where the
+                   # deployment fragility lived (POSE_ACC.json)
+                   tau_grid=(0.02, 0.03, 0.045, 0.07, 0.1),
                    budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
                    budget=budget, skip_frames=8, refresh_every=REFRESH,
                    verbose=True)
@@ -197,6 +209,12 @@ def main():
     else:
         dep_net = net
     cands = {"tuned": list(res.thresholds)}
+    # scaled-tuned fallbacks: keep the tuner's RELATIVE per-layer profile
+    # but shrink the scale — if the raw vector proves fragile on fresh
+    # seeds, a 0.7x/0.5x version often passes while preserving most of
+    # the non-uniform gain (cheaper than falling all the way to flat)
+    for s in (0.7, 0.5):
+        cands[f"tuned_x{s}"] = [float(t) * s for t in res.thresholds]
     tmax = max(res.thresholds)
     for t in (0.07, 0.045, 0.03, 0.02, 0.015):
         if t < tmax:
