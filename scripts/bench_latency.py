@@ -51,8 +51,12 @@ from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 H, W = 720, 1280
 FRAMES = 96          # timed frames (after cold start + warmup)
 WARM = 8
-PIPE_K = 32          # frames per pipelined device-latency window
-PIPE_WINDOWS = 5
+PIPE_K = 64          # frames per pipelined device-latency window: at
+# ~0.6 ms/frame the window must drown the tunnel's ±15 ms RTT jitter
+# (32-frame windows = ~20 ms device time carried ±0.5 ms/frame of
+# jitter into the median; 64 halves it, and every refresh interval in
+# REFRESH_*.json is > 64 so windows still fit between refreshes)
+PIPE_WINDOWS = 7
 REFRESH_SAMPLES = 5
 
 
@@ -124,6 +128,42 @@ def bench(name, sync_ms):
         win_ms = (time.perf_counter() - t0) * 1e3
         pipe.append(max(0.0, win_ms - sync_ms) / PIPE_K)
 
+    # (b2) micro-batch live mode (FrameStepper.step_chunk): one dispatch
+    # per K consecutive frames, refresh prolog at chunk granularity — the
+    # deployment latency/throughput dial (K-1 frames of capture latency
+    # buys per-dispatch-overhead/K). K-chunks pre-stacked and device-
+    # resident before timing (host stacks of 720p frames inside a timed
+    # loop cost ~10 ms/call through this tunnel — probe_stepper.py).
+    micro = {}
+    for K in (4, 8):
+        mb = FrameStepper(wl.net, wl.params, thresholds=wl.taus,
+                          refresh_every=interval, out_map=out_map)
+        # small cycled pool of pre-staged stacks (~(nwin+2)*K frames):
+        # the donated state makes every dispatch's args unique, so
+        # dispatch memoization cannot hit even when a stack repeats
+        nwin = PIPE_K // K
+        stacks = [jnp.stack([frames[(i * K + j) % len(frames)]
+                             for j in range(K)])
+                  for i in range(nwin + 2)]
+        for s in stacks:
+            _ = float(jnp.sum(s[0, 0, 0]))
+        ys, _ = mb.step_chunk(stacks[0])  # cold start + compile refresh
+        ys, _ = mb.step_chunk(stacks[1])  # compile plain
+        ys.block_until_ready()
+        si = 2
+        vals = []
+        for _ in range(PIPE_WINDOWS):
+            if (mb._since_refresh + nwin * K) >= interval:
+                ys, _ = mb.step_chunk(stacks[si % len(stacks)]); si += 1
+                ys.block_until_ready()  # absorb the refresh, untimed
+            t0 = time.perf_counter()
+            for _ in range(nwin):
+                ys, _ = mb.step_chunk(stacks[si % len(stacks)]); si += 1
+            ys.block_until_ready()
+            win_ms = (time.perf_counter() - t0) * 1e3
+            vals.append(max(0.0, win_ms - sync_ms) / (nwin * K))
+        micro[f"device_ms_chunk{K}"] = round(float(np.median(vals)), 3)
+
     # (c) refresh spike: time the dense-refresh executable directly (the
     # stepper runs it every `interval` frames; its cost is phase-free).
     refresh_wall = []
@@ -142,6 +182,7 @@ def bench(name, sync_ms):
         "wall_ms_p50": round(float(np.percentile(wall, 50)), 3),
         "wall_ms_p95": round(float(np.percentile(wall, 95)), 3),
         "device_ms_pipelined": round(float(np.median(pipe)), 3),
+        **micro,
         "refresh_ms_p50": round(float(np.median(refresh_wall)), 3),
         "scan_ms_per_frame": _scan_ms(name),
         "weights": wl.weights, "tau_source": wl.tau_source,
@@ -161,8 +202,11 @@ def main():
                     "wall_ms includes the axon tunnel RTT (~sync_overhead_ms "
                     "per blocking call); device_ms_pipelined amortizes the "
                     "RTT over a window of async dispatches serialized on "
-                    "device by the donated caches. refresh_ms_p50 times the "
-                    "dense-refresh executable directly.")}
+                    "device by the donated caches. device_ms_chunkK is the "
+                    "micro-batch live mode (FrameStepper.step_chunk: one "
+                    "dispatch per K frames, K-1 frames added capture "
+                    "latency). refresh_ms_p50 times the dense-refresh "
+                    "executable directly.")}
     with open("/root/repo/LATENCY.json", "w") as f:
         json.dump(out, f, indent=1)
     print("written LATENCY.json")

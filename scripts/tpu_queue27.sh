@@ -22,7 +22,7 @@ gate && run multistream_u8 2400 python scripts/bench_multistream.py
 # 2. fused-detect A/B with the wiring live
 gate && run fused_ab_pose 2400 python scripts/exp_fused_ab.py pose 5
 gate && run fused_ab_seg  2400 python scripts/exp_fused_ab.py seg 5
-run harvest 300 python scripts/harvest_queue25.py
+run harvest 300 python scripts/harvest_fused_ab.py
 # 3. ev0 adoption repeats (interleaved arms)
 P="python scripts/probe_msa_flags.py"
 for r in 1 2 3; do
