@@ -85,8 +85,23 @@ def main():
     sync_overhead = measure_sync_overhead()
 
     wl = zoo.load(name, (H, W, 3))
-    net_u, params = strip_fused(wl.net), wl.params
-    net_f = with_fused(net_u)
+    params = wl.params
+    if name == "pose_graph":
+        # DAG twin: rebuild both arms through the graph converter's own
+        # fuse pass (with_fused's sequential-gate walk doesn't know DAG
+        # reader topology; convert_graph_flagship does)
+        from cbinfer_tpu.graph import convert_graph_flagship
+        from cbinfer_tpu.zoo import default_pipeline_config
+        cfg = default_pipeline_config()
+        net_u = convert_graph_flagship(list(wl.specs), (H, W, 3), cfg,
+                                       output=wl.net.output,
+                                       fuse_detect=False)
+        net_f = convert_graph_flagship(list(wl.specs), (H, W, 3), cfg,
+                                       output=wl.net.output,
+                                       fuse_detect=True)
+    else:
+        net_u = strip_fused(wl.net)
+        net_f = with_fused(net_u)
     nf = count_fused(net_f)
     assert nf > 0, f"{name}: no fused layers — nothing to A/B"
     tv = jnp.asarray(wl.taus, jnp.float32)

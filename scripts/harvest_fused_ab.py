@@ -26,9 +26,9 @@ import json
 import os
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# workloads the A/B instrument covers (sequential nets only; the DAG twin
-# pose_graph has no strip/with_fused path and is never adopted from here)
-EXPECTED = ("pose", "seg", "scene")
+# workloads the A/B instrument covers (pose_graph rides the graph
+# converter's own fuse pass — exp_fused_ab.py r4)
+EXPECTED = ("pose", "seg", "scene", "pose_graph")
 ADOPT_BAR = 1.02  # same bar optimize_policy uses for a backend flip
 
 

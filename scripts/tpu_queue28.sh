@@ -31,3 +31,11 @@ gate && run tune_pose_720p 7200 python scripts/tune_model.py pose
 # 4. pose row regen at whatever tau shipped from step 3
 gate && run eval_pose 1800 python scripts/eval_headline.py pose
 echo "=== queue28 done $(date -u +%H:%M:%S)"
+# 5. observability/ingest forms A/B (EXP_stats_ab.json) — decides
+#    whether the timed headline window drops the stat accumulators
+gate && run stats_ab 2400 python scripts/exp_stats_ab.py 5
+echo "=== queue28 stats_ab done $(date -u +%H:%M:%S)"
+# 6. DAG fused-detect A/B + harvest (per-workload adoption)
+gate && run fused_ab_pose_graph 2400 python scripts/exp_fused_ab.py pose_graph 5
+run harvest2 300 python scripts/harvest_fused_ab.py
+echo "=== queue28 all done $(date -u +%H:%M:%S)"
