@@ -59,16 +59,30 @@ def collect_trace_events(logdir):
         with gzip.open(f, "rt") as fh:
             data = json.load(fh)
         # pid -> process name from metadata events, so host python/TSL
-        # lanes (np.asarray, stop_trace, ...) never pollute device totals
-        pname = {}
+        # lanes (np.asarray, stop_trace, ...) never pollute device totals;
+        # tid -> thread name, because the device pid carries BOTH an
+        # "XLA Ops" lane and an "XLA Modules" lane (whole-executable
+        # spans on a SEPARATE track — cross-track nesting can't be
+        # subtracted, so including Modules would re-add the entire scan
+        # as unattributed 'xla_other': measured 487 us/frame of phantom
+        # glue before this filter, r4)
+        pname, tname = {}, {}
         for e in data.get("traceEvents", []):
-            if e.get("ph") == "M" and e.get("name") == "process_name":
+            if e.get("ph") != "M":
+                continue
+            if e.get("name") == "process_name":
                 pname[e.get("pid")] = e.get("args", {}).get("name", "")
+            elif e.get("name") == "thread_name":
+                tname[(e.get("pid"), e.get("tid"))] = \
+                    e.get("args", {}).get("name", "")
         dev_pids = {pid for pid, nm in pname.items()
                     if "TPU" in nm or "device" in nm.lower()}
         for e in data.get("traceEvents", []):
             if e.get("ph") == "X" and "dur" in e:
                 if dev_pids and e.get("pid") not in dev_pids:
+                    continue
+                if "Modules" in tname.get((e.get("pid"), e.get("tid")),
+                                          ""):
                     continue
                 evs.append((e.get("name", ""), float(e.get("ts", 0.0)),
                             float(e["dur"]), e.get("pid"), e.get("tid")))
