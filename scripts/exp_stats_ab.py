@@ -18,8 +18,8 @@ Stats are observability, not deployment output: dropping them from the
 TIMED window is fair iff the FLOP pillar is measured in a separate
 (untimed) pass, which bench.py's accuracy pass already is.
 
-Usage: python scripts/exp_stats_ab.py [reps]
-Writes EXP_stats_ab.json.
+Usage: python scripts/exp_stats_ab.py [model] [reps]
+Merges a per-model section into EXP_stats_ab.json.
 """
 
 import json
@@ -42,21 +42,25 @@ def main():
     from cbinfer_tpu.runner import scan_video
     from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
 
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    H, W, T, CHUNKS = 720, 1280, 32, 6
+    name = sys.argv[1] if len(sys.argv) > 1 else "scene"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    H, W, CHUNKS = 720, 1280, 6
+    T = 12 if name.startswith("pose") else 32
     if not any(d.platform == "tpu" for d in devices_or_die()):
         print(json.dumps({"error": "not on TPU"}))
         return 1
     sync_overhead = measure_sync_overhead()
 
-    wl = zoo.load("scene", (H, W, 3))
+    wl = zoo.load(name, (H, W, 3))
     tv = jnp.asarray(wl.taus, jnp.float32)
-    out_u8 = lambda y: jnp.argmax(y, -1).astype(jnp.uint8)  # noqa: E731
+    out_u8 = (None if name.startswith("pose")
+              else (lambda y: jnp.argmax(y, -1).astype(jnp.uint8)))
 
     run_seed = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=run_seed))
+        noise_std=0.002, distinct_classes=name.startswith("pose"),
+        seed=run_seed))
     chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
     for ch in chunks:
         _ = float(jnp.sum(ch))
@@ -104,17 +108,28 @@ def main():
     n_frames = (CHUNKS - 1) * T
     med = {k: float(np.median(v)) for k, v in times.items()}
     base = med["mean+ingest"]
-    out = {
-        "experiment": __doc__.split("\n")[0],
-        "model": "scene", "reps": reps, "seed": run_seed,
+    row = {
+        "model": name, "reps": reps, "seed": run_seed,
         "ms_per_frame": {k: round(1e3 * m / n_frames, 4)
                          for k, m in med.items()},
         "speedup_vs_shipped": {k: round(base / m, 4)
                                for k, m in med.items()},
         "all_s": {k: [round(x, 4) for x in v] for k, v in times.items()},
     }
-    print(json.dumps(out), flush=True)
-    with open("/root/repo/EXP_stats_ab.json", "w") as f:
+    print(json.dumps(row), flush=True)
+    path = "/root/repo/EXP_stats_ab.json"
+    out = {"experiment": __doc__.split("\n")[0], "models": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        out["models"] = prev.get("models", {})
+        if "ms_per_frame" in prev:  # first-version single-model layout
+            out["models"]["scene"] = {k: prev[k] for k in
+                                      ("reps", "seed", "ms_per_frame",
+                                       "speedup_vs_shipped", "all_s")
+                                      if k in prev}
+    out["models"][name] = row
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     return 0
 
