@@ -225,32 +225,38 @@ def main():
     REFRESH_EVERY_CHUNKS, refresh_src = load_refresh_cadence(
         "scene", T, H, W)
     REFRESH_EVERY_CHUNKS = min(REFRESH_EVERY_CHUNKS, CHUNKS)
-    # collect_stats="mean": carry-accumulated counters — the per-frame
-    # (T,) stacks cost ~77 us/frame of serialized s32[T] copies in the
-    # while body (xprof r3); the FLOP pillar only needs means anyway
-    cb_refresh = jax.jit(
-        lambda p, fs, st: scan_video(net, p, fs, state=st,
-                                     thresholds=tau_vec,
-                                     refresh_start=True, out_map=out_u8,
-                                     collect_stats="mean", ingest=True),
-        donate_argnums=(2,))
-    cb_plain = jax.jit(
-        lambda p, fs, st: scan_video(net, p, fs, state=st,
-                                     thresholds=tau_vec, out_map=out_u8,
-                                     collect_stats="mean", ingest=True),
-        donate_argnums=(2,))
+    # TIMED form (EXP_stats_ab, same-process interleaved A/B, r4): the
+    # deployment scan drops the stat accumulators AND the clip-resident
+    # ingest staging — measured 1.17x the r3 mean+ingest form on scene
+    # (0.467 vs 0.547 ms/frame; stats alone ~3%, ingest ~14% — the r3
+    # ingest adoption does not hold at the current operating point).
+    # Stats are observability, not deployment output; the FLOP pillar is
+    # measured by the separate UNTIMED accuracy pass below with its own
+    # stats-enabled executables.
+    def mk_cb(refresh_start, stats_form):
+        return jax.jit(
+            lambda p, fs, st: scan_video(net, p, fs, state=st,
+                                         thresholds=tau_vec,
+                                         refresh_start=refresh_start,
+                                         out_map=out_u8,
+                                         collect_stats=stats_form,
+                                         ingest=False),
+            donate_argnums=(2,))
+
+    cb_refresh, cb_plain = mk_cb(True, False), mk_cb(False, False)
 
     def cb_scan(p, fs, st, i):
         f = cb_refresh if i % REFRESH_EVERY_CHUNKS == 0 else cb_plain
-        return f(p, fs, st)
+        y, st2 = f(p, fs, st)[:2]
+        return y, st2
 
-    ys, state, stats = cb_refresh(params, warm_chunk, net.init_state())
+    ys, state = cb_refresh(params, warm_chunk, net.init_state())[:2]
     _ = float(jnp.sum(ys[-1]))  # compile + cold start + cache warm
-    ys, state, stats = cb_plain(params, warm_chunk, state)
+    ys, state = cb_plain(params, warm_chunk, state)[:2]
     _ = float(jnp.sum(ys[-1]))  # compile the plain variant too (untimed)
     t0 = time.perf_counter()
     for i, ch in enumerate(chunks):
-        ys, state, stats = cb_scan(params, ch, state, i)
+        ys, state = cb_scan(params, ch, state, i)
     _ = float(jnp.sum(ys[-1]))
     cb_fps = CHUNKS * T / max(1e-9,
                               time.perf_counter() - t0 - sync_overhead)
@@ -293,6 +299,11 @@ def main():
                      u0 + np.asarray(b, np.int64))
 
     acc_stats = []
+    # stats-enabled twins for this UNTIMED pass only (the timed loop is
+    # stats-free since r4, EXP_stats_ab): the FLOP pillar's per-layer
+    # counters come from here — identical math, extra executables are
+    # persistent-cached
+    cb_refresh_s, cb_plain_s = mk_cb(True, "mean"), mk_cb(False, "mean")
     # span at least one FULL refresh period: drift peaks in the last
     # chunk before a refresh, so accuracy measured over fewer chunks
     # than the cadence would score a fresher regime than the shipped
@@ -302,7 +313,8 @@ def main():
         ch = jnp.asarray(ch)
         lab = jnp.asarray(lab[:, ::stride, ::stride])
         dn, _eps = dense_scan(params, ch)
-        ys, acc_state, stats = cb_scan(params, ch, acc_state, i)
+        f = cb_refresh_s if i % REFRESH_EVERY_CHUNKS == 0 else cb_plain_s
+        ys, acc_state, stats = f(params, ch, acc_state)
         skip = 8 if i == 0 else 0  # cold start is exact by construction
         accum("agree", *iu_agree(ys[skip:], dn[skip:]))
         accum("cb_gt", *iu_gt(ys[skip:], lab[skip:]))
@@ -330,6 +342,9 @@ def main():
         "flop_reduction": round(ef["flop_reduction"], 2),
         "output_form": "argmax_u8 class maps (both paths; see EXP_variants"
                        " out/out_dense for the logits-form twin)",
+        "timed_form": "stats-free classic scan (EXP_stats_ab r4: 1.17x "
+                      "the mean+ingest form; FLOP counters from the "
+                      "untimed accuracy pass)",
         "weights": weights_src,
         "tau_source": tau_src,
         "backend_policy": policy_src,

@@ -115,11 +115,11 @@ def main(argv=None):
     cb_refresh = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv,
                                      refresh_start=True,
-                                     collect_stats="mean", ingest=True),
+                                     collect_stats="mean", ingest=False),
         donate_argnums=(2,))
     cb_plain = jax.jit(
         lambda p, fs, st: scan_video(net, p, fs, state=st, thresholds=tv,
-                                     collect_stats="mean", ingest=True),
+                                     collect_stats="mean", ingest=False),
         donate_argnums=(2,))
     ys, st, stats = cb_refresh(params, warm, net.init_state())
     scalar_sync(ys)

@@ -162,12 +162,12 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
     cb_refresh = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv, refresh_start=True,
-                                         collect_stats="mean", ingest=True),
+                                         collect_stats="mean", ingest=False),
         donate_argnums=(2,))
     cb_plain = jax.jit(
         lambda p, fs, st, tv: scan_video(net, p, fs, state=st,
                                          thresholds=tv,
-                                         collect_stats="mean", ingest=True),
+                                         collect_stats="mean", ingest=False),
         donate_argnums=(2,))
     ys, state, stats = cb_refresh(params, warm_clip, net.init_state(), taus)
     _ = sync(ys)

@@ -121,12 +121,12 @@ def main():
             lambda p, fs, st: scan_video(net, p, fs, state=st,
                                          thresholds=tv, refresh_start=True,
                                          out_map=out_u8,
-                                         collect_stats="mean", ingest=True),
+                                         collect_stats="mean", ingest=False),
             donate_argnums=(2,))
         fp = jax.jit(
             lambda p, fs, st: scan_video(net, p, fs, state=st,
                                          thresholds=tv, out_map=out_u8,
-                                         collect_stats="mean", ingest=True),
+                                         collect_stats="mean", ingest=False),
             donate_argnums=(2,))
         return net, fr, fp
 
