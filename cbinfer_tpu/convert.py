@@ -46,7 +46,11 @@ def dense_conv_on_feature(x, p, spec: ConvSpec, compute_dtype):
         if w.shape[2] < cin_pad:
             w = jnp.pad(w, ((0, 0), (0, 0), (0, cin_pad - w.shape[2]),
                             (0, 0)))
-        y = network.dense_conv(x.data, w, b, spec, compute_dtype)
+        # matmul form on the padded storage (r4 adoption, see
+        # network.POINTWISE_DOT): kills the lax.conv input layout copy
+        conv = (network.pointwise_dot_conv if network.POINTWISE_DOT
+                else network.dense_conv)
+        y = conv(x.data, w, b, spec, compute_dtype)
         return y[:x.h, :x.w]
     x = x.crop() if isinstance(x, L.Feature) else x
     return network.dense_conv(x, w, b, spec, compute_dtype)

@@ -65,9 +65,36 @@ def out_shapes(specs: Sequence, in_shape: Tuple[int, int, int]
     return shapes
 
 
-# trace-time gate for the pointwise-conv-as-matmul form (see dense_conv
-# body); scripts/exp_pointwise_ab.py measures it on-chip before adoption
-POINTWISE_DOT = False
+# Trace-time gate for the pointwise-conv-as-matmul form, consumed by
+# convert.dense_conv_on_feature (the CB path's trailing classifier on
+# PADDED Feature storage — where lax.conv pays a ~21 us/frame input
+# layout copy, xprof r4). ADOPTED ON per the measured interleaved A/B
+# (scripts/exp_pointwise_ab.py, EXP_pointwise_ab.json: CB 1.0465x).
+# The DENSE baseline keeps the lax.conv form: its 1x1 sits in a natural
+# conv chain where XLA fuses it (the A/B measured dense 0.989x under a
+# global flip — scoping to the Feature path takes the CB win without
+# touching dense).
+POINTWISE_DOT = True
+
+
+def pointwise_dot_conv(x: jnp.ndarray, w: jnp.ndarray,
+                       b: Optional[jnp.ndarray], spec: ConvSpec,
+                       compute_dtype=jnp.float32) -> jnp.ndarray:
+    """1x1 stride-1 conv as (H*W, cin) @ (cin, cout) — reads the input
+    storage directly (minor-dim-preserving reshape, no layout copy)."""
+    compute_dtype = jnp.dtype(compute_dtype)
+    assert spec.kernel == (1, 1) and spec.stride == (1, 1) \
+        and spec.dilation == (1, 1)
+    H, W, cin = x.shape
+    cout = w.shape[3]
+    y = jnp.dot(x.reshape(H * W, cin).astype(compute_dtype),
+                w.reshape(cin, cout).astype(compute_dtype),
+                preferred_element_type=compute_dtype)
+    if b is not None:
+        y = y + b.astype(compute_dtype)
+    if spec.activation == "relu":
+        y = jnp.maximum(y, jnp.asarray(0.0, compute_dtype))
+    return y.reshape(H, W, cout)
 
 
 def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
@@ -85,25 +112,6 @@ def dense_conv(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray],
     compute_dtype = jnp.dtype(compute_dtype)
     kh, kw = spec.kernel
     cin = w.shape[2]
-    # POINTWISE conv as a plain matmul (trace-time gate, r4): the
-    # lax.conv form of the flagship's 1x1 classifier pays a ~21 us/frame
-    # input layout copy before the conv (xprof r4: copy.66 beside the
-    # 42 us fusion at 720p-scene L6). A 1x1 stride-1 conv is exactly
-    # (H*W, cin) @ (cin, cout); the reshape is minor-dim-preserving
-    # (free) so the matmul reads the producer's storage directly.
-    # Gated by scripts/exp_pointwise_ab.py's measured verdict.
-    if (POINTWISE_DOT and (kh, kw) == (1, 1) and spec.stride == (1, 1)
-            and spec.dilation == (1, 1)):
-        H, W, _ = x.shape
-        cout = w.shape[3]
-        y = jnp.dot(x.reshape(H * W, cin).astype(compute_dtype),
-                    w.reshape(cin, cout).astype(compute_dtype),
-                    preferred_element_type=compute_dtype)
-        if b is not None:
-            y = y + b.astype(compute_dtype)
-        if spec.activation == "relu":
-            y = jnp.maximum(y, jnp.asarray(0.0, compute_dtype))
-        return y.reshape(H, W, cout)
     # NOTE (r3 in-pipeline probe): zero-padding cin 3->8 and using the
     # native lax.conv measured 206 fps vs 722 for this im2col at the
     # 720p scene bench (and slowed the DENSE path 275->236) — the conv's

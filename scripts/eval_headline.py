@@ -263,13 +263,22 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "scene"
     if which == "all":
         # one subprocess per family: each invocation merges its own rows
-        # into RESULTS.json (the (model, mode)-keyed merge below)
+        # into RESULTS.json (the (model, mode)-keyed merge below). Each
+        # family is tunnel-gated + retried once: the axon terminal's
+        # transient claim-slow mode (2-11 min, memory: axon-tunnel-wedge)
+        # otherwise FATALs a family's devices_or_die and loses its rows.
         import subprocess
+        from cbinfer_tpu.benchmark import wait_for_tpu
         for fam in ("scene", "scene_hard", "seg", "pose"):
-            r = subprocess.run([sys.executable,
-                                os.path.abspath(__file__), fam],
-                               timeout=2400)
-            print(f"eval[{fam}] rc={r.returncode}", flush=True)
+            for attempt in (1, 2):
+                wait_for_tpu(deadline_s=1800.0)
+                r = subprocess.run([sys.executable,
+                                    os.path.abspath(__file__), fam],
+                                   timeout=2400)
+                print(f"eval[{fam}] attempt {attempt} "
+                      f"rc={r.returncode}", flush=True)
+                if r.returncode == 0:
+                    break
         return
     if which == "scene":
         results["rows"].append(bench_model("scene", tau=None))   # tuned taus

@@ -45,6 +45,14 @@ def classify(name: str) -> str:
     for pat, stage in STAGE_OF:
         if pat in name:
             return stage
+    # named-scope pallas_call events carry the layer scope as the op name
+    # (e.g. "L1_pool.8", "patch_conv.8", "delta_kernel.24")
+    if "_pool" in name:
+        return "delta_pool"
+    if "patch_conv" in name:
+        return "delta_conv"
+    if "delta_kernel" in name:
+        return "delta_conv"
     if "fusion" in name or "convolution" in name or "dot" in name:
         return "xla_compute"
     return "xla_other"
@@ -286,6 +294,8 @@ def main():
                              ("/accept_hinted/", "detect"),
                              ("/compact/", "compact"),
                              ("/delta_kernel/", "delta_conv"),
+                             ("/patch_conv/", "delta_conv"),
+                             ("_pool/", "delta_pool"),
                              ("/band_conv/", "band_conv"),
                              ("/cached_conv/", "cached_conv"),
                              ("/out_pad/", "cached_conv")):
