@@ -61,6 +61,15 @@ def main():
     ap.add_argument("--budget", type=float, default=0.005,
                     help="max acceptable WORST-chunk GT degradation for a "
                     "cadence to validate (same scale as the 0.5%% pillar)")
+    ap.add_argument("--tau", type=float, default=None,
+                    help="flat tau override (trial sweeps at candidate "
+                    "operating points — e.g. the stress-validated "
+                    "tuned_xS scaled vectors are uniform, so a flat "
+                    "value reproduces them)")
+    ap.add_argument("--no-write", action="store_true",
+                    help="print rows but leave REFRESH_<model>.json "
+                    "untouched (trial runs must not change the cadence "
+                    "consumers load)")
     args = ap.parse_args()
 
     from cbinfer_tpu.benchmark import devices_or_die
@@ -79,7 +88,7 @@ def main():
         backend="pallas" if on_tpu else "jnp",
         compute_dtype="bfloat16" if on_tpu else "float32",
         cache_dtype="bfloat16" if on_tpu else "float32")
-    wl = zoo.load(args.model, (H, W, 3), cfg)
+    wl = zoo.load(args.model, (H, W, 3), cfg, tau=args.tau)
     net, params = wl.net, wl.params
     taus = jnp.asarray(wl.taus, jnp.float32)
     if wl.kind == "graph":
@@ -217,6 +226,9 @@ def main():
                  "start only (unbounded drift reference)"),
     }
     print(json.dumps({k: v for k, v in result.items() if k != "rows"}))
+    if args.no_write or args.tau is not None:
+        print("trial run (--no-write / --tau): REFRESH json untouched")
+        return
     if not on_tpu:
         print("not on TPU: skipping REFRESH json write "
               "(CPU drift is f32 — not the shipped bf16 regime)")
