@@ -76,11 +76,21 @@ def flat4_geom(h: int, w: int, cin: int) -> Flat4Geom:
 
 
 def to_flat4(x: jnp.ndarray, fg: Flat4Geom, dtype) -> jnp.ndarray:
-    """(H, W, cin) -> (fh, fl) flat4 buffer (margins and c>=cin zero)."""
-    pad_w = fg.fl // CP - fg.w - 1
-    f = jnp.pad(x.astype(dtype),
-                ((1, fg.fh - fg.h - 1), (1, pad_w), (0, CP - fg.cin)))
-    return f.reshape(fg.fh, fg.fl)
+    """(H, W, cin) -> (fh, fl) flat4 buffer (margins and c>=cin zero).
+
+    Form chosen by the r4 on-chip probe (scripts/probe_flat4_ingest.py,
+    barrier harness): concat the zero lane(s) -> cast -> rank-2 reshape
+    -> rank-2 pad measured 42 us/frame vs 92 for the original
+    rank-3-pad-then-reshape (whose post-pad (fh, w', CP) -> (fh, fl)
+    minor-dim merge lowers to a real relayout copy) and 63 for
+    pad-channels-first. Element placement is identical: pixel p of row r
+    lands at lanes [CP*(1+p), CP*(2+p)) of flat row r+1 either way."""
+    f = jnp.concatenate(
+        [x, jnp.zeros((*x.shape[:2], CP - fg.cin), x.dtype)], axis=-1
+    ) if fg.cin < CP else x
+    f = f.astype(dtype).reshape(fg.h, CP * fg.w)
+    return jnp.pad(f, ((1, fg.fh - fg.h - 1),
+                       (CP, fg.fl - CP * fg.w - CP)))
 
 
 def from_flat4(f4: jnp.ndarray, fg: Flat4Geom) -> jnp.ndarray:
