@@ -55,6 +55,14 @@ def main(argv=None):
                          "(uncompressed YUV4MPEG2 — `ffmpeg -i in.mp4 "
                          "out.y4m`) or .npy/.npz (T,H,W,3) clip; "
                          "--height/--width are taken from the file")
+    ap.add_argument("--live", type=int, nargs="?", const=1, default=None,
+                    metavar="K",
+                    help="live streaming mode (FrameStepper): one "
+                         "dispatch per frame (K=1) or per K-frame "
+                         "micro-batch (step_chunk — K-1 frames of added "
+                         "capture latency buys dispatch-overhead/K; see "
+                         "LATENCY.json). Reports wall ms/frame alongside "
+                         "the scan-form results")
     ap.add_argument("--json", action="store_true", help="JSON-only output")
     args = ap.parse_args(argv)
 
@@ -126,6 +134,33 @@ def main(argv=None):
         "flop_reduction": round(ef["flop_reduction"], 2),
         "thresholds": [float(t) for t in taus],
     }
+    if args.live is not None:
+        import time
+        from cbinfer_tpu.runner import FrameStepper
+        K = max(1, args.live)
+        stepper = FrameStepper(net, params, thresholds=taus)
+        n = (clip.shape[0] // K) * K
+        warm_n = min(K, n)
+        if K == 1:
+            y, _ = stepper(clip[0])
+            y.block_until_ready()
+            t0 = time.perf_counter()
+            for t in range(warm_n, n):
+                y, _ = stepper(clip[t])
+            y.block_until_ready()
+            timed = n - warm_n
+        else:
+            ys_l, _ = stepper.step_chunk(clip[:K])
+            ys_l.block_until_ready()
+            t0 = time.perf_counter()
+            for c in range(1, n // K):
+                ys_l, _ = stepper.step_chunk(clip[c * K:(c + 1) * K])
+            ys_l.block_until_ready()
+            timed = n - K
+        if timed > 0:
+            out["live_ms_per_frame"] = round(
+                (time.perf_counter() - t0) * 1e3 / timed, 3)
+            out["live_chunk"] = K
     print(json.dumps(out))
     if not args.json:
         print(summarize_stats(jax.device_get(stats), net.specs))

@@ -32,6 +32,18 @@ def test_cli_synthetic_json(capsys):
     assert len(out["thresholds"]) > 0
 
 
+def test_cli_live_mode(capsys):
+    """--live K runs the FrameStepper micro-batch path and reports a
+    per-frame wall time alongside the scan-form results."""
+    out = _run_cli(capsys, [
+        "--model", "scene", "--width-mult", "16", "--classes", "4",
+        "--height", "48", "--width", "64", "--frames", "8",
+        "--backend", "jnp", "--live", "4", "--json"])
+    assert out["live_chunk"] == 4
+    assert out["live_ms_per_frame"] > 0
+    assert out["miou_vs_dense"] > 0.98
+
+
 def test_cli_npz_video_and_stats_table(capsys, tmp_path):
     clip = (np.random.default_rng(0)
             .random((4, 48, 64, 3), dtype=np.float32))
