@@ -228,11 +228,18 @@ class FrameStepper:
         self._since_refresh = 0
 
     def __call__(self, frame) -> Tuple[jnp.ndarray, List[Dict[str, Any]]]:
-        refresh = self._t == 0 or (self._refresh_every is not None
-                                   and self._t % self._refresh_every == 0)
+        # Refresh decisions key off _since_refresh (shared with
+        # step_chunk) rather than _t % refresh_every, so mixing the two
+        # entry points on one stream keeps the bounded-staleness
+        # contract: no cache entry goes more than refresh_every frames
+        # without a dense recompute regardless of call interleaving.
+        refresh = self._t == 0 or (
+            self._refresh_every is not None
+            and self._since_refresh + 1 > self._refresh_every)
         fn = self._cold if refresh else self._step
         y, self._state, stats = fn(self._params, self._state,
                                    jnp.asarray(frame), self._tv)
+        self._since_refresh = 1 if refresh else self._since_refresh + 1
         self._t += 1
         return y, stats
 

@@ -6,9 +6,11 @@ lowering pays a ~21 us/frame input layout copy (copy.66) beside the
 42 us conv fusion at 720p scene — a 1x1 stride-1 conv is exactly
 (H*W, cin) @ (cin, cout), and the matmul form reads the storage
 directly (minor-dim-preserving reshape). network.POINTWISE_DOT is the
-trace-time gate; this measures both forms interleaved in one process
-on the full CB scan and on the dense baseline (the gate changes the
-dense path's pointwise convs too — a flip must not sandbag dense).
+trace-time gate, scoped to convert.dense_conv_on_feature (the CB
+path's dense trailing layers) — the dense baseline
+(network.dense_conv) does NOT read it, so the dense arms compile
+identical programs and dense_speedup_dot_vs_conv is a noise floor for
+the measurement, not a signal.
 
 Usage: python scripts/exp_pointwise_ab.py [model] [reps]
 Writes EXP_pointwise_ab.json (per-model sections).
@@ -83,8 +85,11 @@ def main():
         _ = float(jnp.sum(d[-1]))
         return fr, fp, dn
 
-    arms = {"conv": build(False), "dot": build(True)}
-    network.POINTWISE_DOT = False  # restore the default
+    orig_dot = network.POINTWISE_DOT
+    try:
+        arms = {"conv": build(False), "dot": build(True)}
+    finally:
+        network.POINTWISE_DOT = orig_dot  # restore the shipped default
 
     cb_times = {k: [] for k in arms}
     dn_times = {k: [] for k in arms}
