@@ -25,7 +25,7 @@ from typing import Iterator, Optional
 
 import numpy as np
 
-__all__ = ["Y4MVideo", "ArrayVideo", "open_video"]
+__all__ = ["Y4MVideo", "ArrayVideo", "open_video", "write_y4m"]
 
 
 def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -173,6 +173,52 @@ class ArrayVideo:
 
     def clip(self, n: int) -> np.ndarray:
         return np.stack(list(self.frames(n)))
+
+
+def _rgb_to_yuv(rgb: np.ndarray):
+    """float32 RGB [0,1] -> BT.601 limited-range 8-bit Y, U, V planes.
+
+    Exact inverse of ``_yuv_to_rgb`` up to 8-bit rounding, so a write/read
+    round trip stays within 1/219 per channel."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    yf = 0.299 * r + 0.587 * g + 0.114 * b
+    uf = (b - yf) / 1.772
+    vf = (r - yf) / 1.402
+    y = np.clip(yf * 219.0 + 16.0 + 0.5, 0, 255).astype(np.uint8)
+    u = np.clip(uf * 224.0 + 128.0 + 0.5, 0, 255).astype(np.uint8)
+    v = np.clip(vf * 224.0 + 128.0 + 0.5, 0, 255).astype(np.uint8)
+    return y, u, v
+
+
+def write_y4m(path: str, frames, fps: int = 30):
+    """Write frames to an uncompressed YUV4MPEG2 file (C444, 8-bit).
+
+    ``frames`` is a (T, H, W, 3) float array in [0, 1] or any iterable of
+    (H, W, 3) frames. C444 (full-resolution chroma) keeps the round trip
+    through ``Y4MVideo`` lossless up to 8-bit quantization — this is the
+    serialization half of the real-footage story (SURVEY.md C18): the
+    native frame generator (native/framegen.cpp) or any array source
+    writes a standard container that ``cbinfer --video`` (and every
+    ffmpeg) ingests."""
+    it = iter(frames)
+    first = np.asarray(next(it))
+    h, w = first.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{int(fps)}:1 Ip A1:1 C444\n"
+                .encode("ascii"))
+
+        def put(frame):
+            frame = np.asarray(frame, np.float32)
+            if frame.shape[:2] != (h, w) or frame.shape[-1] != 3:
+                raise ValueError(f"frame shape {frame.shape} != ({h},{w},3)")
+            y, u, v = _rgb_to_yuv(frame)
+            f.write(b"FRAME\n")
+            f.write(y.tobytes()); f.write(u.tobytes()); f.write(v.tobytes())
+
+        put(first)
+        for frame in it:
+            put(frame)
+    return path
 
 
 def open_video(path: str, loop: bool = False):

@@ -183,6 +183,100 @@ def scan_video_jit(net: CBNet):
         donate_argnums=(2,))
 
 
+STAT_KEYS = ("changed_pixels", "changed_tiles", "computed_tiles",
+             "detect_tiles", "n_tiles", "overflow")
+
+
+def _stat_dicts(stats) -> List[Dict[str, Any]]:
+    """Flatten either stats container (CBNet: list of per-layer dicts;
+    CBGraphNet: dict keyed by node name, in insertion = topological
+    order) into an ordered list of the non-empty counter dicts."""
+    if isinstance(stats, dict):
+        if "changed_tiles" in stats:
+            return [stats]
+        out: List[Dict[str, Any]] = []
+        for v in stats.values():
+            out.extend(_stat_dicts(v))
+        return out
+    if isinstance(stats, (list, tuple)):
+        out = []
+        for v in stats:
+            out.extend(_stat_dicts(v))
+        return out
+    return []
+
+
+def pack_stats(stats) -> jnp.ndarray:
+    """Per-layer stats dicts -> ONE (n_cb_layers, 6) int32 array.
+
+    Every scalar counter a CB layer reports (STAT_KEYS order; dense
+    layers' empty dicts are skipped) becomes a row of a single device
+    array. Rationale: on this tunneled runtime each dispatch OUTPUT
+    buffer costs ~17 us of handoff (scripts/probe_stepper.py probe B) —
+    a 28-CB-layer net returning 6 scalars per layer pays ~170 buffers
+    ~= 2.9 ms per one-frame dispatch for observability the scan form
+    gets for free in its carry. Packing keeps the counters at ONE
+    buffer's cost. Works for both sequential and graph stats containers
+    (_stat_dicts order: layer order / topological node order)."""
+    rows = [jnp.stack([jnp.asarray(s[k], jnp.int32) for k in STAT_KEYS])
+            for s in _stat_dicts(stats)]
+    return jnp.stack(rows) if rows else jnp.zeros((0, 6), jnp.int32)
+
+
+def unpack_stats(packed) -> List[Dict[str, Any]]:
+    """Inverse of pack_stats (host side): (L, 6) array -> list of dicts."""
+    import numpy as np
+    arr = np.asarray(packed)
+    return [{k: arr[i, j] for j, k in enumerate(STAT_KEYS)}
+            for i in range(arr.shape[0])]
+
+
+def _make_state_packer(state, threshold_bytes: int):
+    """Pack small carry leaves into one flat arena per dtype.
+
+    Returns (pack, unpack, n_packed): ``pack(state) -> (arenas, rest)``
+    where ``arenas`` is a dict {dtype_name: 1-D array} holding every leaf
+    whose byte size is <= threshold_bytes, and ``rest`` the big leaves
+    unchanged; ``unpack`` inverts it inside the jitted step (static
+    offsets -> plain slices). Motivation: per-dispatch handoff on this
+    runtime costs ~17 us per CARRY BUFFER regardless of size
+    (probe_stepper probe B), so a deep net's dozens of small deep-layer
+    caches dominate the K=1 dispatch floor; concatenating them trades
+    ~2x their bytes in HBM traffic (cheap for small leaves) for
+    (n_packed - n_dtypes) fewer buffers per dispatch. Big caches stay
+    separate: copying them would cost more than their handoff."""
+    leaves, treedef = jax.tree.flatten(state)
+    packed_ids = [i for i, l in enumerate(leaves)
+                  if l.size * l.dtype.itemsize <= threshold_bytes]
+    groups: Dict[str, list] = {}
+    for i in packed_ids:
+        groups.setdefault(leaves[i].dtype.name, []).append(i)
+    offsets: Dict[int, Tuple[str, int, int]] = {}
+    for dt, ids in groups.items():
+        o = 0
+        for i in ids:
+            offsets[i] = (dt, o, leaves[i].size)
+            o += leaves[i].size
+    rest_ids = [i for i in range(len(leaves)) if i not in offsets]
+    shapes = [(l.shape, l.dtype) for l in leaves]
+
+    def pack(st):
+        ls = jax.tree.leaves(st)
+        arenas = {dt: jnp.concatenate([ls[i].reshape(-1) for i in ids])
+                  for dt, ids in groups.items()}
+        return arenas, [ls[i] for i in rest_ids]
+
+    def unpack(arenas, rest):
+        ls: List[Any] = [None] * len(shapes)
+        for i, (dt, o, n) in offsets.items():
+            ls[i] = arenas[dt][o:o + n].reshape(shapes[i][0])
+        for j, i in enumerate(rest_ids):
+            ls[i] = rest[j]
+        return jax.tree.unflatten(treedef, ls)
+
+    return pack, unpack, len(packed_ids)
+
+
 class FrameStepper:
     """Single-frame streaming interface with donated carry (live sources).
 
@@ -196,10 +290,26 @@ class FrameStepper:
     Works with both sequential ``CBNet`` and DAG ``CBGraphNet`` (identical
     apply/apply_refresh contracts). Frame 0 always runs the refresh/cold
     executable — it is the dense cold start that populates the caches.
+
+    K=1 dispatch-floor knobs (this runtime pays ~0.2 ms launch + ~17 us
+    PER dispatch argument/result buffer — probe_stepper probes A/B —
+    which a deep net's state pytree and per-layer stats multiply):
+      ``collect_stats``: True returns the per-layer stat dicts (the r4
+        form, ~6 output buffers per CB layer per frame); ``"packed"``
+        returns one (L, 6) int32 array (see pack_stats; decode with
+        unpack_stats); False computes no stats at all.
+      ``pack_small_buffers``: byte threshold; carry leaves at or below
+        it ride one per-dtype arena buffer between dispatches
+        (_make_state_packer). 0 = off.
+      ``bind_params``: close the params over the jitted step instead of
+        passing ~dozens of weight-buffer handles per dispatch (weights
+        are lowered as executable constants — fine for MB-scale nets).
     """
 
     def __init__(self, net, params, thresholds=None,
-                 refresh_every: Optional[int] = None, out_map=None):
+                 refresh_every: Optional[int] = None, out_map=None,
+                 collect_stats: Any = True, pack_small_buffers: int = 0,
+                 bind_params: bool = False):
         self._net = net
         self._params = params
         self._state = net.init_state()
@@ -209,21 +319,43 @@ class FrameStepper:
         self._t = 0
         self._since_refresh = 0
         self._out_map = out_map
+        self._collect_stats = collect_stats
+        if pack_small_buffers > 0:
+            self._pack, self._unpack, self._n_packed = _make_state_packer(
+                self._state, pack_small_buffers)
+            self._state = self._pack(self._state)
+        else:
+            self._pack = self._unpack = None
+            self._n_packed = 0
 
         def wrap(apply_fn):
-            def fn(p, st, x, tv):
+            def body(p, st, x, tv):
+                if self._unpack is not None:
+                    st = self._unpack(*st)
                 y, st2, stats = apply_fn(p, st, x, tv)
                 if out_map is not None:
                     y = out_map(y)
+                if self._pack is not None:
+                    st2 = self._pack(st2)
+                if collect_stats == "packed":
+                    stats = pack_stats(stats)
+                elif not collect_stats:
+                    stats = []
                 return y, st2, stats
-            return jax.jit(fn, donate_argnums=(1,))
+            if bind_params:
+                return jax.jit(lambda st, x, tv: body(params, st, x, tv),
+                               donate_argnums=(0,))
+            return jax.jit(body, donate_argnums=(1,))
 
+        self._bind_params = bind_params
         self._step = wrap(net.apply)
         self._cold = wrap(net.apply_refresh)
         self._kstep: Dict[int, Any] = {}   # K -> (plain, refresh) jits
 
     def reset(self):
         self._state = self._net.init_state()
+        if self._pack is not None:
+            self._state = self._pack(self._state)
         self._t = 0
         self._since_refresh = 0
 
@@ -237,8 +369,12 @@ class FrameStepper:
             self._refresh_every is not None
             and self._since_refresh + 1 > self._refresh_every)
         fn = self._cold if refresh else self._step
-        y, self._state, stats = fn(self._params, self._state,
-                                   jnp.asarray(frame), self._tv)
+        if self._bind_params:
+            y, self._state, stats = fn(self._state, jnp.asarray(frame),
+                                       self._tv)
+        else:
+            y, self._state, stats = fn(self._params, self._state,
+                                       jnp.asarray(frame), self._tv)
         self._since_refresh = 1 if refresh else self._since_refresh + 1
         self._t += 1
         return y, stats
@@ -248,12 +384,17 @@ class FrameStepper:
             net, out_map = self._net, self._out_map
 
             def mk(refresh_start):
-                return jax.jit(
-                    lambda p, fs, st, tv: scan_video(
+                def fn(p, fs, st, tv):
+                    if self._unpack is not None:
+                        st = self._unpack(*st)
+                    ys, st2, stats = scan_video(
                         net, p, fs, state=st, thresholds=tv,
                         refresh_start=refresh_start, out_map=out_map,
-                        collect_stats="mean"),
-                    donate_argnums=(2,))
+                        collect_stats="mean")
+                    if self._pack is not None:
+                        st2 = self._pack(st2)
+                    return ys, st2, stats
+                return jax.jit(fn, donate_argnums=(2,))
 
             self._kstep[k] = (mk(False), mk(True))
         return self._kstep[k]

@@ -13,7 +13,7 @@ reference: no autograd through change-based execution).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,8 @@ def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
                        num_classes: int, steps: int = 300,
                        batch: int = 4, lr: float = 3e-3, seed: int = 0,
                        n_videos: int = 8, input_noise: float = 0.0,
-                       palette: str = "default", verbose: bool = False):
+                       palette: str = "default", verbose: bool = False,
+                       video_kwargs: Optional[dict] = None):
     """Train a spec-chain CNN to segment sprites on synthetic video.
 
     Returns (params, final_accuracy). The output stride is inferred from the
@@ -53,10 +54,16 @@ def train_segmentation(specs: Sequence, in_shape: Tuple[int, int, int],
     stride = H // oh
 
     rng = np.random.default_rng(seed)
+    # video_kwargs (e.g. video.workload_video_kwargs): the training
+    # distribution MUST match the deployment distribution — a net
+    # trained without the graded dynamics sees the light-drift/smooth-
+    # noise perturbations as out-of-distribution and its margins (the
+    # thing the threshold tuner trades) are meaningless
+    vk = {"palette": palette, **(video_kwargs or {})}
     videos = [SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=3 + int(rng.integers(0, 3)),
         sprite_size=max(8, H // 10), speed=3.0, noise_std=0.002,
-        palette=palette, seed=seed * 100 + i)) for i in range(n_videos)]
+        seed=seed * 100 + i, **vk)) for i in range(n_videos)]
     data = [v.clip_with_labels(8) for v in videos]
     frames = np.concatenate([d[0] for d in data])       # (N, H, W, 3)
     labels = np.concatenate([d[1] for d in data])       # (N, H, W)
@@ -111,7 +118,8 @@ def train_pose(specs: Sequence, in_shape: Tuple[int, int, int],
                steps: int = 600, batch: int = 4, lr: float = 2e-3,
                seed: int = 0, n_videos: int = 16, frames_per_video: int = 8,
                heat_weight: float = 4.0, pos_weight: float = 30.0,
-               verbose: bool = False):
+               verbose: bool = False,
+               video_kwargs: Optional[dict] = None):
     """Train an OpenPose-style net on synthetic sprite keypoints.
 
     Supervision is free from the generator (video.pose_targets: Gaussian
@@ -137,14 +145,15 @@ def train_pose(specs: Sequence, in_shape: Tuple[int, int, int],
         lambda ps, f: dense_apply(specs, ps, f),
         init_params(specs, in_shape, jax.random.PRNGKey(seed)),
         in_shape, stride, oh, ow, steps, batch, lr, seed, n_videos,
-        frames_per_video, heat_weight, pos_weight, verbose)
+        frames_per_video, heat_weight, pos_weight, verbose, video_kwargs)
 
 
 def train_pose_graph(nodes, output: str, in_shape: Tuple[int, int, int],
                      steps: int = 2000, batch: int = 4, lr: float = 2e-3,
                      seed: int = 0, n_videos: int = 24,
                      frames_per_video: int = 8, heat_weight: float = 4.0,
-                     pos_weight: float = 30.0, verbose: bool = False):
+                     pos_weight: float = 30.0, verbose: bool = False,
+                     video_kwargs: Optional[dict] = None):
     """train_pose for the faithful concat-DAG topology (graph.CBGraphNet,
     models/pose.pose_graph) — same supervision/loss; params are the graph's
     name-keyed dict. Returns (params_dict, train_pck)."""
@@ -159,10 +168,11 @@ def train_pose_graph(nodes, output: str, in_shape: Tuple[int, int, int],
     return _train_pose_common(
         lambda ps, f: net.apply_dense(ps, f), params, in_shape, stride,
         oh, ow, steps, batch, lr, seed, n_videos, frames_per_video,
-        heat_weight, pos_weight, verbose)
+        heat_weight, pos_weight, verbose, video_kwargs)
 
 
-def _pose_dataset(H, W, oh, ow, stride, seed, n_videos, frames_per_video):
+def _pose_dataset(H, W, oh, ow, stride, seed, n_videos, frames_per_video,
+                  video_kwargs=None):
     """(frames, targets, kps, valids) from the sprite generator's free
     keypoint ground truth.
 
@@ -179,7 +189,8 @@ def _pose_dataset(H, W, oh, ow, stride, seed, n_videos, frames_per_video):
         v = SpriteVideo(SpriteVideoConfig(
             height=H, width=W, n_sprites=3 + int(rng.integers(0, 4)),
             sprite_size=sprite, speed=3.0, noise_std=0.002,
-            distinct_classes=True, seed=seed * 100 + i))
+            distinct_classes=True, seed=seed * 100 + i,
+            **(video_kwargs or {})))
         fs, ks, vs = v.clip_with_keypoints(frames_per_video)
         frames.append(fs)
         kp_list.append(ks)
@@ -194,13 +205,15 @@ def _pose_dataset(H, W, oh, ow, stride, seed, n_videos, frames_per_video):
 
 def _train_pose_common(forward, params, in_shape, stride, oh, ow, steps,
                        batch, lr, seed, n_videos, frames_per_video,
-                       heat_weight, pos_weight, verbose):
+                       heat_weight, pos_weight, verbose,
+                       video_kwargs=None):
     """Shared pose training loop: ``forward(params, frame) -> (oh, ow, 56)``
     over an arbitrary params pytree (list for CBNet, dict for CBGraphNet)."""
     H, W, _ = in_shape
     rng = np.random.default_rng(seed)
     frames, targets, kps, valids = _pose_dataset(
-        H, W, oh, ow, stride, seed, n_videos, frames_per_video)
+        H, W, oh, ow, stride, seed, n_videos, frames_per_video,
+        video_kwargs)
 
     opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
     # optimize the whole pytree; None leaves (biasless convs) are static

@@ -46,7 +46,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from cbinfer_tpu import zoo
 from cbinfer_tpu.benchmark import measure_sync_overhead
 from cbinfer_tpu.runner import FrameStepper
-from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
+                               workload_video_kwargs)
 
 H, W = 720, 1280
 FRAMES = 96          # timed frames (after cold start + warmup)
@@ -85,7 +86,9 @@ def bench(name, sync_ms):
                            refresh_every=interval, out_map=out_map)
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=17))
+        noise_std=0.002, seed=17,
+        distinct_classes=name.startswith("pose"),
+        **workload_video_kwargs(name)))
     # pre-stage every frame on device: a live source hands over frames
     # that already exist; we measure inference latency, not generation
     frames = [jnp.asarray(f) for f in video.clip(WARM + FRAMES)]

@@ -50,7 +50,8 @@ def main(argv=None):
     from cbinfer_tpu.graph import node_out_shapes
     from cbinfer_tpu.metrics import pck, pck_gt
     from cbinfer_tpu.runner import scan_video
-    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
+                                   workload_video_kwargs)
 
     H, W, T = args.height, args.width, args.frames
     from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
@@ -81,7 +82,8 @@ def main(argv=None):
     base = int(time.time() * 1e3) % 100000
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=3, sprite_size=32, speed=4.0,
-        noise_std=0.002, distinct_classes=True, seed=base))
+        noise_std=0.002, distinct_classes=True, seed=base,
+        **workload_video_kwargs("pose_graph")))
     warm = jnp.asarray(video.clip(T))
     chunks, kp_list, valid_list = [], [], []
     for _ in range(args.chunks):

@@ -42,9 +42,11 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
                 cache_dtype=None):
     from cbinfer_tpu.benchmark import devices_or_die  # bounded: tunnel can hang
     on_tpu = any(d.platform == "tpu" for d in devices_or_die())
-    # "<model>_hard" = same architecture, low-contrast video palette
-    # (video.CLASS_PALETTE_HARD) and its own trained ckpt/taus
-    palette = "hard" if name.endswith("_hard") else "default"
+    # per-workload evaluation distribution (video.workload_video_kwargs:
+    # scene families on the benign distribution, seg/pose families on the
+    # graded-change hard-palette distribution their r5 calibrations ship)
+    from cbinfer_tpu.video import workload_video_kwargs
+    vk = workload_video_kwargs(name)
     # metric + class count come from the zoo registry — a mismatched
     # caller-supplied class count would silently skew miou_gt_*
     entry = zoo.REGISTRY[name]
@@ -93,7 +95,7 @@ def bench_model(name, H=720, W=1280, T=32, tau=0.04, chunks=2,
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, distinct_classes=(metric == "pck"),
-        palette=palette, seed=run_seed))
+        seed=run_seed, **vk))
     warm_clip = jnp.asarray(video.clip(T))  # warm-up only (memoization)
     clips, labels = [], []
     for _ in range(chunks):

@@ -37,7 +37,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from cbinfer_tpu import zoo
 from cbinfer_tpu.runner import scan_video
-from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
+                               workload_video_kwargs)
 
 H, W, CHUNKS = 720, 1280, 4
 
@@ -55,7 +56,9 @@ def main():
 
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
-        noise_std=0.002, seed=5))
+        noise_std=0.002, seed=5,
+        distinct_classes=name.startswith("pose"),
+        **workload_video_kwargs(name)))
     chunks = [jnp.asarray(video.clip(T)) for _ in range(CHUNKS)]
     for ch in chunks:
         _ = float(jnp.sum(ch))

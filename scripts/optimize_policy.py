@@ -45,7 +45,8 @@ from cbinfer_tpu import zoo
 from cbinfer_tpu.config import ConvSpec, PipelineConfig, TileConfig
 from cbinfer_tpu.convert import convert_flagship
 from cbinfer_tpu.runner import scan_video
-from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
+                               workload_video_kwargs)
 
 
 def main():
@@ -113,9 +114,10 @@ def main():
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=run_seed,
-        # the workload's own palette: change statistics under its tuned
-        # taus must match deployment (eval_headline does the same)
-        palette="hard" if args.model.endswith("_hard") else "default"))
+        distinct_classes=args.model.startswith("pose"),
+        # the workload's own distribution: change statistics under its
+        # tuned taus must match deployment (eval_headline does the same)
+        **workload_video_kwargs(args.model)))
     warm = jnp.asarray(video.clip(T))
 
     def fresh_clip_sets(n_reps):

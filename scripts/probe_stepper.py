@@ -161,6 +161,76 @@ def probe_c(sync_ms):
               flush=True)
 
 
+def probe_d(sync_ms, model="pose_graph"):
+    """A/B the K=1 dispatch-floor knobs on a real workload.
+
+    r4 decomposed the live gap into a 0.2 ms launch floor + ~17 us per
+    dispatch BUFFER (probe B) but only counted the 56 carry buffers.
+    The r4 stepper also returned ~6 stat scalars per CB layer as
+    separate dispatch OUTPUTS (pose_graph: ~170 of them = ~2.9 ms of
+    handoff per frame) and passed every weight array as a separate
+    argument. This measures each knob's contribution: stats packing /
+    dropping (runner.pack_stats), small-cache arena packing
+    (pack_small_buffers), params bound as executable constants
+    (bind_params).
+    """
+    from cbinfer_tpu import zoo
+    from cbinfer_tpu.runner import FrameStepper
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    H, W = 720, 1280
+    wl = zoo.load(model, (H, W, 3))
+    out_map = (None if model.startswith("pose")
+               else (lambda y: jnp.argmax(y, -1).astype(jnp.uint8)))
+    video = SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
+        noise_std=0.002, distinct_classes=model.startswith("pose"),
+        seed=int(time.time() * 1e3) % 100000))
+    frames = [jnp.asarray(f) for f in video.clip(64)]
+    for f in frames:
+        _ = float(jnp.sum(f))
+
+    n_state = len(jax.tree.leaves(wl.net.init_state()))
+    n_params = len(jax.tree.leaves(wl.params))
+    arms = {
+        "baseline": {},
+        "no_stats": dict(collect_stats=False),
+        "packed_stats": dict(collect_stats="packed"),
+        "no_stats+arena4mb": dict(collect_stats=False,
+                                  pack_small_buffers=4 << 20),
+        "no_stats+arena4mb+bound": dict(collect_stats=False,
+                                        pack_small_buffers=4 << 20,
+                                        bind_params=True),
+        "packed+arena4mb+bound": dict(collect_stats="packed",
+                                      pack_small_buffers=4 << 20,
+                                      bind_params=True),
+    }
+    out = {"probe": "D_stepper_knobs", "model": model,
+           "n_state_buffers": n_state, "n_param_buffers": n_params,
+           "arms": {}}
+    for arm, kw in arms.items():
+        stepper = FrameStepper(wl.net, wl.params, thresholds=wl.taus,
+                               refresh_every=None, out_map=out_map, **kw)
+        y, _ = stepper(frames[0])
+        for t in range(1, 8):
+            y, _ = stepper(frames[t])
+        _ = float(jnp.sum(jnp.asarray(y, jnp.float32).ravel()[:1]))
+        vals = []
+        for w in range(4):
+            t0 = time.perf_counter()
+            for t in range(32):
+                y, _ = stepper(frames[8 + ((w * 32 + t) % 48)])
+            _ = float(jnp.sum(jnp.asarray(y, jnp.float32).ravel()[:1]))
+            vals.append(((time.perf_counter() - t0) * 1e3 - sync_ms) / 32)
+        ms = float(np.median(vals))
+        out["arms"][arm] = {"per_frame_ms": round(ms, 4),
+                            "n_packed": stepper._n_packed}
+        print(json.dumps({"probe": "D", "model": model, "arm": arm,
+                          "per_frame_ms": round(ms, 4),
+                          "n_packed": stepper._n_packed}), flush=True)
+    with open(f"/root/repo/PROBE_stepper_{model}.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from cbinfer_tpu.benchmark import devices_or_die, measure_sync_overhead
@@ -177,6 +247,8 @@ def main():
         probe_b(sync_ms)
     if which in ("C", "all"):
         probe_c(sync_ms)
+    if which in ("D", "all"):
+        probe_d(sync_ms, sys.argv[2] if len(sys.argv) > 2 else "pose_graph")
     return 0
 
 

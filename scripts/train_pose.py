@@ -27,8 +27,12 @@ WIDTH = 64
 Ht, Wt = 192, 256          # train at low res; conv nets are size-agnostic
 specs = get_model("pose", width=WIDTH)
 t0 = time.time()
-params, train_pck = train_pose(specs, (Ht, Wt, 3), steps=2000, batch=4,
-                               n_videos=24, verbose=True)
+# graded-change hard-palette distribution since r5 (workload_video_kwargs);
+# +50% steps for the lower-contrast class appearance
+from cbinfer_tpu.video import workload_video_kwargs
+params, train_pck = train_pose(specs, (Ht, Wt, 3), steps=3000, batch=4,
+                               n_videos=24, verbose=True,
+                               video_kwargs=workload_video_kwargs("pose"))
 print(f"trained: train PCK {train_pck:.3f} in {time.time()-t0:.0f}s",
       flush=True)
 checkpoint.save("/root/repo/ckpts/pose_w64", params,

@@ -24,7 +24,11 @@ WIDTH = 64
 Ht, Wt = 192, 256
 nodes, out = pose_graph(width=WIDTH)
 t0 = time.time()
-params, train_pck = train_pose_graph(nodes, out, (Ht, Wt, 3), steps=2000,
+from cbinfer_tpu.video import workload_video_kwargs
+params, train_pck = train_pose_graph(nodes, out, (Ht, Wt, 3),
+                                     video_kwargs=workload_video_kwargs(
+                                         "pose_graph"),
+                                     steps=3000,
                                      batch=4, n_videos=24, verbose=True)
 print(f"trained: train PCK {train_pck:.3f} in {time.time()-t0:.0f}s",
       flush=True)

@@ -27,9 +27,15 @@ t0 = time.time()
 # 16 videos cover all 7 palette classes; 600 steps for generalization
 # (300 steps / 8 videos left ground-truth mIoU at 0.88 on unseen seeds
 # while scene's 600/16 recipe reaches 0.9995)
+# the seg deployment distribution since r5 is graded-change on the hard
+# palette (video.workload_video_kwargs) — train on the same distribution
+# so the margins the tuner trades are in-distribution; 1200 steps (the
+# hard-palette scene recipe) for the lower-contrast task
+from cbinfer_tpu.video import workload_video_kwargs
 params, acc = train_segmentation(specs, (Ht, Wt, 3), NUM_CLASSES,
-                                 steps=600, batch=4, n_videos=16,
-                                 verbose=True)
+                                 steps=1200, batch=4, n_videos=16,
+                                 verbose=True,
+                                 video_kwargs=workload_video_kwargs("seg"))
 print(f"trained: acc {acc:.3f} in {time.time()-t0:.0f}s", flush=True)
 checkpoint.save("/root/repo/ckpts/seg_w64", params,
                 extra={"acc": acc, "classes": NUM_CLASSES, "width": WIDTH})

@@ -39,7 +39,8 @@ def main():
     from cbinfer_tpu.models import get_model
     from cbinfer_tpu.network import init_params, out_shapes
     from cbinfer_tpu.tuner import tune
-    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+    from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
+                                   workload_video_kwargs)
 
     name = sys.argv[1] if len(sys.argv) > 1 else "scene"
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 0.005
@@ -111,11 +112,12 @@ def main():
     if specs is not None:
         oh = out_shapes(specs, (H, W, 3))[-1][0]
         stride = H // oh
+    vk = workload_video_kwargs(name)
     if name.startswith("pose"):
         vids = [SpriteVideo(SpriteVideoConfig(
             height=H, width=W, n_sprites=4, sprite_size=max(24, H // 15),
-            speed=4.0, noise_std=0.002, distinct_classes=True, seed=s))
-            .clip_with_keypoints(T) for s in (7, 11)]
+            speed=4.0, noise_std=0.002, distinct_classes=True, seed=s,
+            **vk)).clip_with_keypoints(T) for s in (7, 11)]
         calib = jnp.stack([jnp.asarray(f) for f, _, _ in vids])
         labels = jnp.stack([
             jnp.asarray(np.concatenate(
@@ -124,10 +126,8 @@ def main():
     else:
         pairs = [SpriteVideo(SpriteVideoConfig(
             height=H, width=W, n_sprites=4, sprite_size=max(24, H // 15),
-            speed=4.0, noise_std=0.002,
-            palette="hard" if name.endswith("_hard") else "default",
-            seed=s)).clip_with_labels(T)
-            for s in (7, 11)]
+            speed=4.0, noise_std=0.002, seed=s,
+            **vk)).clip_with_labels(T) for s in (7, 11)]
         calib = jnp.stack([jnp.asarray(f) for f, _ in pairs])
         labels = jnp.stack([jnp.asarray(l[:, ::stride, ::stride])
                             for _, l in pairs])
@@ -222,8 +222,8 @@ def main():
     if name.startswith("pose"):
         vids = [SpriteVideo(SpriteVideoConfig(
             height=DH, width=DW, n_sprites=4, sprite_size=max(24, DH // 15),
-            speed=4.0, noise_std=0.002, distinct_classes=True, seed=s))
-            .clip_with_keypoints(DT) for s in (101, 203)]
+            speed=4.0, noise_std=0.002, distinct_classes=True, seed=s,
+            **vk)).clip_with_keypoints(DT) for s in (101, 203)]
         vclips = jnp.stack([jnp.asarray(f) for f, _, _ in vids])
         vlabels = jnp.stack([
             jnp.asarray(np.concatenate(
@@ -237,9 +237,8 @@ def main():
     else:
         vpairs = [SpriteVideo(SpriteVideoConfig(
             height=DH, width=DW, n_sprites=4, sprite_size=max(24, DH // 15),
-            speed=4.0, noise_std=0.002,
-            palette="hard" if name.endswith("_hard") else "default",
-            seed=s)).clip_with_labels(DT) for s in (101, 203)]
+            speed=4.0, noise_std=0.002, seed=s,
+            **vk)).clip_with_labels(DT) for s in (101, 203)]
         vclips = jnp.stack([jnp.asarray(f) for f, _ in vpairs])
         vlabels = jnp.stack([jnp.asarray(l[:, ::stride, ::stride])
                              for _, l in vpairs])

@@ -43,7 +43,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 from cbinfer_tpu import zoo
 from cbinfer_tpu.config import PipelineConfig, TileConfig
 from cbinfer_tpu.runner import scan_video
-from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
+                               workload_video_kwargs)
 
 
 def main():
@@ -82,7 +83,6 @@ def main():
     entry = zoo.REGISTRY[args.model]
     metric = entry.metric
     classes = entry.model_kwargs.get("num_classes", 8)
-    palette = "hard" if args.model.endswith("_hard") else "default"
     cfg = PipelineConfig(
         tile=TileConfig(8, 8, capacity_fraction=0.375),
         backend="pallas" if on_tpu else "jnp",
@@ -136,7 +136,7 @@ def main():
             height=H, width=W, n_sprites=n_spr, sprite_size=spr_sz,
             speed=4.0, noise_std=0.002,
             distinct_classes=(metric == "pck"),
-            palette=palette, seed=seed))
+            seed=seed, **workload_video_kwargs(args.model)))
         chunks, labels = [], []
         for _ in range(args.chunks):
             if metric == "pck":

@@ -158,3 +158,23 @@ def test_prefetching_source_finite_file_terminates(tmp_path):
     got = list(src)  # must terminate
     assert len(got) == 3
     src.close()
+
+
+def test_write_y4m_round_trip(tmp_path):
+    """write_y4m (C444) -> Y4MVideo must reproduce frames within 8-bit
+    quantization — the serialization half of the real-footage story:
+    native framegen output becomes a standard container the CLI ingests."""
+    from cbinfer_tpu.fileio import write_y4m
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    clip = SpriteVideo(SpriteVideoConfig(height=48, width=64, n_sprites=2,
+                                         sprite_size=10, seed=4)).clip(3)
+    path = str(tmp_path / "clip.y4m")
+    write_y4m(path, clip, fps=30)
+    v = open_video(path)
+    assert (v.height, v.width) == (48, 64)
+    assert v.colorspace == "C444"
+    got = v.clip(3)
+    v.close()
+    # BT.601 8-bit round trip: limited-range quantization step is 1/219
+    assert np.abs(got - clip).max() < 2.5 / 219.0, np.abs(got - clip).max()

@@ -441,3 +441,53 @@ def test_mean_stats_match_stacked_means():
         ef_b = effective_flops(means, net.specs, (32, 48, 3), 4, 4)
         assert np.isclose(ef_a["flop_reduction"], ef_b["flop_reduction"],
                           rtol=1e-6), (kw, ef_a, ef_b)
+
+
+def test_frame_stepper_k1_dispatch_floor_knobs():
+    """The K=1 dispatch-floor knobs (collect_stats packing, small-buffer
+    carry arenas, bound params) are pure overhead optimizations — every
+    combination must produce the baseline stepper's exact outputs across
+    refreshes and mode mixes, and the packed stats must decode to the
+    same counters the dict form reports."""
+    from cbinfer_tpu.runner import unpack_stats
+
+    net, params, _ = _net()
+    clip = SpriteVideo(SpriteVideoConfig(height=32, width=48,
+                                         seed=9)).clip(8)
+    taus = [0.03, 0.03, 0.02, 0.02]
+    ref = FrameStepper(net, params, thresholds=taus, refresh_every=4)
+    ys_ref, stats_ref = zip(*[ref(clip[t]) for t in range(8)])
+
+    variants = {
+        "packed_stats": dict(collect_stats="packed"),
+        "no_stats": dict(collect_stats=False),
+        "arena": dict(pack_small_buffers=1 << 20),   # packs every cache
+        "arena_partial": dict(pack_small_buffers=8 * 32 * 48),
+        "bound": dict(bind_params=True),
+        "all": dict(collect_stats="packed", pack_small_buffers=1 << 20,
+                    bind_params=True),
+    }
+    for name, kw in variants.items():
+        s = FrameStepper(net, params, thresholds=taus, refresh_every=4,
+                         **kw)
+        for t in range(8):
+            y, stats = s(clip[t])
+            np.testing.assert_allclose(
+                np.asarray(y), np.asarray(ys_ref[t]), atol=1e-6,
+                err_msg=f"{name} frame {t}")
+            if kw.get("collect_stats") == "packed":
+                dec = unpack_stats(stats)
+                refd = [d for d in stats_ref[t] if d]
+                assert len(dec) == len(refd)
+                for a, b in zip(dec, refd):
+                    assert int(a["changed_tiles"]) == int(
+                        np.asarray(b["changed_tiles"]))
+            elif kw.get("collect_stats") is False:
+                assert stats == []
+        # arena state must survive a mode mix (step_chunk) and reset
+        if kw.get("pack_small_buffers"):
+            ys_c, _ = s.step_chunk(jnp.asarray(clip[:4]))
+            s.reset()
+            y0, _ = s(clip[0])
+            np.testing.assert_allclose(np.asarray(y0),
+                                       np.asarray(ys_ref[0]), atol=1e-6)
