@@ -145,7 +145,11 @@ def main(argv=None):
             return float(jnp.max(jnp.asarray(arr, jnp.float32).ravel()[:1]))
 
         K = max(1, args.live)
-        stepper = FrameStepper(net, params, thresholds=taus)
+        # deployment live form: per-frame stat outputs tripled the K=1
+        # dispatch cost on-chip (probe_stepper probe D) — the scan-form
+        # run above already reported the sparsity counters
+        stepper = FrameStepper(net, params, thresholds=taus,
+                               collect_stats=False)
         n = (clip.shape[0] // K) * K
         # Warm BOTH executables untimed: frame/chunk 0 exercises only the
         # refresh/cold executable, so without a plain warm call the plain

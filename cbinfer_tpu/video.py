@@ -455,8 +455,16 @@ _WORKLOAD_PROFILES = {
     "scene": {},
     "scene_hard": {"palette": "hard"},
     "seg": {**GRADED_DYNAMICS, "palette": "hard"},
-    "pose": {**GRADED_DYNAMICS, "palette": "hard"},
-    "pose_graph": {**GRADED_DYNAMICS, "palette": "hard"},
+    # pose keeps the DEFAULT palette: keypoint-channel identity is keyed
+    # by class COLOR, and on the hard palette the ±10% illumination
+    # drift (±0.05 absolute) swamps the ~0.1 inter-class contrast —
+    # training measured PCK 0.0 at step 1200 on graded+hard (r5) vs 1.0
+    # on graded+default. The graded dynamics still fix the tau-compute
+    # degeneracy (tile counts move ~8x across the grid regardless of
+    # palette, STUDY_graded.json); the accuracy-axis stress lives on
+    # seg and scene_hard.
+    "pose": dict(GRADED_DYNAMICS),
+    "pose_graph": dict(GRADED_DYNAMICS),
 }
 
 

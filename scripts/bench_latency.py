@@ -8,6 +8,11 @@ per frame, donated caches, steady state after a dense cold start,
 refresh frames at the validated cadence interleaved exactly as deployed.
 
 Reported per model:
+  dense_ms_pipelined  the SAME per-frame dispatch protocol on the dense
+              path (one jitted dense forward per frame, no carry) — the
+              live-mode baseline the reference actually published
+              against (CB17 §4 per-frame on-device throughput);
+              live_speedup_vs_dense = dense/CB per-frame device time.
   wall_ms     p50/p95 of per-frame wall time as a live caller sees it
               (includes this box's host<->device tunnel RTT, itself
               reported as sync_overhead_ms — on-prem serving would not
@@ -82,8 +87,13 @@ def bench(name, sync_ms):
     out_map = None
     if wl.metric == "miou":
         out_map = lambda y: jnp.argmax(y, axis=-1).astype(jnp.uint8)
+    # deployment live form: no per-frame stats. The r4 stepper returned
+    # ~6 scalar stat buffers per CB layer per dispatch; probe_stepper
+    # probe D measured that at 720p scene those outputs alone tripled
+    # the K=1 dispatch cost (1.99 -> 0.54 ms/frame without them).
     stepper = FrameStepper(wl.net, wl.params, thresholds=wl.taus,
-                           refresh_every=interval, out_map=out_map)
+                           refresh_every=interval, out_map=out_map,
+                           collect_stats=False)
     video = SpriteVideo(SpriteVideoConfig(
         height=H, width=W, n_sprites=4, sprite_size=48, speed=4.0,
         noise_std=0.002, seed=17,
@@ -95,21 +105,26 @@ def bench(name, sync_ms):
     for f in frames:
         _ = float(jnp.sum(f))
 
+    def sync(arr):
+        # scalar fetch, not block_until_ready (bench.py timing notes:
+        # block_until_ready can return early on this runtime)
+        return float(jnp.max(jnp.asarray(arr, jnp.float32).ravel()[:1]))
+
     # cold start + warmup (compiles both executables)
     for t in range(WARM):
         y, _ = stepper(frames[t])
-    _ = np.asarray(y)
+    sync(y)
 
     # (a) live-caller wall time: one blocking dispatch per frame
     wall = []
     for t in range(WARM, WARM + FRAMES):
         if (stepper._t % interval) == 0:   # keep the wall sample steady-state
             y, _ = stepper(frames[t])
-            y.block_until_ready()
+            sync(y)
             continue
         t0 = time.perf_counter()
         y, _ = stepper(frames[t])
-        y.block_until_ready()
+        sync(y)
         wall.append((time.perf_counter() - t0) * 1e3)
 
     # (b) pipelined device latency: K async one-frame dispatches, one sync.
@@ -121,15 +136,33 @@ def bench(name, sync_ms):
     for _ in range(PIPE_WINDOWS):
         if (stepper._t % interval) + PIPE_K >= interval:
             y, _ = stepper(frames[fi % len(frames)])  # absorb the refresh
-            y.block_until_ready()
+            sync(y)
             fi += 1
         t0 = time.perf_counter()
         for _ in range(PIPE_K):
             y, _ = stepper(frames[fi % len(frames)])
             fi += 1
-        y.block_until_ready()
+        sync(y)
         win_ms = (time.perf_counter() - t0) * 1e3
         pipe.append(max(0.0, win_ms - sync_ms) / PIPE_K)
+
+    # (a2) dense per-frame baseline: the same dispatch protocol on the
+    # dense path — one jitted dense forward per frame, no carry. This is
+    # the number the reference's per-frame speedup claims divide by.
+    dense1 = jax.jit(lambda p, x: (out_map or (lambda v: v))(
+        wl.net.apply_dense(p, x)))
+    d = dense1(wl.params, frames[0])
+    sync(d)
+    dpipe = []
+    fi = 0
+    for _ in range(PIPE_WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(PIPE_K // 4):     # dense is ~5-10x slower; shorter
+            d = dense1(wl.params, frames[fi % len(frames)])
+            fi += 1
+        sync(d)
+        win_ms = (time.perf_counter() - t0) * 1e3
+        dpipe.append(max(0.0, win_ms - sync_ms) / (PIPE_K // 4))
 
     # (b2) micro-batch live mode (FrameStepper.step_chunk): one dispatch
     # per K consecutive frames, refresh prolog at chunk granularity — the
@@ -140,7 +173,8 @@ def bench(name, sync_ms):
     micro = {}
     for K in (4, 8):
         mb = FrameStepper(wl.net, wl.params, thresholds=wl.taus,
-                          refresh_every=interval, out_map=out_map)
+                          refresh_every=interval, out_map=out_map,
+                          collect_stats=False)
         # small cycled pool of pre-staged stacks (~(nwin+2)*K frames):
         # the donated state makes every dispatch's args unique, so
         # dispatch memoization cannot hit even when a stack repeats
@@ -152,17 +186,17 @@ def bench(name, sync_ms):
             _ = float(jnp.sum(s[0, 0, 0]))
         ys, _ = mb.step_chunk(stacks[0])  # cold start + compile refresh
         ys, _ = mb.step_chunk(stacks[1])  # compile plain
-        ys.block_until_ready()
+        sync(ys)
         si = 2
         vals = []
         for _ in range(PIPE_WINDOWS):
             if (mb._since_refresh + nwin * K) >= interval:
                 ys, _ = mb.step_chunk(stacks[si % len(stacks)]); si += 1
-                ys.block_until_ready()  # absorb the refresh, untimed
+                sync(ys)  # absorb the refresh, untimed
             t0 = time.perf_counter()
             for _ in range(nwin):
                 ys, _ = mb.step_chunk(stacks[si % len(stacks)]); si += 1
-            ys.block_until_ready()
+            sync(ys)
             win_ms = (time.perf_counter() - t0) * 1e3
             vals.append(max(0.0, win_ms - sync_ms) / (nwin * K))
         micro[f"device_ms_chunk{K}"] = round(float(np.median(vals)), 3)
@@ -175,7 +209,7 @@ def bench(name, sync_ms):
         t0 = time.perf_counter()
         y, stepper._state, _ = stepper._cold(
             stepper._params, stepper._state, x, stepper._tv)
-        y.block_until_ready()
+        sync(y)
         refresh_wall.append((time.perf_counter() - t0) * 1e3)
 
     wall = np.asarray(wall)
@@ -185,6 +219,10 @@ def bench(name, sync_ms):
         "wall_ms_p50": round(float(np.percentile(wall, 50)), 3),
         "wall_ms_p95": round(float(np.percentile(wall, 95)), 3),
         "device_ms_pipelined": round(float(np.median(pipe)), 3),
+        "dense_ms_pipelined": round(float(np.median(dpipe)), 3),
+        "live_speedup_vs_dense": round(
+            float(np.median(dpipe)) / float(np.median(pipe)), 2),
+        "live_form": "collect_stats=False",
         **micro,
         "refresh_ms_p50": round(float(np.median(refresh_wall)), 3),
         "scan_ms_per_frame": _scan_ms(name),

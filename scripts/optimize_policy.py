@@ -186,6 +186,25 @@ def main():
           f"({'ACCEPT' if verdict else 'reject'})", flush=True)
     if verdict:
         accepted, best = {stem_key: "band_cached"}, fps
+    # Chip-state sanity guard (VERDICT r4 weak #3): POLICY_seg.json r4
+    # recorded a greedy phase at ~718 fps whose fresh-clip re-measure
+    # collapsed to 70 fps FOR BOTH ARMS (the in-process sequencing
+    # degradation, probe_inprocess.py) and silently reverted the policy
+    # on the degraded sample. Decisions made in a collapsed regime are
+    # garbage either way — so re-measure the EMPTY baseline every few
+    # trials and ABORT LOUDLY (no file written) if it drifts >30% from
+    # the phase-start baseline.
+    def assert_chip_sane(tag):
+        b = measure({})
+        if not (0.7 * base_fps <= b <= 1.45 * base_fps):
+            raise RuntimeError(
+                f"ABORT {tag}: baseline re-measure {b:.1f} fps is >30% "
+                f"off the phase-start baseline {base_fps:.1f} — the "
+                "in-process degradation regime; rerun in a fresh process "
+                "(no policy written)")
+        return b
+
+    trials_since_check = 0
     for k in convs:
         # two candidate modes per conv, best-accepted greedily:
         # dense_cached (zero sparse machinery, recompute everything from
@@ -203,6 +222,10 @@ def main():
                   f"({'ACCEPT' if verdict else 'reject'})", flush=True)
             if verdict:
                 accepted, best = trial, fps
+            trials_since_check += 1
+            if trials_since_check >= 6:
+                trials_since_check = 0
+                assert_chip_sane(f"mid-greedy (after layer {k})")
 
     # re-measure the final pick on FRESH clips: the greedy ratchet's
     # `best` rode whatever upward noise survived the medians, so the
@@ -212,6 +235,15 @@ def main():
     if accepted:
         sets2 = fresh_clip_sets(args.reps)
         base2 = measure({}, sets2)
+        # the r4 guard, made loud: a fresh-clip baseline >2x off the
+        # greedy-phase baseline is the collapse regime — abort instead
+        # of deciding on it (VERDICT r5 brief #5)
+        if not (0.5 * base_fps <= base2 <= 2.0 * base_fps):
+            raise RuntimeError(
+                f"ABORT final re-measure: fresh-clip baseline "
+                f"{base2:.1f} fps is >2x off the greedy-phase baseline "
+                f"{base_fps:.1f} — in-process degradation; rerun in a "
+                "fresh process (no policy written)")
         final_fps = measure(accepted, sets2)
         if final_fps <= base2:
             print(f"  re-measure: {final_fps:.1f} <= baseline {base2:.1f} "

@@ -99,9 +99,14 @@ def test_color_drift_never_flips_class():
 def test_workload_profiles():
     assert workload_video_kwargs("scene") == {}
     assert workload_video_kwargs("scene_hard") == {"palette": "hard"}
+    # seg carries the accuracy-axis stress (hard palette); pose families
+    # keep the default palette — keypoint-channel identity is keyed by
+    # class color and proved unlearnable under the light drift on the
+    # hard palette (video.py profile comment)
+    assert workload_video_kwargs("seg")["palette"] == "hard"
+    assert "palette" not in workload_video_kwargs("pose")
     for name in ("seg", "pose", "pose_graph"):
         vk = workload_video_kwargs(name)
-        assert vk["palette"] == "hard"
         assert vk["light_drift"] > 0 and vk["noise_smooth_std"] > 0
         # profiles must be constructible
         SpriteVideoConfig(height=32, width=32, **vk)
