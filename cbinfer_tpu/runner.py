@@ -294,10 +294,13 @@ class FrameStepper:
     K=1 dispatch-floor knobs (this runtime pays ~0.2 ms launch + ~17 us
     PER dispatch argument/result buffer — probe_stepper probes A/B —
     which a deep net's state pytree and per-layer stats multiply):
-      ``collect_stats``: True returns the per-layer stat dicts (the r4
-        form, ~6 output buffers per CB layer per frame); ``"packed"``
-        returns one (L, 6) int32 array (see pack_stats; decode with
-        unpack_stats); False computes no stats at all.
+      ``collect_stats``: False (DEFAULT — the deployment live form; on
+        720p scene the per-frame stat outputs alone tripled the K=1
+        dispatch cost, 1.99 -> 0.54 ms/frame, probe D) computes no
+        stats; ``"packed"`` returns one (L, 6) int32 array per frame
+        (see pack_stats; decode with unpack_stats); True returns the
+        per-layer stat dicts (~6 output buffers per CB layer per frame
+        — instrumentation, not deployment).
       ``pack_small_buffers``: byte threshold; carry leaves at or below
         it ride one per-dtype arena buffer between dispatches
         (_make_state_packer). 0 = off.
@@ -308,7 +311,7 @@ class FrameStepper:
 
     def __init__(self, net, params, thresholds=None,
                  refresh_every: Optional[int] = None, out_map=None,
-                 collect_stats: Any = True, pack_small_buffers: int = 0,
+                 collect_stats: Any = False, pack_small_buffers: int = 0,
                  bind_params: bool = False):
         self._net = net
         self._params = params

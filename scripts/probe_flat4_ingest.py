@@ -15,6 +15,15 @@ subtracted):
                   rank-2
   v3_slice_fused  v0 but from clip[t] via explicit lax.dynamic_slice
                   inside the same jit (does XLA fuse the scan slice?)
+  v4_dus_carry    (r5) margins live in a buffer THREADED THROUGH THE
+                  SCAN CARRY (they are constant zeros — why rewrite
+                  them every frame?); per frame only the (h, 4w)
+                  interior is dynamic_update_slice'd in place. If XLA
+                  fuses the concat+cast producer into the DUS this is
+                  ONE read + ONE interior write = the floor.
+  v5_dus_fresh    (r5) same DUS but into fresh jnp.zeros each frame —
+                  isolates what the carried margins buy vs the zeros
+                  materialization.
 
 Usage: python scripts/probe_flat4_ingest.py [reps]
 """
@@ -94,6 +103,25 @@ def main():
             return lax.scan(step, jnp.float32(0), frames)[0]
         return jax.jit(run)
 
+    def interior2d(x):
+        f = jnp.concatenate(
+            [x, jnp.zeros((H, W, CP - CIN), x.dtype)], axis=-1)
+        return f.astype(jnp.bfloat16).reshape(H, CP * W)
+
+    def make_dus_scan(carry_buf):
+        def step(carry, x):
+            acc, buf = carry
+            buf2 = lax.dynamic_update_slice(buf, interior2d(x), (1, CP))
+            buf2 = lax.optimization_barrier(buf2)
+            return (acc + jnp.sum(buf2[8].astype(jnp.float32)),
+                    (buf2 if carry_buf
+                     else jnp.zeros((fg.fh, fg.fl), jnp.bfloat16))), ()
+
+        def run(frames):
+            buf0 = jnp.zeros((fg.fh, fg.fl), jnp.bfloat16)
+            return lax.scan(step, (jnp.float32(0), buf0), frames)[0][0]
+        return jax.jit(run)
+
     rng = np.random.default_rng(0)
 
     def fresh_clip():
@@ -103,9 +131,15 @@ def main():
     variants = {"v0_current": (v0_current, False),
                 "v1_concat2d": (v1_concat2d, False),
                 "v2_pad3_first": (v2_pad3_first, False),
-                "v3_slice_fused": (v0_current, True)}
+                "v3_slice_fused": (v0_current, True),
+                "v4_dus_carry": ("dus", True),
+                "v5_dus_fresh": ("dus", False)}
     for name, (fn, sliced) in variants.items():
-        run = make_scan(fn, sliced)
+        if fn == "dus":
+            run = make_dus_scan(carry_buf=sliced)
+            sliced = False
+        else:
+            run = make_scan(fn, sliced)
         ts = jnp.arange(T, dtype=jnp.int32)
         c = fresh_clip()
         _ = float(run(c, ts) if sliced else run(c))  # compile + warm

@@ -192,7 +192,7 @@ def probe_d(sync_ms, model="pose_graph"):
     n_state = len(jax.tree.leaves(wl.net.init_state()))
     n_params = len(jax.tree.leaves(wl.params))
     arms = {
-        "baseline": {},
+        "baseline": dict(collect_stats=True),   # the r4 default form
         "no_stats": dict(collect_stats=False),
         "packed_stats": dict(collect_stats="packed"),
         "no_stats+arena4mb": dict(collect_stats=False,

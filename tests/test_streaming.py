@@ -455,12 +455,14 @@ def test_frame_stepper_k1_dispatch_floor_knobs():
     clip = SpriteVideo(SpriteVideoConfig(height=32, width=48,
                                          seed=9)).clip(8)
     taus = [0.03, 0.03, 0.02, 0.02]
-    ref = FrameStepper(net, params, thresholds=taus, refresh_every=4)
+    ref = FrameStepper(net, params, thresholds=taus, refresh_every=4,
+                       collect_stats=True)
     ys_ref, stats_ref = zip(*[ref(clip[t]) for t in range(8)])
 
     variants = {
         "packed_stats": dict(collect_stats="packed"),
         "no_stats": dict(collect_stats=False),
+        "default_is_no_stats": {},
         "arena": dict(pack_small_buffers=1 << 20),   # packs every cache
         "arena_partial": dict(pack_small_buffers=8 * 32 * 48),
         "bound": dict(bind_params=True),
@@ -482,8 +484,8 @@ def test_frame_stepper_k1_dispatch_floor_knobs():
                 for a, b in zip(dec, refd):
                     assert int(a["changed_tiles"]) == int(
                         np.asarray(b["changed_tiles"]))
-            elif kw.get("collect_stats") is False:
-                assert stats == []
+            elif kw.get("collect_stats", False) is False:
+                assert stats == []  # False is also the default
         # arena state must survive a mode mix (step_chunk) and reset
         if kw.get("pack_small_buffers"):
             ys_c, _ = s.step_chunk(jnp.asarray(clip[:4]))
