@@ -61,11 +61,23 @@ from .ops.geometry import TileGeometry, cdiv, conv_tile_geometry
 NEG_FILL = -3.0e38  # SAME-padding fill for max pooling (finite "-inf")
 HINT_TILE = 8       # fixed tile size of inter-layer dirty hints
 
+# Trace-time gate: patch_stem per-frame flat4 ingest via carry-scratch
+# dynamic_update_slice (CBLayerState.scratch doc). Flipped on a measured
+# on-chip win only (probe_flat4_ingest v4 vs v0).
+INGEST_DUS = False
+
 
 @struct.dataclass
 class CBLayerState:
     in_cache: jnp.ndarray   # (H, W, Cin)  last accepted input
     out_cache: jnp.ndarray  # (Ho_pad, Wo_pad, Cout) cached output
+    # Optional per-layer scratch carried across frames. Used by the
+    # patch_stem ingest (INGEST_DUS): the frame's f32 flat4 staging
+    # buffer whose margins are constant zeros — carrying it lets each
+    # frame write ONLY the (h, 4w) interior via dynamic_update_slice
+    # (one fused pass) instead of re-padding the whole (fh, fl) buffer
+    # (the r4 form's second memory pass, ~48 vs ~33 us at 720p).
+    scratch: Optional[jnp.ndarray] = None
 
 
 class PreDetect(NamedTuple):
@@ -211,6 +223,8 @@ def cb_layer_init(spec, in_shape: Tuple[int, int, int], cfg: PipelineConfig
             in_cache=flat4_ops.to_flat4(cold, fg, dtype),
             out_cache=jnp.zeros((g.out_h_pad, g.out_w_pad,
                                  lane_pad(cout, pipe_cfg)), dtype=dtype),
+            scratch=(jnp.zeros((fg.fh, fg.fl), jnp.float32)
+                     if INGEST_DUS else None),
         )
     if cfg.backend == "dense_cached_flat":
         # FLAT (H, W*C) stem cache — same memory as HWC, clean rank-2
@@ -588,7 +602,14 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
                         x.clip, state.in_cache, tau, fg, frame_t=x.t,
                         interpret=cfg.interpret)
                 else:
-                    x4f = flat4_ops.to_flat4(xarr, fg, jnp.float32)
+                    if state.scratch is not None:
+                        # carry-scratch ingest (INGEST_DUS): margins are
+                        # already zero in the carried buffer; write only
+                        # the interior, in place under donation
+                        x4f = flat4_ops.update_flat4(state.scratch, xarr,
+                                                     fg)
+                    else:
+                        x4f = flat4_ops.to_flat4(xarr, fg, jnp.float32)
                     storage, cell_mask, npix1 = detect_accept_flat4_pallas(
                         x4f, state.in_cache, tau, fg,
                         interpret=cfg.interpret)
@@ -667,7 +688,14 @@ def cb_conv_apply(params: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
             else detect.changed_tile_mask(changed, g_hint)
         out_hint = _out_hint(hint_mask, overflow, g_hint)
         yl = Feature(out_cache, g.out_h, g.out_w, cout)
-        return yl, CBLayerState(in_cache=storage, out_cache=out_cache), \
+        # carry the ingest scratch forward (INGEST_DUS): the buffer must
+        # persist across frames for its constant-zero margins and the
+        # in-place interior DUS to work under donation
+        new_scratch = (x4f if (fused_detect and not is_clip
+                               and state.scratch is not None)
+                       else state.scratch)
+        return yl, CBLayerState(in_cache=storage, out_cache=out_cache,
+                                scratch=new_scratch), \
             stats, out_hint
 
     if cfg.backend == "dense_cached_flat":

@@ -93,6 +93,32 @@ def to_flat4(x: jnp.ndarray, fg: Flat4Geom, dtype) -> jnp.ndarray:
                        (CP, fg.fl - CP * fg.w - CP)))
 
 
+def interior_flat2(x: jnp.ndarray, fg: Flat4Geom, dtype) -> jnp.ndarray:
+    """(H, W, cin) -> the (h, CP*w) INTERIOR of the flat4 layout (no
+    margins): concat zero lane(s) -> cast -> rank-2 reshape. The producer
+    half of update_flat4."""
+    f = jnp.concatenate(
+        [x, jnp.zeros((*x.shape[:2], CP - fg.cin), x.dtype)], axis=-1
+    ) if fg.cin < CP else x
+    return f.astype(dtype).reshape(fg.h, CP * fg.w)
+
+
+def update_flat4(buf: jnp.ndarray, x: jnp.ndarray, fg: Flat4Geom
+                 ) -> jnp.ndarray:
+    """Write frame ``x`` into a persistent flat4 staging buffer.
+
+    ``buf`` is a (fh, fl) buffer whose margins are ALREADY zero (they are
+    constant — cb_layer_init writes them once); only the (h, CP*w)
+    interior is dynamic_update_slice'd, which XLA performs in place when
+    the buffer rides a donated scan carry. One read of x + one interior
+    write = the ingest bandwidth floor; the to_flat4 pad-chain form pays
+    a second full-buffer pass re-writing margins every frame
+    (probe_flat4_ingest v0 vs v4)."""
+    from jax import lax
+    return lax.dynamic_update_slice(
+        buf, interior_flat2(x, fg, buf.dtype), (1, CP))
+
+
 def from_flat4(f4: jnp.ndarray, fg: Flat4Geom) -> jnp.ndarray:
     """flat4 -> (H, W, cin) interior view (free reshape + slice)."""
     v = f4.reshape(fg.fh, fg.fl // CP, CP)

@@ -326,3 +326,46 @@ def test_ingest_clip_resident_matches_classic_scan():
     y1, _, _ = scan_video(netj, params, clip, thresholds=taus)
     y2, _, _ = scan_video(netj, params, clip, thresholds=taus, ingest=True)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_ingest_dus_gate_parity():
+    """INGEST_DUS (carry-scratch flat4 ingest) must be bit-identical to
+    the to_flat4 pad-chain form across frames, refresh, and overflow —
+    it only changes WHERE the staging buffer's bytes come from."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from cbinfer_tpu import layers as L
+    from cbinfer_tpu.config import PipelineConfig, TileConfig
+    from cbinfer_tpu.convert import convert_flagship, num_cb_layers
+    from cbinfer_tpu.models import get_model
+    from cbinfer_tpu.network import init_params
+    from cbinfer_tpu.runner import scan_video
+    from cbinfer_tpu.video import SpriteVideo, SpriteVideoConfig
+
+    H, W = 64, 96
+    specs = get_model("scene", num_classes=4, width=16)
+    cfg = PipelineConfig(tile=TileConfig(8, 8, capacity_fraction=0.375),
+                         backend="pallas", interpret=True)
+    clip = jnp.asarray(SpriteVideo(SpriteVideoConfig(
+        height=H, width=W, n_sprites=2, sprite_size=10, seed=6)).clip(6))
+    params = init_params(specs, (H, W, 3), jax.random.PRNGKey(0))
+
+    outs = {}
+    orig = L.INGEST_DUS
+    try:
+        for gate in (False, True):
+            L.INGEST_DUS = gate
+            net = convert_flagship(specs, (H, W, 3), cfg)
+            tv = jnp.full((num_cb_layers(net.specs),), 0.03, jnp.float32)
+            st = net.init_state()
+            if gate:
+                assert any(
+                    getattr(s, "scratch", None) is not None
+                    for s in st if s is not None), "scratch not allocated"
+            ys, st, _ = scan_video(net, params, clip, state=st,
+                                   thresholds=tv)
+            outs[gate] = np.asarray(ys)
+    finally:
+        L.INGEST_DUS = orig
+    np.testing.assert_array_equal(outs[False], outs[True])
