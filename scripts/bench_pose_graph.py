@@ -149,8 +149,15 @@ def main(argv=None):
         dn_np = np.concatenate([np.asarray(b) for b in dense_outs])
         p_cb = pck_gt(cb_np, kps, valid, stride)
         p_dn = pck_gt(dn_np, kps, valid, stride)
+        # tight-radius companion (eval_headline precedent): the alpha=0.05
+        # pillar saturates; alpha=0.02 shows real localization headroom
+        p_cb_t = pck_gt(cb_np, kps, valid, stride, alpha=0.02)
+        p_dn_t = pck_gt(dn_np, kps, valid, stride, alpha=0.02)
         gt = {"pck_gt_dense": round(p_dn, 4), "pck_gt_cb": round(p_cb, 4),
-              "pck_degradation": round(p_dn - p_cb, 5)}
+              "pck_degradation": round(p_dn - p_cb, 5),
+              "pck02_gt_dense": round(p_dn_t, 4),
+              "pck02_gt_cb": round(p_cb_t, 4),
+              "pck02_degradation": round(p_dn_t - p_cb_t, 5)}
     # ALL timed chunks — the last chunk alone is the refresh-free one
     # under the alternating policy (same bias class as the FLOP
     # accounting fix in benchmark.py)
