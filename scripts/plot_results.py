@@ -172,6 +172,38 @@ def plot_stages(outdir: pathlib.Path) -> None:
     plt.close(fig)
 
 
+def plot_changerate(outdir: pathlib.Path) -> None:
+    """Throughput vs change rate + the worst case (CHANGERATE.json):
+    the applicability-boundary figure of the reference (CB17 §1's
+    quasi-static-camera premise, measured)."""
+    cr = _load("CHANGERATE.json")
+    if not cr or not cr.get("rows"):
+        return
+    rows = sorted(cr["rows"], key=lambda r: r["changed_tile_frac_layer0"])
+    x = [r["changed_tile_frac_layer0"] for r in rows]
+    y = [r["speedup"] for r in rows]
+    fig, ax = plt.subplots(figsize=(5.6, 3.4))
+    ax.plot(x, y, "-o", color=BLUE, lw=1.6, ms=4)
+    for r in rows:
+        if r["point"].startswith("pan"):
+            ax.annotate(r["point"],
+                        (r["changed_tile_frac_layer0"], r["speedup"]),
+                        textcoords="offset points", xytext=(4, 6),
+                        fontsize=8, color=INK2)
+    ax.axhline(1.0, color=NEUTRAL, lw=1.0, ls="--")
+    be = cr.get("break_even_changed_tile_frac")
+    if be:
+        ax.axvline(be, color=YELLOW, lw=1.0, ls=":")
+        ax.annotate(f"break-even {be:.0%}", (be, 1.05), fontsize=8,
+                    color=INK2, rotation=90, va="bottom")
+    ax.set_xlabel("changed-tile fraction (stem layer, per frame)")
+    ax.set_ylabel("CB speedup vs dense (same chip, interleaved)")
+    ax.set_title("Speedup vs change rate, 720p scene (worst case: pan)")
+    fig.tight_layout()
+    fig.savefig(outdir / "changerate.png")
+    plt.close(fig)
+
+
 def main(outdir: str = "figures") -> None:
     out = ROOT / outdir
     out.mkdir(exist_ok=True)
@@ -179,6 +211,7 @@ def main(outdir: str = "figures") -> None:
     plot_pareto(out)
     plot_sensitivity(out)
     plot_stages(out)
+    plot_changerate(out)
     print("wrote", *sorted(p.name for p in out.glob("*.png")))
 
 
