@@ -43,7 +43,8 @@ from jax import lax
 jax.config.update("jax_enable_compilation_cache", False)
 
 H, W, CIN, CP = 720, 1280, 3, 4
-T = 64
+T = 64   # overridable: argv[2] (post-wedge tunnel jitter can exceed a
+         # 64-frame window's ~2.6 ms of signal — use T=256 then)
 
 
 def geom():
@@ -70,8 +71,11 @@ def v2_pad3_first(x, fg):
 
 
 def main():
+    global T
     from cbinfer_tpu.benchmark import devices_or_die, measure_sync_overhead
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    if len(sys.argv) > 2:
+        T = int(sys.argv[2])
     if not any(d.platform == "tpu" for d in devices_or_die()):
         print(json.dumps({"error": "not on TPU"}))
         return 1
