@@ -53,7 +53,7 @@ def concat_stats(chunk_stats: Sequence):
         *[jax.device_get(s) for s in chunk_stats])
 
 
-def devices_or_die(timeout_s: int = 180):
+def devices_or_die(timeout_s: int = None):
     """Backend init + first-op watchdog: a bounded failure with a clear
     message beats an indefinite hang. Shared by bench.py and the
     long-running scripts.
@@ -65,10 +65,18 @@ def devices_or_die(timeout_s: int = 180):
     (client hello sent, zero bytes answered, jaxlib's 1/s reconnect loop).
     The watchdog therefore also executes a trivial jitted op on the found
     backend; a healthy link costs one RTT (~30 ms), a dead one dies here
-    instead of inside the first timed program."""
+    instead of inside the first timed program.
+
+    Default bound: 600 s (override via ``CBINFER_DEVICE_TIMEOUT``). The
+    r4 value (180 s) proved too tight on flap-heavy nights (r5): the
+    terminal drops for 3–20 min at a time and jaxlib's reconnect loop
+    DOES recover when it comes back — a stage that waits beats a queue
+    of stages that each die at init."""
     import os
     import sys
     import threading
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("CBINFER_DEVICE_TIMEOUT", "600"))
     out = {}
 
     def probe():
