@@ -12,6 +12,12 @@ keypoint supervision) against GROUND-TRUTH PCK — same budget semantics
 as seg's mIoU (<=0.5% degradation), closing VERDICT r2 missing #1.
 
 Usage: python scripts/tune_model.py [scene|seg|pose] [budget]
+       python scripts/tune_model.py pose --stress-only
+           re-run ONLY the deployment stress validation (+ fallback
+           selection + tau-file save) against the CURRENT tuned vector
+           from ckpts/<model>_tau.json's tuner record — the cheap path
+           when the horizon/validation rules change but the sweep's
+           relative profile is still good (r5: the 192-frame horizon).
 """
 
 import os
@@ -42,8 +48,10 @@ def main():
     from cbinfer_tpu.video import (SpriteVideo, SpriteVideoConfig,
                                    workload_video_kwargs)
 
-    name = sys.argv[1] if len(sys.argv) > 1 else "scene"
-    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 0.005
+    stress_only = "--stress-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    name = args[0] if args else "scene"
+    budget = float(args[1]) if len(args) > 1 else 0.005
     e = zoo.REGISTRY[name]
     width, npz, tau_json = e.width, e.npz, e.tau_json
     NUM_CLASSES = 8
@@ -172,22 +180,29 @@ def main():
             return 1.0 - (pck_gt_device(dn, lab, stride)
                           - pck_gt_device(cb, lab, stride))
 
-        res = tune(net, params, calib, pose_metric,
-                   device_metric_fn=pose_metric_device, labels=labels,
-                   # trimmed grid, capped at 0.1: the 360p sweep saturated
-                   # at 0.15 and that end of the grid is where the
-                   # deployment fragility lived (POSE_ACC.json)
-                   tau_grid=(0.02, 0.03, 0.045, 0.07, 0.1),
-                   budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
-                   budget=budget, skip_frames=8, refresh_every=REFRESH,
-                   verbose=True)
+        if stress_only:
+            res = _PriorTune(tau_json)
+        else:
+            res = tune(net, params, calib, pose_metric,
+                       device_metric_fn=pose_metric_device, labels=labels,
+                       # trimmed grid, capped at 0.1: the 360p sweep
+                       # saturated at 0.15 and that end of the grid is
+                       # where the deployment fragility lived
+                       tau_grid=(0.02, 0.03, 0.045, 0.07, 0.1),
+                       budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
+                       budget=budget, skip_frames=8,
+                       refresh_every=REFRESH, verbose=True)
     else:
-        res = tune(net, params, calib, gt_metric,
-                   device_metric_fn=gt_metric_device, labels=labels,
-                   tau_grid=(0.015, 0.02, 0.03, 0.045, 0.07, 0.1, 0.15),
-                   budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
-                   budget=budget, skip_frames=8, refresh_every=REFRESH,
-                   verbose=True)
+        if stress_only:
+            res = _PriorTune(tau_json)
+        else:
+            res = tune(net, params, calib, gt_metric,
+                       device_metric_fn=gt_metric_device, labels=labels,
+                       tau_grid=(0.015, 0.02, 0.03, 0.045, 0.07, 0.1,
+                                 0.15),
+                       budgets=(0.001, 0.002, 0.005, 0.01, 0.02),
+                       budget=budget, skip_frames=8,
+                       refresh_every=REFRESH, verbose=True)
 
     print(f"selected taus: {res.thresholds}")
     print(f"calib metric {res.metric:.5f}  "
@@ -284,9 +299,11 @@ def main():
                               "calib": f"sprites seeds 7+11 T={T} {H}x{W}",
                               "refresh_every": REFRESH,
                               "weights": npz})
-    with open(f"/root/repo/TUNE_{name}.json", "w") as f:
-        f.write(res.to_json())
-    print(f"wrote {tau_json} and TUNE_{name}.json")
+    if not stress_only:
+        with open(f"/root/repo/TUNE_{name}.json", "w") as f:
+            f.write(res.to_json())
+    print(f"wrote {tau_json}" + ("" if stress_only
+                                 else f" and TUNE_{name}.json"))
 
 
 if __name__ == "__main__":
