@@ -52,6 +52,23 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     name = args[0] if args else "scene"
     budget = float(args[1]) if len(args) > 1 else 0.005
+
+    class _PriorTune:
+        """--stress-only stand-in for a fresh tuner result: the last
+        sweep's RAW vector (the stress record's 'tuned' row) + metadata
+        from the saved tau file."""
+
+        def __init__(self, tau_json_path):
+            import json as _json
+            with open(tau_json_path) as f:
+                d = _json.load(f)
+            md = d.get("metadata", {})
+            rows = (md.get("stress_validation") or {}).get("rows") or []
+            tuned = next((r["thresholds"] for r in rows
+                          if r.get("name") == "tuned"), None)
+            self.thresholds = tuned or d["thresholds"]
+            self.metric = md.get("metric", float("nan"))
+            self.flop_reduction = md.get("flop_reduction", float("nan"))
     e = zoo.REGISTRY[name]
     width, npz, tau_json = e.width, e.npz, e.tau_json
     NUM_CLASSES = 8
