@@ -95,8 +95,12 @@ def stress_validate(net: CBNet, params, candidates: Dict[str, Sequence],
       budget: max allowed worst-clip degradation (same units as tune()).
     """
     if isinstance(clips, (list, tuple)):
-        clips = [jnp.asarray(c) for c in clips]
-        labs = ([jnp.asarray(l) for l in labels] if labels is not None
+        # keep LIST inputs host-side: the r5 192-frame deployment horizon
+        # makes each 720p clip ~2.1 GB in f32, and materializing every
+        # seed on the chip at once OOM'd the stress stage (RESOURCE_
+        # EXHAUSTED, r5). The clip-major loop below stages ONE clip at a
+        # time.
+        labs = (list(labels) if labels is not None
                 else [None] * len(clips))
     else:
         clips = jnp.asarray(clips)
@@ -116,37 +120,39 @@ def stress_validate(net: CBNet, params, candidates: Dict[str, Sequence],
         assert len(tv) == n_layers, (nm, len(tv), n_layers)
 
     run = _make_runner(net, params, refresh_every)
-    dense_outs = [run(f, jnp.full((n_layers,), -1.0, jnp.float32))[0]
-                  for f in clips]
-
     if device_metric_fn is not None:
         drun = _make_device_runner(net, params, device_metric_fn,
                                    skip_frames, refresh_every,
                                    with_labels=labels_given)
 
-        def degradations(tv):
-            out = []
-            for f, d, lab in zip(clips, dense_outs, labs):
-                m, _ = drun(f, tv, d, lab) if labels_given \
-                    else drun(f, tv, d)
-                out.append(1.0 - float(m))
-            return out
-    else:
-        dense_np = [np.asarray(d)[skip_frames:] for d in dense_outs]
-
-        def degradations(tv):
-            out = []
-            for f, d, lab in zip(clips, dense_np, labs):
-                ys, _ = run(f, tv)
+    # CLIP-MAJOR: stage one clip, compute its dense reference, score all
+    # candidates on it, release — peak HBM is one clip + one reference
+    # (candidate-major held every seed's clip + reference for the whole
+    # pass and OOM'd at the r5 192-frame horizon).
+    degs_by_cand = {nm: [] for nm in candidates}
+    for f, lab in zip(clips, labs):
+        f = jnp.asarray(f)
+        lab_d = None if lab is None else jnp.asarray(lab)
+        d = run(f, jnp.full((n_layers,), -1.0, jnp.float32))[0]
+        if device_metric_fn is not None:
+            for nm, tv in candidates.items():
+                tvv = jnp.asarray(tv, jnp.float32)
+                m, _ = (drun(f, tvv, d, lab_d) if labels_given
+                        else drun(f, tvv, d))
+                degs_by_cand[nm].append(1.0 - float(m))
+        else:
+            d_np = np.asarray(d)[skip_frames:]
+            for nm, tv in candidates.items():
+                ys, _ = run(f, jnp.asarray(tv, jnp.float32))
                 cb = np.asarray(ys)[skip_frames:]
-                m = (metric_fn(cb, d, np.asarray(lab)[skip_frames:])
-                     if lab is not None else metric_fn(cb, d))
-                out.append(1.0 - float(m))
-            return out
+                m = (metric_fn(cb, d_np, np.asarray(lab)[skip_frames:])
+                     if lab is not None else metric_fn(cb, d_np))
+                degs_by_cand[nm].append(1.0 - float(m))
+        del f, d, lab_d
 
     rows, chosen = [], None
     for name, tv in candidates.items():
-        degs = degradations(jnp.asarray(tv, jnp.float32))
+        degs = degs_by_cand[name]
         row = {"name": name, "thresholds": [float(t) for t in tv],
                "per_clip_degradation": [round(d, 6) for d in degs],
                "worst_degradation": round(max(degs), 6),

@@ -260,11 +260,13 @@ def main():
             height=DH, width=DW, n_sprites=4, sprite_size=max(24, DH // 15),
             speed=4.0, noise_std=0.002, distinct_classes=True, seed=s,
             **vk)).clip_with_keypoints(DT) for s in (101, 203)]
-        vclips = jnp.stack([jnp.asarray(f) for f, _, _ in vids])
-        vlabels = jnp.stack([
-            jnp.asarray(np.concatenate(
-                [k, v[..., None].astype(np.float32)], axis=-1))
-            for _, k, v in vids])
+        # LISTS of host arrays: stress_validate stages one 192-frame
+        # 720p clip (~2.1 GB f32) at a time (clip-major loop; a stacked
+        # device-resident pair OOM'd the chip, r5)
+        vclips = [f for f, _, _ in vids]
+        vlabels = [np.concatenate(
+            [k, v[..., None].astype(np.float32)], axis=-1)
+            for _, k, v in vids]
         stress = stress_validate(dep_net, params, cands, vclips,
                                  metric_fn=pose_metric, labels=vlabels,
                                  device_metric_fn=pose_metric_device,
@@ -275,9 +277,9 @@ def main():
             height=DH, width=DW, n_sprites=4, sprite_size=max(24, DH // 15),
             speed=4.0, noise_std=0.002, seed=s,
             **vk)).clip_with_labels(DT) for s in (101, 203)]
-        vclips = jnp.stack([jnp.asarray(f) for f, _ in vpairs])
-        vlabels = jnp.stack([jnp.asarray(l[:, ::stride, ::stride])
-                             for _, l in vpairs])
+        # host-side lists (see the pose branch note)
+        vclips = [f for f, _ in vpairs]
+        vlabels = [l[:, ::stride, ::stride] for _, l in vpairs]
         stress = stress_validate(dep_net, params, cands, vclips,
                                  metric_fn=gt_metric, labels=vlabels,
                                  device_metric_fn=gt_metric_device,
